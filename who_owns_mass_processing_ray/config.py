@@ -1,0 +1,77 @@
+"""Typed engine configuration.
+
+The reference keeps its knobs in a global ``config.R`` (cosine thresholds 0.85
+inst / 0.95 individuals, `COMPANY_TEST_COUNT`, `ROUTINES` gates —
+``/root/reference/config.R:1-49``).  The engine equivalent is a frozen
+dataclass passed explicitly to every pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs of the near-dup pipeline.
+
+    The MinHash/LSH settings are the analog of the reference's cosine
+    thresholds (``/root/reference/config.R:28-29``): ``jaccard_thresh`` plays
+    the role of ``COSINE_THRESH`` and the (bands, rows) shape fixes the
+    LSH S-curve so pairs at ``jaccard_thresh`` are caught with
+    probability > 0.999.
+    """
+
+    # --- transcript shingling / MinHash -------------------------------------
+    shingle_k: int = 5              # char k-grams over the normalized transcript
+    num_perm: int = 128             # MinHash permutations
+    lsh_bands: int = 32             # bands (num_perm = lsh_bands * lsh_rows)
+    lsh_rows: int = 4               # rows per band
+    jaccard_thresh: float = 0.55    # exact-Jaccard verify threshold (>= kept)
+    seed: int = 42
+    # number of coarse hash partitions for bucket-local pair generation; 0 =
+    # auto (4 x cluster CPUs). Same key -> same partition; work inside a
+    # partition is vectorized numpy over all its buckets.
+    num_parts: int = 0
+
+    # --- skew handling (hot LSH buckets: degenerate shingles, silence) ------
+    # A bucket larger than max_bucket is a stop-shingle bucket; its pair
+    # generation is capped pairwise against the bucket's min-id rows only and
+    # the truncation is logged in the stage metrics (never silent).
+    max_bucket: int = 256
+
+    # --- audio SimHash (second blocking dimension, ≙ reference addr_id
+    # bounding key /root/reference/R/deduplicaters.R:446-539) ----------------
+    simhash_bits: int = 64
+    simhash_bands: int = 4          # bucket key = one of 4 x 16-bit slices
+    hamming_thresh: int = 6         # verify: hamming distance <= thresh
+    fp_num_bands: int = 129         # log-spaced bands -> 128 log-delta features
+    fp_fmin_hz: float = 100.0
+    fp_fmax_hz: float = 3500.0      # below nyquist of the lowest sr (8 kHz)
+
+    # --- exact containment (suffix/winnowing stage) -------------------------
+    containment_gram: int = 8       # char grams used for winnowed anchors
+    containment_stride: int = 4     # keep grams with hash % stride == 0
+    containment_min_len: int = 12   # shorter transcripts: keep every gram
+
+    # --- components ---------------------------------------------------------
+    # Edges <= this: driver-side union-find (exact, cheap). Above: distributed
+    # min-label propagation (bounded iterations). Both produce identical
+    # components; see stages/components.py.
+    dsu_edge_limit: int = 5_000_000
+    label_prop_max_iters: int = 50
+
+    # --- execution sizing ---------------------------------------------------
+    batch_size: int = 1024          # rows per batch for text stages
+    audio_batch_size: int = 64      # rows per batch for PCM decode (wide rows)
+    minhash_concurrency: int = 0    # 0 = let Ray autoscale task pool
+    audio_concurrency: tuple = (2, 8)
+
+    def __post_init__(self) -> None:
+        if self.num_perm != self.lsh_bands * self.lsh_rows:
+            raise ValueError("num_perm must equal lsh_bands * lsh_rows")
+        if self.simhash_bits % self.simhash_bands != 0:
+            raise ValueError("simhash_bits must divide into simhash_bands")
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,126 @@
+"""The flagship dedup pipeline — the engine's ``dedupe_all``
+(``/root/reference/R/deduplicaters.R:563-1078``), re-expressed as a DAG of
+Ray Data stages:
+
+    read clips (one wide pass)
+      └─ features (actor pool: decode + fingerprint + hashes + normalize)
+           ├─ exact edges        (128-bit content identity, star expansion)
+           ├─ near edges         (MinHash + LSH bands + exact-Jaccard verify)
+           ├─ audio edges        (SimHash bands + hamming verify)
+           └─ containment edges  (winnowed anchors + substring verify)
+      └─ union(edges) ─ connected components (DSU / label propagation)
+           ├─ clip_to_cluster (assignment + incident edge kinds)
+           └─ clusters (canonical election + rollups)
+
+Every intermediate that crosses a shuffle is NARROW (ids + hashes); the
+encoded audio is read exactly once.  All stages checkpoint under
+``checkpoint_dir`` (stage-level Parquet + per-partition lineage) so a killed
+run resumes without recomputing finished stages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from who_owns_mass_processing_ray.config import DEFAULT_CONFIG, DedupConfig
+from who_owns_mass_processing_ray.stages import (
+    audio_fp,
+    canonical,
+    checkpoint,
+    components,
+    containment,
+    exact,
+    features as features_mod,
+    lsh,
+)
+
+
+def _auto_parts() -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus * 4)
+
+
+def read_clips(clips_path: str):
+    """Source: Parquet directory/file of the clip input contract.  The Lance
+    format is not available in this environment (no ``lance`` package);
+    Parquet is the storage stand-in — same columnar contract, same
+    projection pushdown (``read_lance`` would slot in here 1:1)."""
+    import ray.data as rd
+
+    return rd.read_parquet(clips_path)
+
+
+def dedup_pipeline(
+    clips_path: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    checkpoint_dir: str | None = None,
+    components_method: str = "auto",
+):
+    """Run end-to-end; returns dict of Datasets:
+    ``features``, ``edges``, ``clip_to_cluster``, ``clusters``."""
+    num_parts = cfg.num_parts or _auto_parts()
+    num_partitions = max(8, num_parts // 4)
+    cache = checkpoint.StageCache(checkpoint_dir)
+    cfg_fp = checkpoint.fingerprint_of(cfg, clips_path)
+
+    def _pin(ds):
+        # Each stage output is consumed by several downstream stages.  With a
+        # checkpoint dir the output is Parquet-backed (re-reads are cheap and
+        # resumable); without one, pin it in the object store so Ray doesn't
+        # re-execute the producing stage once per consumer.
+        return ds if checkpoint_dir else ds.materialize()
+
+    feats = _pin(cache.run(
+        "features", cfg_fp,
+        lambda: features_mod.extract_features(read_clips(clips_path), cfg),
+    ))
+
+    e_exact = cache.run(
+        "edges_exact", cfg_fp, lambda: exact.exact_edges(feats, cfg, num_parts))
+    e_near = cache.run(
+        "edges_near", cfg_fp,
+        lambda: lsh.near_edges(feats, cfg, num_parts, num_partitions))
+    e_audio = cache.run(
+        "edges_audio", cfg_fp, lambda: audio_fp.audio_edges(feats, cfg, num_parts))
+    e_contain = cache.run(
+        "edges_containment", cfg_fp,
+        lambda: containment.containment_edges(feats, cfg, num_parts, num_partitions))
+
+    edges = _pin(e_exact.union(e_near).union(e_audio).union(e_contain))
+
+    assignment = _pin(cache.run(
+        "assignment", cfg_fp,
+        lambda: components.assignment_dataset(
+            feats, edges, cfg, num_partitions, method=components_method),
+    ))
+
+    c2c = cache.run(
+        "clip_to_cluster", cfg_fp,
+        lambda: canonical.clip_to_cluster(assignment, edges, num_partitions))
+    clusters = cache.run(
+        "clusters", cfg_fp,
+        lambda: canonical.clusters_table(assignment, feats, edges, num_partitions))
+
+    return {
+        "features": feats,
+        "edges": edges,
+        "clip_to_cluster": c2c,
+        "clusters": clusters,
+    }
+
+
+def write_outputs(results: dict, out_dir: str) -> None:
+    """Persist the public output tables (≙ the reference's final
+    ``load_write`` of sites/owners/metacorps tables,
+    ``/root/reference/R/deduplicaters.R:663-682``)."""
+    import os
+
+    for name in ["clip_to_cluster", "clusters"]:
+        path = os.path.join(out_dir, name)
+        os.makedirs(path, exist_ok=True)
+        results[name].write_parquet(path)

@@ -1,0 +1,74 @@
+"""SimHash audio-fingerprint blocking — the second edge dimension.
+
+The reference bounds its cosine grouping by a shared standardized address
+(``addr_id`` group-fill bounding, ``/root/reference/R/deduplicaters.R:446-539``)
+so that only entities at the same address can merge.  The graft's analog of
+that coarse secondary identity is the decoded-PCM spectral SimHash computed
+by the feature stage: re-encoded/resampled copies of the same waveform land
+within a few bits of each other.
+
+Blocking: the 64-bit fingerprint is sliced into ``simhash_bands`` 16-bit
+bands; two clips within hamming distance d collide on at least one band
+slice whenever the d flipped bits avoid one band (certain for d <= 3 bands'
+worth; probabilistic above).  Verification is exact hamming distance on the
+full fingerprint (carried through the pair rows — 8 bytes, never the PCM).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from who_owns_mass_processing_ray import audio
+from who_owns_mass_processing_ray.config import DedupConfig
+from who_owns_mass_processing_ray.functions import hashing as hx
+from who_owns_mass_processing_ray.stages import pairs as pr
+
+
+def _band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    fp = batch["fp"].to_numpy()
+    ok = batch["decode_ok"].to_numpy(zero_copy_only=False)
+    ids = np.asarray(batch["clip_id"].to_pylist(), dtype=object)
+    fp, ids = fp[ok], ids[ok]
+    bands = cfg.simhash_bands
+    width = cfg.simhash_bits // bands
+    mask = np.uint64((1 << width) - 1)
+    keys = []
+    for b in range(bands):
+        slice_b = (fp >> np.uint64(b * width)) & mask
+        # mix in the band index so identical slices in different bands
+        # don't collide into one bucket
+        keys.append(hx.splitmix64(slice_b ^ np.uint64(0xAD10F00D + b * 0x9E37)))
+    keys = np.stack(keys, axis=1).reshape(-1) if len(fp) else np.empty(0, np.uint64)
+    ids_rep = np.repeat(ids, bands)
+    # fp is carried bit-cast to int64: Ray's aggregate path converts uint64
+    # above 2^63 to pickled Python objects; int64 stays a native Arrow column
+    return pa.table({
+        "bucket_key": pa.array(keys),
+        "clip_id": pa.array(ids_rep.tolist(), pa.string()),
+        "fp": pa.array(np.repeat(fp, bands).view(np.int64)),
+    })
+
+
+def audio_edges(features_ds, cfg: DedupConfig, num_parts: int):
+    """features -> verified 'audio' edge Dataset (left_id, right_id, kind)."""
+    narrow = features_ds.select_columns(["clip_id", "fp", "decode_ok"])
+    band_rows = narrow.map_batches(_band_rows, fn_kwargs={"cfg": cfg},
+                                   batch_format="pyarrow", batch_size=cfg.batch_size)
+    cand = pr.pairs_from_bucket_rows(
+        band_rows, "bucket_key", "clip_id", cfg.max_bucket, num_parts,
+        payload_cols=["fp"],
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lf = batch["left_fp"].to_numpy().astype(np.int64).view(np.uint64)
+        rf = batch["right_fp"].to_numpy().astype(np.int64).view(np.uint64)
+        keep = audio.hamming64(lf, rf) <= cfg.hamming_thresh if len(lf) else np.zeros(0, bool)
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "left_id": out["left_id"],
+            "right_id": out["right_id"],
+            "kind": pa.array(["audio"] * len(out), pa.string()),
+        })
+
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=cfg.batch_size)
