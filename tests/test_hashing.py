@@ -1,0 +1,147 @@
+"""Unit tests for the vectorized hashing kernels (functions/hashing.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from who_owns_mass_processing_ray.functions import hashing as hx
+
+
+def _brute_shingles(s: str, k: int) -> set[str]:
+    if len(s) < k:
+        return {s} if s else set()
+    return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+
+class TestHashStrings:
+    def test_deterministic_and_distinct(self):
+        col = pa.array(["abc", "abd", "abc", "", "xyzzy"])
+        h1 = hx.hash_strings(col)
+        h2 = hx.hash_strings(col)
+        np.testing.assert_array_equal(h1, h2)
+        assert h1[0] == h1[2]
+        assert h1[0] != h1[1]
+        assert len({int(x) for x in h1}) == 4
+
+    def test_independent_of_chunking_and_neighbors(self):
+        # hash of a value must not depend on what else is in the column
+        a = hx.hash_strings(pa.array(["hello world"]))
+        b = hx.hash_strings(pa.array(["prefix", "hello world", "suffix"]))
+        assert int(a[0]) == int(b[1])
+        chunked = pa.chunked_array([["hello world"], ["other"]])
+        c = hx.hash_strings(chunked)
+        assert int(c[0]) == int(a[0])
+
+    def test_seed_changes_hash(self):
+        col = pa.array(["same"])
+        assert int(hx.hash_strings(col, seed=0)[0]) != int(hx.hash_strings(col, seed=1)[0])
+
+    def test_binary_column(self):
+        col = pa.array([b"\x00\x01\x02", b"\x00\x01\x03"], type=pa.large_binary())
+        h = hx.hash_strings(col)
+        assert int(h[0]) != int(h[1])
+
+    def test_no_length_extension_confusion(self):
+        # "ab"+"c" vs "a"+"bc" as adjacent values must differ from each other's
+        # concatenation hashes
+        h = hx.hash_strings(pa.array(["ab", "c", "a", "bc", "abc"]))
+        vals = [int(x) for x in h]
+        assert vals[0] != vals[2]
+        assert vals[1] != vals[3]
+        assert len(set(vals)) == 5
+
+
+class TestShingleHashes:
+    @pytest.mark.parametrize("k", [2, 3, 5])
+    def test_matches_brute_force_sets(self, k):
+        docs = ["hello world", "abcde", "aa", "", "the quick brown fox", "aaaa"]
+        col = pa.array(docs)
+        vals, offs = hx.shingle_hashes(col, k)
+        for i, d in enumerate(docs):
+            got = vals[offs[i] : offs[i + 1]]
+            expect = _brute_shingles(d, k)
+            # distinct hash count equals distinct shingle count (no collisions
+            # at this scale), and multiset size equals window count
+            assert len(np.unique(got)) == len(expect)
+            if len(d) >= k:
+                assert len(got) == len(d) - k + 1
+
+    def test_same_shingle_same_hash_across_docs(self):
+        col = pa.array(["abcdef", "xxabcdexx"])
+        vals, offs = hx.shingle_hashes(col, 5)
+        d0 = set(vals[offs[0] : offs[1]].tolist())
+        d1 = set(vals[offs[1] : offs[2]].tolist())
+        # shared shingle "abcde" must hash identically in both docs
+        assert d0 & d1
+
+    def test_nulls_and_empty(self):
+        col = pa.array(["abc", None, ""])
+        vals, offs = hx.shingle_hashes(col, 2)
+        assert offs[-1] == len(vals)
+        assert offs[2] - offs[1] == 0  # null -> no shingles
+        assert offs[3] - offs[2] == 0  # empty -> no shingles
+
+
+class TestMinHash:
+    def test_estimates_jaccard(self):
+        rng = np.random.default_rng(0)
+        docs = []
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        docs.append(base)
+        docs.append(base[:-10] + " extra tail")  # high jaccard
+        docs.append("completely different content here entirely")  # low
+        col = pa.array(docs)
+        vals, offs = hx.shingle_hashes(col, 4)
+        sig = hx.minhash_signatures(vals, offs, 256, seed=7)
+        est01 = (sig[0] == sig[1]).mean()
+        est02 = (sig[0] == sig[2]).mean()
+        j01 = hx.jaccard_from_hashsets(vals[offs[0]:offs[1]], vals[offs[1]:offs[2]])
+        assert abs(est01 - j01) < 0.12
+        assert est02 < 0.05
+
+    def test_empty_doc_sentinel(self):
+        vals, offs = hx.shingle_hashes(pa.array(["", "abcd"]), 3)
+        sig = hx.minhash_signatures(vals, offs, 16, seed=1)
+        assert (sig[0] == np.iinfo(np.uint64).max).all()
+        assert not (sig[1] == np.iinfo(np.uint64).max).all()
+
+    def test_band_hashes_identical_iff_band_equal(self):
+        vals, offs = hx.shingle_hashes(pa.array(["abcdefgh", "abcdefgh", "zzzzzzzz"]), 3)
+        sig = hx.minhash_signatures(vals, offs, 16, seed=3)
+        bands = hx.band_hashes(sig, 4, 4, seed=3)
+        np.testing.assert_array_equal(bands[0], bands[1])
+        assert not (bands[0] == bands[2]).any()
+
+
+class TestWinnowAnchors:
+    def test_substring_shares_anchors(self):
+        container = "the quick brown fox jumps over the lazy dog again and again"
+        contained = "jumps over the lazy dog"
+        col = pa.array([container, contained])
+        vals, offs = hx.winnow_anchors(col, gram=8, stride=4, min_len=12)
+        a0 = set(vals[offs[0] : offs[1]].tolist())
+        a1 = set(vals[offs[1] : offs[2]].tolist())
+        # winnowing selection is content-defined: every anchor of the
+        # contained string interior must appear in the container's set
+        assert a1 & a0, "contained substring must share >=1 anchor"
+
+    def test_short_docs_keep_all_grams(self):
+        col = pa.array(["abcdefghij"])  # 3 grams of size 8 -> < min_len 12
+        vals, offs = hx.winnow_anchors(col, gram=8, stride=4, min_len=12)
+        assert offs[1] - offs[0] == 3
+
+
+class TestU64Helpers:
+    def test_modinv(self):
+        p = np.uint64(0x100000001B3)
+        inv = hx._modinv_u64(p)
+        assert (int(p) * int(inv)) % (1 << 64) == 1
+
+    def test_pow_vec(self):
+        base = np.uint64(3)
+        exps = np.array([0, 1, 5, 63], dtype=np.uint64)
+        out = hx._pow_u64_vec(base, exps)
+        for e, o in zip(exps, out):
+            assert int(o) == pow(3, int(e), 1 << 64)

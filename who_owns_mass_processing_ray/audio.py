@@ -175,20 +175,26 @@ def simhash_from_features(features: np.ndarray, bits: int, seed: int) -> int:
 
 def audio_fingerprint(pcm: np.ndarray, sr_hz: int, num_bands: int, bits: int,
                       fmin_hz: float, fmax_hz: float, seed: int) -> int:
-    """64-bit spectral fingerprint: SimHash over adjacent-band log-energy
-    deltas.
+    """64-bit spectral fingerprint: SimHash over energy-weighted
+    adjacent-band log-energy deltas.
 
     Why deltas of log energies (not raw energies): raw energies are dominated
     by a handful of spectral peaks, so unrelated clips whose peaks share
     bands collide (measured ~800 false matches on a 300-clip corpus); the
     log-delta vector spreads information across the whole spectrum while the
     differencing cancels smooth systematic effects of resampling
-    (interpolation droop), giving true re-encode pairs hamming <= 2 and
-    unrelated pairs ~32 (0 false matches at threshold 6 on the same corpus).
+    (interpolation droop).  Each delta is further weighted by
+    sqrt(max adjacent band energy) so that deltas between noise-floor bands
+    (whose log-energies fluctuate with the noise realization and with the
+    per-Hz noise density, which depends on sample rate) contribute little.
+    Measured on a 20-pair resample corpus + 40-clip unrelated corpus:
+    same-content hamming <= 2, unrelated min 14, mean ~32 (unweighted the
+    same numbers were <= 11 / 13 — no margin).
     """
     e = band_energies(pcm, sr_hz, num_bands, fmin_hz, fmax_hz)
     d = np.diff(np.log(e + 1e-12))
-    return simhash_from_features(d, bits, seed)
+    w = np.sqrt(np.maximum(e[1:], e[:-1]))
+    return simhash_from_features(d * w, bits, seed)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -38,11 +38,16 @@ def normalize_transcripts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
         col = col.combine_chunks()
     x = pc.utf8_upper(col)
     x = pc.replace_substring_regex(x, r"[\n\r\t]+", " ")
+    # junk vocab check BEFORE the special-char strip — "N/A" must match as
+    # written (the strip would turn it into "N A" and the vocab would miss it)
+    trimmed = pc.utf8_trim_whitespace(x)
+    junk = pc.is_in(trimmed, value_set=pa.array(JUNK_STRINGS, type=x.type))
+    x = pc.if_else(junk, pa.scalar(None, type=x.type), x)
     x = pc.replace_substring_regex(x, r"[^A-Z0-9' ]+", " ")
     x = pc.replace_substring_regex(x, r" {2,}", " ")
     x = pc.utf8_trim_whitespace(x)
-    junk = pc.is_in(x, value_set=pa.array(JUNK_STRINGS, type=x.type))
-    return pc.if_else(junk, pa.scalar(None, type=x.type), x)
+    empty = pc.equal(x, "")
+    return pc.if_else(empty, pa.scalar(None, type=x.type), x)
 
 
 def token_count(col: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -79,9 +79,11 @@ def clip_to_cluster(assignment_ds, edges_ds, num_partitions: int):
         .map_groups(lambda g: collect_kinds(g.drop(columns=["part"])),
                     batch_format="pandas")
     )
-    joined = assignment_ds.join(
-        kinds_ds, join_type="left_outer", num_partitions=num_partitions,
-        on=("clip_id",), right_on=("clip_id",),
+    from who_owns_mass_processing_ray.stages import joins
+
+    joined = joins.attach_columns(
+        assignment_ds, kinds_ds, "clip_id", "clip_id",
+        {"edge_kinds_str": "edge_kinds_str"}, num_partitions, how="left",
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -101,10 +103,13 @@ def clusters_table(assignment_ds, features_ds, edges_ds, num_partitions: int):
     total_dur_ms, exact_ct, near_ct, containment_ct, audio_ct)."""
     from ray.data.aggregate import Count, Min, Sum
 
-    feat = features_ds.select_columns(["clip_id", "transcript_norm", "dur_ms"])
-    member = assignment_ds.join(feat, join_type="inner",
-                                num_partitions=num_partitions,
-                                on=("clip_id",), right_on=("clip_id",))
+    from who_owns_mass_processing_ray.stages import joins
+
+    member = joins.attach_columns(
+        assignment_ds, features_ds, "clip_id", "clip_id",
+        {"transcript_norm": "transcript_norm", "dur_ms": "dur_ms"},
+        num_partitions, how="inner",
+    )
 
     def add_part(t: pa.Table) -> pa.Table:
         cid = _cluster_id_of_root(t["root_id"])
@@ -142,9 +147,9 @@ def clusters_table(assignment_ds, features_ds, edges_ds, num_partitions: int):
     )
 
     # per-cluster edge-kind counts: map left endpoint -> cluster, pivot
-    edge_cluster = edges_ds.join(
-        assignment_ds, join_type="inner", num_partitions=num_partitions,
-        on=("left_id",), right_on=("clip_id",),
+    edge_cluster = joins.attach_columns(
+        edges_ds, assignment_ds, "left_id", "clip_id",
+        {"root_id": "root_id"}, num_partitions, how="inner",
     )
     kind_counts = edge_cluster.map_batches(
         lambda t: pa.table({"cluster_id": _cluster_id_of_root(t["root_id"]),
@@ -172,9 +177,11 @@ def clusters_table(assignment_ds, features_ds, edges_ds, num_partitions: int):
         .map_groups(lambda g: pivot(g.drop(columns=["part"])), batch_format="pandas")
     )
 
-    out = base.join(kind_wide, join_type="left_outer",
-                    num_partitions=num_partitions,
-                    on=("cluster_id",), right_on=("cluster_id",))
+    out = joins.attach_columns(
+        base, kind_wide, "cluster_id", "cluster_id",
+        {c: c for c in ["exact_ct", "near_ct", "containment_ct", "audio_ct"]},
+        num_partitions, how="left",
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         cols = {}

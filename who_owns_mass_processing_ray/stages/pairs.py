@@ -99,6 +99,16 @@ def pairs_from_bucket_rows(
         ids = np.asarray(group[id_col].to_pylist(), dtype=object)
         payloads = {c: group[c].to_numpy() for c in payload_cols}
         left, right, dropped, pays = bucket_pairs(keys, ids, max_bucket, payloads)
+        if len(left):
+            # in-partition pair dedup BEFORE the global shuffle: a doc pair
+            # sharing m bucket keys in this partition emits m copies; collapse
+            # them here so the global distinct aggregate shuffles far less.
+            # (payloads are identical across copies of a pair, keep first)
+            pair_key = np.char.add(np.char.add(left.astype(str), "\x1f"),
+                                   right.astype(str))
+            _, first_idx = np.unique(pair_key, return_index=True)
+            left, right = left[first_idx], right[first_idx]
+            pays = {k: v[first_idx] for k, v in pays.items()}
         cols: dict[str, pa.Array] = {
             "left_id": pa.array(left.tolist(), pa.string()),
             "right_id": pa.array(right.tolist(), pa.string()),
@@ -128,24 +138,16 @@ def dedup_pairs(pairs_ds, extra_cols: list[str] | None = None):
 
 def attach_feature(pairs_ds, features_ds, pair_key: str, feat_col: str,
                    out_col: str, num_partitions: int):
-    """Hash-join one feature column onto pair rows (``Dataset.join``).
+    """Hash-join one feature column onto pair rows.
 
     Used by verify stages to fetch both sides' normalized transcripts; the
     features side is projected to (clip_id, feat_col) first so only narrow
-    rows shuffle.
+    rows move.  Broadcast vs shuffle strategy is adaptive — see
+    stages/joins.py.
     """
-    side = features_ds.select_columns(["clip_id", feat_col])
+    from who_owns_mass_processing_ray.stages import joins
 
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["__join_key", out_col])
-
-    side = side.map_batches(rename, batch_format="pyarrow")
-    joined = pairs_ds.join(
-        side, join_type="inner", num_partitions=num_partitions,
-        on=(pair_key,), right_on=("__join_key",),
-    )
-    # Ray's join drops the right key column when names differ; guard anyway
-    return joined.map_batches(
-        lambda t: t.drop_columns(["__join_key"]) if "__join_key" in t.column_names else t,
-        batch_format="pyarrow",
+    return joins.attach_columns(
+        pairs_ds, features_ds, pair_key, "clip_id", {feat_col: out_col},
+        num_partitions, how="inner",
     )
