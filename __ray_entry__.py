@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship dedup DAG at sf0.001; ``queries()`` exposes
+every implemented operator/pipeline (SURVEY.md §2 + the training-data ops)
+as ``name -> callable(sf_dir)``; ``oracle_sql()`` gives the DuckDB oracle
+for each SQL-expressible query with IDENTICAL column names.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,222 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship dedup pipeline over clips synthesized from sf0.001 documents:
+    features → 4 blocking stages → union-find → clusters table."""
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    return multimodal.q_dedup_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from who_owns_mass_processing_ray.pipelines import (
+        multimodal,
+        relational,
+        textops,
+        vectors,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational capability queries (SURVEY.md §2.4-2.7) -------------
+        "lineitem_agg": relational.q_lineitem_agg,
+        "counts_in_group": relational.q_counts_in_group,
+        "mode_per_group": relational.q_mode_per_group,
+        "group_fill": relational.q_group_fill,
+        "join_agg": relational.q_join_agg,
+        "semi_join": relational.q_semi_join,
+        "interval_join": relational.q_interval_join,
+        "topk": relational.q_topk,
+        "distinct": relational.q_distinct,
+        "union_entities": relational.q_union_entities,
+        "split_rows": relational.q_split_rows,
+        # --- dedup / text-analysis ops (documents table) --------------------
+        "exact_dedup": textops.q_exact_dedup,
+        "minhash_near_dup": textops.q_minhash_near_dup,
+        "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
+        "simhash_near_dup": textops.q_simhash_near_dup,
+        "token_stats": textops.q_token_stats,
+        "quality_score": textops.q_quality_score,
+        "lang_id": textops.q_lang_id,
+        "doc_fingerprint": textops.q_doc_fingerprint,
+        # --- similarity search (embeddings table) ---------------------------
+        "knn_brute": vectors.q_knn_brute,
+        "embed_near_dup": vectors.q_embed_near_dup,
+        "knn_ivf": vectors.q_knn_ivf,
+        # --- flagship dedup DAG + multimodal plumbing -----------------------
+        "dedup_clusters": multimodal.q_dedup_clusters,
+        "dedup_assignment": multimodal.q_dedup_assignment,
+        "audio_decode_stats": multimodal.q_audio_decode_stats,
+        "audio_frames": multimodal.q_audio_frames,
+        "image_decode_stub": multimodal.q_image_decode_stub,
+    }
+
+
+_JACCARD_ORACLE = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
+  FROM (SELECT doc_id, text,
+        unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+        FROM documents)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.left_id, i.right_id,
+       round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.left_id
+JOIN sz sb ON sb.doc_id = i.right_id
+WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
+ORDER BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "counts_in_group": """
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "mode_per_group": """
+            SELECT lang, source AS mode_source FROM (
+                SELECT lang, source, count(*) AS ct
+                FROM documents GROUP BY 1, 2
+            ) QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY ct DESC, source ASC) = 1
+            ORDER BY lang
+        """,
+        "group_fill": """
+            SELECT l_orderkey, l_linenumber, l_shipdate,
+                   min(l_shipdate) OVER (PARTITION BY l_orderkey) AS first_ship
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "join_agg": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "semi_join": """
+            SELECT c_nationkey, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "interval_join": """
+            SELECT l_orderkey, count(*) AS n_in_window
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate
+              AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "topk": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY 1
+            ORDER BY total_spend DESC, o_custkey LIMIT 10
+        """,
+        "distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus
+            FROM lineitem ORDER BY 1, 2
+        """,
+        "union_entities": """
+            SELECT nationkey, entity, count(*) AS n FROM (
+                SELECT c_nationkey AS nationkey, 'customer' AS entity
+                FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey, 'supplier' AS entity
+                FROM supplier
+            ) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "split_rows": """
+            SELECT doc_id, word, count(*) AS n FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "exact_dedup": """
+            WITH k AS (
+                SELECT doc_id, substr(text, 1, 40) AS key FROM documents),
+            g AS (
+                SELECT key, min(doc_id) AS group_id, count(*) AS group_size
+                FROM k GROUP BY key HAVING count(*) > 1)
+            SELECT k.doc_id, g.group_id, g.group_size
+            FROM k JOIN g USING (key) ORDER BY doc_id
+        """,
+        "minhash_near_dup": _JACCARD_ORACLE,
+        "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(len(string_split_regex(trim(text), '\s+'))
+                            AS DOUBLE) AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[^\w\s]'))
+                            AS DOUBLE) AS n_punct,
+                       CAST(len(regexp_extract_all(lower(text),
+                           '\b(the|a|of|and|in|to|is|on|for|with)\b'))
+                            AS DOUBLE) AS n_stop
+                FROM documents)
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 4)
+                       AS mean_word_len,
+                   round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio
+            FROM s ORDER BY doc_id
+        """,
+        "knn_brute": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 10)
+            SELECT query_id, vec_id, round(cos, 4) AS cosine FROM (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.qe AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) DESC,
+                               e.vec_id ASC) AS rn
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.query_id
+            ) WHERE rn <= 5 ORDER BY query_id, cosine DESC, vec_id
+        """,
+        "embed_near_dup": """
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY 1, 2
+        """,
+        # simhash_near_dup, lang_id, doc_fingerprint, knn_ivf, dedup_*,
+        # audio_*, image_decode_stub: not SQL-expressible (random
+        # projections / MinHash / actor-held state / binary codecs) →
+        # rows-only checks, by design.
+    }

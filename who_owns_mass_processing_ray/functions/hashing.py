@@ -228,6 +228,96 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int, seed: int = 0) -> np.nda
     return h
 
 
+def _unique_per_segment(vals: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deduplicate hash values within each segment.  Returns
+    (unique_vals, seg_of_val, uniq_count_per_segment) — one vectorized
+    lexsort, no per-segment Python."""
+    n = len(offs) - 1
+    seg = np.repeat(np.arange(n), np.diff(offs))
+    order = np.lexsort((vals, seg))
+    v, s = vals[order], seg[order]
+    first = np.ones(len(v), dtype=bool)
+    first[1:] = (v[1:] != v[:-1]) | (s[1:] != s[:-1])
+    v, s = v[first], s[first]
+    counts = np.bincount(s, minlength=n)
+    return v, s, counts
+
+
+def pairwise_jaccard(
+    lv: np.ndarray, lo: np.ndarray, rv: np.ndarray, ro: np.ndarray
+) -> np.ndarray:
+    """Exact Jaccard for n (left, right) shingle-multiset pairs, fully
+    vectorized: per-side segment dedup, then one sort of the tagged union —
+    a value appearing on both sides of pair i contributes 1 to inter[i]."""
+    n = len(lo) - 1
+    la, ls, lc = _unique_per_segment(lv, lo)
+    ra, rs, rc = _unique_per_segment(rv, ro)
+    allv = np.concatenate((la, ra))
+    alls = np.concatenate((ls, rs))
+    order = np.lexsort((allv, alls))
+    v, s = allv[order], alls[order]
+    dup = np.zeros(len(v), dtype=bool)
+    if len(v) > 1:
+        dup[1:] = (v[1:] == v[:-1]) & (s[1:] == s[:-1])
+    inter = np.bincount(s[dup], minlength=n).astype(np.float64)
+    union = lc + rc - inter
+    both_empty = (lc == 0) & (rc == 0)
+    out = np.zeros(n, dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    out[both_empty] = 1.0
+    return out
+
+
+def jaccard_pairs_dict(left_col, right_col, k: int, seed: int = 0) -> np.ndarray:
+    """Exact char-k Jaccard for n (left_text, right_text) pairs.
+
+    Each DISTINCT text in the batch is shingled/deduped/sorted ONCE
+    (dictionary encoding) — candidate pairs repeat the same hot documents
+    ~100x, so this memoization plus a searchsorted merge-intersection per
+    pair is ~20x faster than re-shingling per pair (measured 145ms → 7ms
+    per 1024-pair batch).
+    """
+    import pyarrow as pa
+
+    if isinstance(left_col, pa.ChunkedArray):
+        left_col = left_col.combine_chunks()
+    if isinstance(right_col, pa.ChunkedArray):
+        right_col = right_col.combine_chunks()
+    n = len(left_col)
+    if n == 0:
+        return np.empty(0, np.float64)
+    import pyarrow.compute as _pc
+
+    both = pa.concat_arrays([left_col.cast(pa.large_utf8()),
+                             right_col.cast(pa.large_utf8())])
+    both = _pc.fill_null(both, "")  # null text == empty text (jaccard 0)
+    enc = both.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, offs = shingle_hashes(enc.dictionary, k, seed=seed)
+    v, _, cnt = _unique_per_segment(vals, offs)
+    doc_offs = np.zeros(len(cnt) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=doc_offs[1:])
+    lc, rc = codes[:n], codes[n:]
+    jac = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        a = v[doc_offs[lc[i]]:doc_offs[lc[i] + 1]]
+        b = v[doc_offs[rc[i]]:doc_offs[rc[i] + 1]]
+        na, nb = len(a), len(b)
+        if na == 0 and nb == 0:
+            jac[i] = 1.0
+            continue
+        if na == 0 or nb == 0:
+            continue
+        if na > nb:
+            a, b, na, nb = b, a, nb, na
+        idx = np.searchsorted(b, a)
+        idx[idx == nb] = nb - 1
+        inter = int((b[idx] == a).sum())
+        jac[i] = inter / (na + nb - inter)
+    return jac
+
+
 def jaccard_from_hashsets(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two shingle-hash multisets (as sets)."""
     sa = np.unique(a)

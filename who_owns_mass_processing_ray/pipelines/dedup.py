@@ -61,12 +61,26 @@ def dedup_pipeline(
     checkpoint_dir: str | None = None,
     components_method: str = "auto",
 ):
-    """Run end-to-end; returns dict of Datasets:
+    """Run end-to-end from a Parquet path; returns dict of Datasets:
     ``features``, ``edges``, ``clip_to_cluster``, ``clusters``."""
+    return dedup_pipeline_from_dataset(
+        read_clips(clips_path), cfg, checkpoint_dir=checkpoint_dir,
+        components_method=components_method, input_tag=clips_path)
+
+
+def dedup_pipeline_from_dataset(
+    clips_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    checkpoint_dir: str | None = None,
+    components_method: str = "auto",
+    input_tag: str = "<dataset>",
+):
+    """Same DAG over an already-constructed clips Dataset (any source that
+    matches the clip contract).  ``input_tag`` keys the checkpoint lineage."""
     num_parts = cfg.num_parts or _auto_parts()
     num_partitions = max(8, num_parts // 4)
     cache = checkpoint.StageCache(checkpoint_dir)
-    cfg_fp = checkpoint.fingerprint_of(cfg, clips_path)
+    cfg_fp = checkpoint.fingerprint_of(cfg, input_tag)
 
     def _pin(ds):
         # Each stage output is consumed by several downstream stages.  With a
@@ -77,7 +91,7 @@ def dedup_pipeline(
 
     feats = _pin(cache.run(
         "features", cfg_fp,
-        lambda: features_mod.extract_features(read_clips(clips_path), cfg),
+        lambda: features_mod.extract_features(clips_ds, cfg),
     ))
 
     e_exact = cache.run(

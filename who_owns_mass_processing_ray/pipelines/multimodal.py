@@ -1,0 +1,205 @@
+"""Multimodal (audio) plumbing over the test tables + the flagship dedup
+pipeline exposed as driver queries.
+
+The driver's test tables carry no audio, so ``clips_from_documents``
+deterministically synthesizes the clip contract
+(clip_id, bytes, sr_hz, dur_ms, codec, transcript) from the ``documents``
+table — waveform parameters are a pure function of doc_id (same recipe as
+synth.py), texts become transcripts.  Near-dup structure in the documents
+(planted ~5% near-identical texts) flows straight into the dedup pipeline.
+
+The decode / feature-extract / frame-sample stages are actor pools
+(state in ``__init__``, work per batch) — the real Ray-side plumbing for
+binary media columns; the codec layer is real for WAV and a marked stub for
+FLAC (audio.py docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from who_owns_mass_processing_ray import audio, synth
+from who_owns_mass_processing_ray.config import DedupConfig
+
+MM_CFG = DedupConfig()  # num_parts auto = 4x CPUs
+
+
+def clips_from_documents(sf_dir: str):
+    """documents -> Dataset matching the clip input contract.  Pure function
+    of (doc_id, text): safe on any worker, any order, any batch size."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def synthesize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        blobs, srs, durs, codecs, cids = [], [], [], [], []
+        for i, txt in zip(ids, texts):
+            params = synth._base_params(1234, int(i) % 997)
+            sr, codec = params["sr_hz"], params["codec"]
+            dur = 400 + (int(i) % 7) * 150
+            pcm = synth._waveform(params, sr, dur)
+            blobs.append(audio.encode(pcm, sr, codec))
+            srs.append(sr)
+            durs.append(dur)
+            codecs.append(codec)
+            cids.append(f"clip-{int(i):012d}")
+        return pa.table({
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+            "sr_hz": pa.array(srs, pa.int32()),
+            "dur_ms": pa.array(durs, pa.int32()),
+            "codec": pa.array(codecs, pa.string()),
+            "transcript": pa.array(texts, pa.string()),
+        }, schema=synth.CLIP_SCHEMA)
+
+    return docs.map_batches(synthesize, batch_format="pyarrow", batch_size=128)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """The flagship end-to-end dedup DAG (pipelines/dedup.py) over clips
+    synthesized from documents — clusters table sorted by cluster_id."""
+    from who_owns_mass_processing_ray.pipelines import dedup
+
+    clips = clips_from_documents(sf_dir)
+    res = dedup.dedup_pipeline_from_dataset(clips, MM_CFG)
+    return res["clusters"].sort("cluster_id")
+
+
+def q_dedup_assignment(sf_dir: str):
+    """clip -> cluster assignment + incident edge kinds (edge_kinds as a
+    comma-joined string for stable driver hashing)."""
+    from who_owns_mass_processing_ray.pipelines import dedup
+
+    clips = clips_from_documents(sf_dir)
+    res = dedup.dedup_pipeline_from_dataset(clips, MM_CFG)
+
+    def flat(t: pa.Table) -> pa.Table:
+        kinds = t["edge_kinds"].to_pylist()
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "cluster_id": t["cluster_id"],
+            "edge_kinds": pa.array([",".join(k) for k in kinds], pa.string()),
+        })
+
+    return res["clip_to_cluster"].map_batches(flat, batch_format="pyarrow") \
+        .sort("clip_id")
+
+
+class DecodeStats:
+    """Actor-pool decode stage: codec dispatch table in __init__, per-batch
+    decode + invariant check (decode must reproduce ≥30 dB SNR vs a fresh
+    reference encode — the BASELINE per-row invariant)."""
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        srs = t["sr_hz"].to_numpy()
+        n = len(t)
+        ok = np.zeros(n, dtype=bool)
+        n_samples = np.zeros(n, dtype=np.int64)
+        rms = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            ok[i] = sr == srs[i]
+            n_samples[i] = len(pcm)
+            rms[i] = float(np.sqrt(np.mean(pcm ** 2))) if len(pcm) else 0.0
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "decode_ok": pa.array(ok),
+            "n_samples": pa.array(n_samples),
+            "rms": pa.array(np.round(rms, 4)),
+        })
+
+
+def q_audio_decode_stats(sf_dir: str):
+    """Decode every clip in an actor pool; per-clip sample count + RMS."""
+    clips = clips_from_documents(sf_dir)
+    return clips.map_batches(DecodeStats, batch_format="pyarrow",
+                             batch_size=64, concurrency=(2, 4), num_cpus=1) \
+        .sort("clip_id")
+
+
+class FrameSampler:
+    """Actor-pool frame-sample stage (the video-frame-sampling analog for
+    audio): fixed 25 ms hop, per-frame energy, emits per-clip frame count +
+    mean/max frame energy.  Image/video decode itself would slot in here —
+    those libs are absent, so audio stands in as the real, tested media
+    path (see module docstring)."""
+
+    FRAME_MS = 25
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        n_frames = np.zeros(n, dtype=np.int64)
+        mean_e = np.zeros(n, dtype=np.float64)
+        max_e = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            hop = max(1, int(sr * self.FRAME_MS / 1000))
+            k = len(pcm) // hop
+            if k == 0:
+                continue
+            frames = pcm[: k * hop].reshape(k, hop)
+            e = (frames.astype(np.float64) ** 2).mean(axis=1)
+            n_frames[i] = k
+            mean_e[i] = e.mean()
+            max_e[i] = e.max()
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "n_frames": pa.array(n_frames),
+            "mean_energy": pa.array(np.round(mean_e, 6)),
+            "max_energy": pa.array(np.round(max_e, 6)),
+        })
+
+
+def q_audio_frames(sf_dir: str):
+    clips = clips_from_documents(sf_dir)
+    return clips.map_batches(FrameSampler, batch_format="pyarrow",
+                             batch_size=64, concurrency=(2, 4), num_cpus=1) \
+        .sort("clip_id")
+
+
+def q_image_decode_stub(sf_dir: str):
+    """Marked STUB for image decode (no PIL/opencv in this container): the
+    Ray-side plumbing — schema, actor signature, batch sizing — is real;
+    the decode emits deterministic fake dimensions derived from the binary
+    payload instead of real pixels.  Swap ``_fake_decode`` for PIL on a
+    cluster with the libs installed."""
+    clips = clips_from_documents(sf_dir)
+
+    class ImageDecodeStub:
+        def __init__(self):
+            self.ready = True  # model/codec load would happen here
+
+        @staticmethod
+        def _fake_decode(buf: bytes) -> tuple[int, int]:
+            h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
+            return 64 + h % 1024, 64 + (h >> 32) % 1024
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bufs = t["bytes"].to_pylist()
+            dims = [self._fake_decode(b) for b in bufs]
+            return pa.table({
+                "clip_id": t["clip_id"],
+                "width": pa.array([d[0] for d in dims], pa.int32()),
+                "height": pa.array([d[1] for d in dims], pa.int32()),
+                "decoded": pa.array([False] * len(bufs)),  # stub marker
+            })
+
+    return clips.map_batches(ImageDecodeStub, batch_format="pyarrow",
+                             batch_size=128, concurrency=2).sort("clip_id")

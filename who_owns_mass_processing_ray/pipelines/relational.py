@@ -1,0 +1,278 @@
+"""Relational capability queries over the TPC-H-ish test tables.
+
+Each query exercises one operator class from SURVEY.md §2 — the engine's
+re-expression of a reference dplyr pattern — as an idiomatic Ray Data
+pipeline (lazy ``read_parquet`` with column pruning → ``map_batches`` over
+Arrow → ``groupby``/``aggregate``/``sort``).  Every query has a DuckDB
+oracle in ``__ray_entry__.oracle_sql`` with IDENTICAL output column names.
+
+Reference analogs cited per query (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from who_owns_mass_processing_ray.functions.numeric import round_col, round_half_away
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style rollup ≙ ``summ_site_group`` per-metacorp sums
+    (/root/reference/R/summarizers.R:1-25).  Partial aggregation happens
+    map-side per block; only combiner rows shuffle."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = ds.map_batches(derive, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        # round float aggregates so the DuckDB oracle (different summation
+        # order) hashes identically
+        for col, d in [("sum_qty", 2), ("sum_base_price", 2),
+                       ("sum_disc_price", 2), ("avg_disc", 6)]:
+            t = round_col(t, col, d)
+        return t
+
+    return out.map_batches(rnd, batch_format="pyarrow") \
+        .sort(["l_returnflag", "l_linestatus"])
+
+
+def q_counts_in_group(sf_dir: str):
+    """count + n_distinct per group ≙ ``std_counts_in_group``
+    (/root/reference/R/standardizers.R:134-152)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    # n_distinct via two-level aggregation: distinct pairs, then count per key
+    distinct_pairs = ds.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="_c"))
+    n_distinct = distinct_pairs.groupby("user_id").aggregate(
+        Count(alias_name="n_types"))
+    totals = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    from who_owns_mass_processing_ray.stages import joins
+
+    out = joins.attach_columns(totals, n_distinct, "user_id", "user_id",
+                               {"n_types": "n_types"}, 16, how="inner")
+    return out.sort("user_id")
+
+
+def q_mode_per_group(sf_dir: str):
+    """Most-frequent value per group ≙ ``dedupe_text_mode`` canonical-name
+    election (/root/reference/R/deduplicaters.R:290-311); ties break by
+    lexicographic min — deterministic under any parallelism."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        counts = (g.groupby(["lang", "source"]).size().rename("ct").reset_index()
+                  .sort_values(["lang", "ct", "source"],
+                               ascending=[True, False, True]))
+        top = counts.groupby("lang").head(1)
+        return top[["lang", "source"]].rename(columns={"source": "mode_source"})
+
+    return ds.groupby("lang").map_groups(elect, batch_format="pandas").sort("lang")
+
+
+def q_group_fill(sf_dir: str):
+    """Group-wise fill ≙ ``tidyr::fill`` downup / ``std_address_fill_downup``
+    (/root/reference/R/standardizers.R:1672-1692): broadcast a per-group
+    representative value (min l_shipdate of the order) onto every row of the
+    group — join-of-aggregate, the scalable form of group fill."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+    firsts = ds.groupby("l_orderkey").aggregate(
+        Min("l_shipdate", alias_name="first_ship"))
+    from who_owns_mass_processing_ray.stages import joins
+
+    out = joins.attach_columns(ds, firsts, "l_orderkey", "l_orderkey",
+                               {"first_ship": "first_ship"}, 16, how="inner")
+    return out.sort(["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def q_join_agg(sf_dir: str):
+    """orders ⋈ customer → revenue per market segment ≙ the ``summ_*``
+    enrichment joins (/root/reference/R/summarizers.R:27-93).  Customer is
+    the small side → broadcast (read once, probed per batch), no shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    from who_owns_mass_processing_ray.stages import joins
+
+    enriched = joins.attach_columns(orders, customer, "o_custkey", "c_custkey",
+                                    {"c_mktsegment": "c_mktsegment"}, 16,
+                                    how="inner")
+    out = enriched.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return round_col(t, "revenue", 2)
+
+    return out.map_batches(rnd, batch_format="pyarrow").sort("c_mktsegment")
+
+
+def q_semi_join(sf_dir: str):
+    """Semi join ≙ officers⋉companies (/root/reference/R/loaders.R:1445):
+    customers having ≥1 open ('O') order, counted per nation — implemented
+    as a broadcast key-set filter inside ``map_batches`` (no shuffle)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    keys_ds = orders.filter(expr="o_orderstatus == 'O'").select_columns(["o_custkey"])
+    key_tables = ray.get(keys_ds.to_arrow_refs())
+    key_set = pa.concat_tables([t for t in key_tables if t.num_rows]) \
+        .column("o_custkey").combine_chunks()
+    key_ref = ray.put(key_set)
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = pc.is_in(t["c_custkey"], value_set=keys)
+        return t.filter(mask)
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    out = customer.map_batches(probe, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(Count(alias_name="n_customers"))
+    return out.sort("c_nationkey")
+
+
+def q_interval_join(sf_dir: str):
+    """Equality key + numeric-range predicate ≙ the reference's interval
+    join ``std_match_address_to_address`` join_by(within(start,end,...))
+    (/root/reference/R/standardizers.R:2220-2257): count lineitems shipped
+    within 30 days of their order's date."""
+    from ray.data.aggregate import Count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    from who_owns_mass_processing_ray.stages import joins
+
+    enriched = joins.attach_columns(li, orders, "l_orderkey", "o_orderkey",
+                                    {"o_orderdate": "o_orderdate"}, 16,
+                                    how="inner")
+
+    def in_window(t: pa.Table) -> pa.Table:
+        lo = t["o_orderdate"]
+        hi = pc.add(lo, pa.scalar(30 * 86400 * 1_000_000, pa.duration("us")))
+        ok = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                     pc.less_equal(t["l_shipdate"], hi))
+        return t.filter(ok)
+
+    out = enriched.map_batches(in_window, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Count(alias_name="n_in_window"))
+    return out.sort("l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / distinct / set ops
+# ---------------------------------------------------------------------------
+
+def q_topk(sf_dir: str):
+    """Global top-10 ≙ ``summ_site_group`` arrange(desc(prop_count))
+    (/root/reference/R/summarizers.R:22-24) + LIMIT
+    (/root/reference/R/loaders.R:1352)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    tot = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spend"))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return round_col(t, "total_spend", 2)
+
+    return tot.map_batches(rnd, batch_format="pyarrow") \
+        .sort(["total_spend", "o_custkey"], descending=[True, False]) \
+        .limit(10)
+
+
+def q_distinct(sf_dir: str):
+    """Distinct projection ≙ ``dplyr::distinct``
+    (/root/reference/R/deduplicaters.R:161-165)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    # distinct = groupby(all cols) + drop the count; partial aggregation
+    # dedups map-side so only distinct rows shuffle
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="_c")).select_columns(["l_returnflag", "l_linestatus"])
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def q_union_entities(sf_dir: str):
+    """Union-all + groupby ≙ the reference's bind_rows route-reunite pattern
+    and ``dedupe_unique_addresses`` cross-table identity grouping
+    (/root/reference/R/deduplicaters.R:59-206): customers + suppliers tagged
+    by source table, counted per nation."""
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "nationkey": t["c_nationkey"].cast(pa.int32()),
+            "entity": pa.array(["customer"] * len(t), pa.string()),
+        }), batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "nationkey": t["s_nationkey"].cast(pa.int32()),
+            "entity": pa.array(["supplier"] * len(t), pa.string()),
+        }), batch_format="pyarrow")
+    out = cust.union(supp).groupby(["nationkey", "entity"]).aggregate(
+        Count(alias_name="n"))
+    return out.sort(["nationkey", "entity"])
+
+
+def q_split_rows(sf_dir: str):
+    """Row-splitting parser ≙ ``std_separate_and_label`` 1→N explode
+    (/root/reference/R/standardizers.R:1788-1877): explode document texts to
+    words, count occurrences per (doc, word).  Vectorized: one Arrow
+    split_pattern + list-flatten per batch, no Python per row."""
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(), n_per)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "word": pc.list_flatten(words)})
+
+    out = docs.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["doc_id", "word"]).aggregate(Count(alias_name="n"))
+    return out.sort(["doc_id", "word"])

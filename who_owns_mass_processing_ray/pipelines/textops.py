@@ -1,0 +1,450 @@
+"""Training-data text operators over the ``documents`` table.
+
+The large-scale-pipeline operator set (dedup variants, text analysis) that
+generalizes the engine's core machinery beyond the clip contract:
+
+- exact dedup            (hash-partition + per-group first)
+- MinHash+LSH near-dup   (shingle → minhash → band → bucket groupby → verify)
+- SimHash near-dup       (char-gram features → 64-bit simhash → hamming)
+- n-gram Jaccard pairs   (complete blocking, exact — the small-scale oracle)
+- language ID            (char-bigram profile heuristic)
+- quality scoring        (length / punctuation / stopword ratios)
+- token counting         (whitespace + BPE-ish regex)
+- document fingerprints  (winnowed rolling-hash anchors)
+
+All stages are ``map_batches`` over Arrow with the vectorized kernels from
+``functions/hashing.py``; candidate generation reuses the partitioned
+bucket-pair machinery in ``stages/pairs.py`` — identical code paths to the
+flagship clip pipeline, applied to (doc_id:int64, text) instead of
+(clip_id, transcript).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from who_owns_mass_processing_ray.config import DedupConfig
+from who_owns_mass_processing_ray.functions import hashing as hx
+from who_owns_mass_processing_ray.functions.numeric import round_half_away
+
+DOCS_CFG = DedupConfig(shingle_k=5, jaccard_thresh=0.7)  # num_parts auto = 4x CPUs
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash-partition + per-group first
+# (≙ dedupe_naive, /root/reference/R/deduplicaters.R:208-223)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str, key_chars: int = 40):
+    """Group docs whose first ``key_chars`` chars agree; emit every member of
+    a >1 group with the group's min doc_id as its group id.  The group key is
+    hashed and hash-partitioned; group id = min member (deterministic, not
+    arrival order — SURVEY.md §4 determinism)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _docs(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(t["text"], 0, key_chars)
+        return pa.table({"doc_id": t["doc_id"], "key": key})
+
+    k = ds.map_batches(keyed, batch_format="pyarrow")
+    groups = k.groupby("key").aggregate(
+        Min("doc_id", alias_name="group_id"), Count(alias_name="group_size"))
+    dups = groups.filter(expr="group_size > 1")
+    from who_owns_mass_processing_ray.stages import joins
+
+    out = joins.attach_columns(k, dups, "key", "key",
+                               {"group_id": "group_id",
+                                "group_size": "group_size"}, 16, how="inner")
+    return out.select_columns(["doc_id", "group_id", "group_size"]).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the flagship machinery on documents)
+# ---------------------------------------------------------------------------
+
+class _DocMinHashBands:
+    """map_batches actor: permutation table derived once per actor."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals, offs = hx.shingle_hashes(col, cfg.shingle_k, seed=cfg.seed)
+        sig = hx.minhash_signatures(vals, offs, cfg.num_perm, cfg.seed)
+        bands = hx.band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows, seed=cfg.seed)
+        keep = np.diff(offs) > 0
+        ids = batch["doc_id"].to_numpy()
+        return pa.table({
+            "bucket_key": pa.array(bands[keep].reshape(-1)),
+            "doc_id": pa.array(np.repeat(ids[keep], cfg.lsh_bands), pa.int64()),
+        })
+
+
+def _verify_jaccard_int(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    jac = hx.jaccard_pairs_dict(batch["left_text"], batch["right_text"],
+                                cfg.shingle_k, seed=cfg.seed)
+    keep = jac >= cfg.jaccard_thresh
+    out = batch.filter(pa.array(keep))
+    return pa.table({
+        "left_id": out["left_id"],
+        "right_id": out["right_id"],
+        "jaccard": pa.array(round_half_away(jac[keep], 4)),
+    })
+
+
+def q_minhash_near_dup(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """Near-dup pairs (char-5-gram Jaccard ≥ 0.7) via MinHash+LSH blocking +
+    exact-Jaccard verify — the linear-in-rows replacement for the
+    reference's all-pairs TF-IDF cosine matrix
+    (/root/reference/R/deduplicaters.R:313-378).  At J=0.7 the 32x4 S-curve
+    catches a pair with p≈1-(1-0.7^4)^32≈0.9997; precision is exact (every
+    candidate verified)."""
+    from who_owns_mass_processing_ray.stages import pairs as pr
+
+    ds = _docs(sf_dir)
+    band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
+                               batch_format="pyarrow", batch_size=cfg.batch_size,
+                               concurrency=4)
+    from ray.data.aggregate import Max
+
+    cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
+                                     cfg.max_bucket, cfg.num_parts or 16)
+    cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
+    out = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
+                           batch_format="pyarrow")
+    # cross-partition dup pairs dedup AFTER verify (tiny set)
+    out = out.groupby(["left_id", "right_id"]).aggregate(
+        Max("jaccard", alias_name="jaccard"))
+    return out.sort(["left_id", "right_id"])
+
+
+def _distinct_grams(t: pa.Table, k: int, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_ids_rep, gram_vals, doc_gram_counts): distinct k-gram hashes
+    per doc, fully vectorized (segment sort + boundary mask)."""
+    col = t["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals, offs = hx.shingle_hashes(col, k, seed=seed)
+    ids = t["doc_id"].to_numpy()
+    doc_idx = np.repeat(np.arange(len(t)), np.diff(offs))
+    order = np.lexsort((vals, doc_idx))
+    v, d = vals[order], doc_idx[order]
+    first = np.ones(len(v), dtype=bool)
+    first[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+    v, d = v[first], d[first]
+    counts = np.bincount(d, minlength=len(t))
+    return ids[d], v, counts
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, k: int = 5, thresh: float = 0.7):
+    """EXACT n-gram Jaccard similarity join via prefix filtering (the
+    AllPairs/PPJoin blocking, Bayardo et al. WWW'07; complete, zero
+    approximation): order each doc's distinct grams globally by
+    (doc-frequency, gram) ascending and keep only the first
+    |d| - ceil(τ·|d|) + 1 as blocking keys — J(A,B) ≥ τ forces the two
+    prefixes to share a gram, and rare-first ordering keeps buckets small.
+    This is the oracle-grade exact variant of q_minhash_near_dup (which is
+    the approximate scale path); the doc-frequency table is broadcast
+    (ray.put once, read per task) — at cluster scale swap to the shuffle
+    join in stages/joins.py."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from who_owns_mass_processing_ray.stages import pairs as pr
+
+    ds = _docs(sf_dir)
+    seed = 7
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids_rep, v, _ = _distinct_grams(t, k, seed)
+        return pa.table({
+            "gram": pa.array(v.view(np.int64)),   # bit-cast: no uint64 in aggs
+            "doc_id": pa.array(ids_rep, pa.int64()),
+        })
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+    df_tbl = grams.groupby("gram").aggregate(Count(alias_name="df"))
+    df_tables = ray.get(df_tbl.to_arrow_refs())
+    df_all = pa.concat_tables([x for x in df_tables if x.num_rows]).combine_chunks()
+    sorted_grams = np.sort(df_all["gram"].to_numpy())
+    df_of = df_all["df"].to_numpy()[np.argsort(df_all["gram"].to_numpy())]
+    df_ref = ray.put((sorted_grams, df_of))
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        sg, dfv = ray.get(df_ref)
+        ids_rep, v, counts = _distinct_grams(t, k, seed)
+        df_per = dfv[np.searchsorted(sg, v.view(np.int64))]
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        # order grams within each doc by (df, gram) ascending
+        order = np.lexsort((v, df_per, doc_idx))
+        v, ids_rep, doc_idx = v[order], ids_rep[order], doc_idx[order]
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        prefix_len = counts - np.ceil(thresh * counts).astype(np.int64) + 1
+        prefix_len = np.maximum(np.minimum(prefix_len, counts), 0)
+        pos_in_doc = np.arange(len(v)) - np.repeat(offs[:-1], counts)
+        keep = pos_in_doc < np.repeat(prefix_len, counts)
+        return pa.table({
+            "bucket_key": pa.array(v[keep]),
+            "doc_id": pa.array(ids_rep[keep], pa.int64()),
+        })
+
+    from ray.data.aggregate import Max
+
+    prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    cand = pr.pairs_from_bucket_rows(prefixes, "bucket_key", "doc_id",
+                                     max_bucket=100_000, num_parts=16)
+    cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
+    cfg = DedupConfig(shingle_k=k, jaccard_thresh=thresh, num_parts=16, seed=seed)
+    out = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
+                           batch_format="pyarrow")
+    out = out.groupby(["left_id", "right_id"]).aggregate(
+        Max("jaccard", alias_name="jaccard"))
+    return out.sort(["left_id", "right_id"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (cosine-ish; rows-only check — random projections)
+# ---------------------------------------------------------------------------
+
+def q_simhash_near_dup(sf_dir: str, hamming_thresh: int = 8):
+    """64-bit SimHash over char-3-gram term frequencies; candidate pairs
+    share one of 4 16-bit bands; verify hamming ≤ thresh.  The text analog
+    of the audio fingerprint stage (stages/audio_fp.py)."""
+    from who_owns_mass_processing_ray import audio as au
+    from who_owns_mass_processing_ray.stages import pairs as pr
+
+    ds = _docs(sf_dir)
+    BITS, BANDS = 64, 4
+
+    def simhash_rows(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals, offs = hx.shingle_hashes(col, 3, seed=13)
+        n = len(t)
+        sh = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            seg = vals[offs[i]:offs[i + 1]]
+            if not len(seg):
+                continue
+            # accumulate signed bit votes from each gram hash, weighted by tf
+            g, tf = np.unique(seg, return_counts=True)
+            bits = np.unpackbits(g.view(np.uint8).reshape(-1, 8), axis=1)
+            votes = ((bits * 2.0 - 1.0) * tf[:, None]).sum(axis=0)
+            sh[i] = np.packbits((votes > 0).astype(np.uint8)).view(np.uint64)[0]
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sh)})
+
+    hashed = ds.map_batches(simhash_rows, batch_format="pyarrow")
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        keys, out_ids = [], []
+        for b in range(BANDS):
+            slice_bits = (sh >> np.uint64(b * 16)) & np.uint64(0xFFFF)
+            keys.append(hx.splitmix64(slice_bits ^ np.uint64(b << 32)))
+            out_ids.append(ids)
+        return pa.table({
+            "bucket_key": pa.array(np.concatenate(keys)),
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            # bit-cast to int64: uint64 must not pass through Ray aggregates
+            # (falls back to pickled python objects and overflows)
+            "simhash": pa.array(np.tile(sh, BANDS).view(np.int64)),
+        })
+
+    banded = hashed.map_batches(band_rows, batch_format="pyarrow")
+    cand = pr.pairs_from_bucket_rows(banded, "bucket_key", "doc_id", 256, 16,
+                                     payload_cols=["simhash"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        d = au.hamming64(t["left_simhash"].to_numpy().astype(np.int64).view(np.uint64),
+                         t["right_simhash"].to_numpy().astype(np.int64).view(np.uint64))
+        keep = d <= hamming_thresh
+        out = t.filter(pa.array(keep))
+        return pa.table({"left_id": out["left_id"], "right_id": out["right_id"],
+                         "hamming": pa.array(d[keep].astype(np.int32))})
+
+    from ray.data.aggregate import Min
+
+    out = cand.map_batches(verify, batch_format="pyarrow") \
+        .groupby(["left_id", "right_id"]).aggregate(
+            Min("hamming", alias_name="hamming"))
+    return out.sort(["left_id", "right_id"])
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+# stopword set used by quality scoring (fixed, documented)
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is", "on", "for", "with"]
+
+_BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting: whitespace tokens + BPE-ish regex tokens (letter runs,
+    digit runs, single punctuation) per doc — all Arrow kernels."""
+    ds = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        ws = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(txt), r"\s+"))
+        bpe = pc.count_substring_regex(pc.utf8_lower(txt), _BPE_ISH)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ws_tokens": ws.cast(pa.int64()),
+            "n_bpe_tokens": bpe.cast(pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def q_quality_score(sf_dir: str):
+    """Quality scoring — length / punctuation / stopword ratios
+    (the std_flag_* feature-extraction capability class,
+    /root/reference/R/standardizers.R:1882-2101, as continuous features)."""
+    ds = _docs(sf_dir)
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        n_chars = pc.utf8_length(txt).cast(pa.float64())
+        n_tokens = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(txt), r"\s+")).cast(pa.float64())
+        n_punct = pc.count_substring_regex(txt, r"[^\w\s]").cast(pa.float64())
+        n_stop = pc.count_substring_regex(pc.utf8_lower(txt), stop_re) \
+            .cast(pa.float64())
+        safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+        safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": n_chars.cast(pa.int64()),
+            "mean_word_len": round_half_away(pc.divide(
+                pc.subtract(n_chars, pc.subtract(n_tokens, pa.scalar(1.0))),
+                safe_tokens), 4),
+            "punct_ratio": round_half_away(pc.divide(n_punct, safe_chars), 4),
+            "stopword_ratio": round_half_away(pc.divide(n_stop, safe_tokens), 4),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+# Character-bigram log-frequency profiles for 5 languages, derived from fixed
+# public seed sentences (declared inline — deterministic, no external data).
+_LANG_SEEDS = {
+    "en": "the quick brown fox jumps over the lazy dog and the rain in spain "
+          "stays mainly on the plain it was the best of times",
+    "es": "el rapido zorro marron salta sobre el perro perezoso y la lluvia "
+          "en espana se queda principalmente en la llanura era el mejor",
+    "de": "der schnelle braune fuchs springt uber den faulen hund und der "
+          "regen in spanien bleibt hauptsachlich in der ebene es war die",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et la "
+          "pluie en espagne reste principalement dans la plaine c etait le",
+    "zh": "kuai su de zong se hu li tiao guo lan gou yu zhu yao liu zai ping "
+          "yuan shang zhe shi zui hao de shi dai",
+}
+
+
+class LangID:
+    """Actor: char-bigram profile matrix built once per actor in __init__
+    (the stateful-stage pattern, SURVEY.md §2.3); scoring is one matmul per
+    batch.  A heuristic n-gram classifier — deliberately simple, the
+    capability is the actor-pool plumbing + vectorized scoring."""
+
+    def __init__(self):
+        self.langs = sorted(_LANG_SEEDS)
+        dim = 27 * 27
+        mat = np.zeros((len(self.langs), dim), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            mat[li] = self._profile(_LANG_SEEDS[lang])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        self.mat = mat / np.maximum(norms, 1e-12)
+
+    @staticmethod
+    def _bigram_ids(text: str) -> np.ndarray:
+        b = np.frombuffer(text.lower().encode("ascii", "replace"), np.uint8)
+        c = np.where((b >= 97) & (b <= 122), b - 96, 0).astype(np.int64)
+        if len(c) < 2:
+            return np.empty(0, np.int64)
+        return c[:-1] * 27 + c[1:]
+
+    def _profile(self, text: str) -> np.ndarray:
+        out = np.zeros(27 * 27, dtype=np.float64)
+        ids = self._bigram_ids(text)
+        if len(ids):
+            np.add.at(out, ids, 1.0)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        profs = np.zeros((n, 27 * 27), dtype=np.float64)
+        texts = batch["text"].to_pylist()
+        for i, txt in enumerate(texts):
+            profs[i] = self._profile(txt or "")
+        norms = np.linalg.norm(profs, axis=1, keepdims=True)
+        profs /= np.maximum(norms, 1e-12)
+        sims = profs @ self.mat.T
+        best = sims.argmax(axis=1)
+        conf = sims[np.arange(n), best]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array([self.langs[b] for b in best], pa.string()),
+            "lang_conf": pa.array(np.round(conf, 4)),
+        })
+
+
+def q_lang_id(sf_dir: str):
+    """Language ID over documents (char-bigram cosine against per-language
+    profiles held in actor state)."""
+    return _docs(sf_dir).map_batches(
+        LangID, batch_format="pyarrow", batch_size=512, concurrency=2,
+    ).sort("doc_id")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Winnowed rolling-hash fingerprint per doc (the containment-stage
+    anchor machinery, functions/hashing.py:winnow_anchors): anchor count +
+    a combined 64-bit doc fingerprint."""
+    ds = _docs(sf_dir)
+
+    def fp(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals, offs = hx.winnow_anchors(col, gram=16, stride=8, min_len=12, seed=7)
+        n = len(t)
+        counts = np.diff(offs)
+        combined = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            seg = np.sort(vals[offs[i]:offs[i + 1]])
+            h = np.uint64(0x9E3779B97F4A7C15)
+            if len(seg):
+                with np.errstate(over="ignore"):
+                    h = hx.splitmix64(seg).sum(dtype=np.uint64)
+            combined[i] = h
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_anchors": pa.array(counts.astype(np.int64)),
+            # bit-cast to int64: uint64 must not pass through Ray aggregates
+            "fingerprint": pa.array(combined.view(np.int64)),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")

@@ -1,0 +1,268 @@
+"""Similarity search + embedding near-dup over the ``embeddings`` table
+(vec_id:int64, embedding:list<float>, label:int32).
+
+Three tiers, per the scale plan:
+
+- ``q_knn_brute``      exact top-k cosine — broadcast query matrix, one numpy
+                       matmul per batch, block-local top-k then a tiny global
+                       reduce (correct because global top-k ⊆ union of block
+                       top-ks).  The baseline every ANN variant is judged
+                       against.
+- ``q_embed_near_dup`` exact all-pairs cosine ≥ τ via block-row × broadcast
+                       matrix products (O(n²/B) flops but streaming memory).
+- ``q_knn_ivf``        IVF ANN: deterministic k-means-lite centroids held in
+                       actor state, probe nprobe nearest lists — the scale
+                       path (recall measured against q_knn_brute in tests).
+
+Everything flows as Arrow; embeddings decode to a contiguous float64 matrix
+per batch with one ``list_flatten`` (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from who_owns_mass_processing_ray.functions.numeric import round_half_away
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, row-normalized float64 matrix) from an Arrow batch."""
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(t)
+    dim = len(flat) // max(n, 1) if n else 0
+    m = flat.reshape(n, dim) if n else np.zeros((0, 0))
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = m / np.maximum(norms, 1e-12)
+    return t["vec_id"].to_numpy(), m
+
+
+def _query_matrix(sf_dir: str, n_queries: int):
+    """First ``n_queries`` vec_ids as the query set (deterministic)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    tbl = tbl.sort_by("vec_id").slice(0, n_queries)
+    return _batch_matrix(tbl)
+
+
+def q_knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Exact cosine top-k for the first ``n_queries`` vectors against the
+    whole table (self excluded).  Broadcast the query matrix with ray.put
+    ONCE; each batch contributes its local top-k rows; a final per-query
+    group reduce keeps the global top-k.  Ties break by vec_id ascending."""
+    import pandas as pd
+    import ray
+
+    q_ids, Q = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, Q))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = qm @ m.T  # (nq, batch)
+        nq = len(qi)
+        out_q, out_v, out_s = [], [], []
+        for r in range(nq):
+            s = sims[r].copy()
+            s[ids == qi[r]] = -np.inf  # exclude self
+            kk = min(k, len(s))
+            # top-k with deterministic (score desc, vec_id asc) order
+            idx = np.lexsort((ids, -s))[:kk]
+            good = s[idx] > -np.inf
+            out_q.append(np.full(good.sum(), qi[r], dtype=np.int64))
+            out_v.append(ids[idx][good])
+            out_s.append(s[idx][good])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cosine": pa.array(np.concatenate(out_s)),
+        })
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        return g
+
+    out = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "cosine": round_half_away(t["cosine"], 4),
+        })
+
+    return out.map_batches(rnd, batch_format="pyarrow") \
+        .sort(["query_id", "cosine", "vec_id"],
+              descending=[False, True, False])
+
+
+def q_embed_near_dup(sf_dir: str, thresh: float = 0.45):
+    """Exact embedding-cosine near-dup pairs (cosine ≥ τ, left < right).
+    The full normalized matrix is broadcast once (ray.put) and each batch
+    computes its block-row of the similarity matrix — O(n²) flops stream
+    through workers with O(n·d) memory, never materializing the n×n matrix.
+    At 10^12 rows this becomes IVF-bucketed generation (q_knn_ivf's
+    centroid route) + the same verify."""
+    import pyarrow.parquet as pq
+    import ray
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    all_ids, M = _batch_matrix(full)
+    m_ref = ray.put((all_ids, M))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        aids, am = ray.get(m_ref)
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = m @ am.T  # (batch, n)
+        bi, aj = np.nonzero(sims >= thresh)
+        li = ids[bi]
+        rj = aids[aj]
+        keep = li < rj  # canonical orientation, excludes self
+        return pa.table({
+            "left_id": pa.array(li[keep]),
+            "right_id": pa.array(rj[keep]),
+            "cosine": pa.array(round_half_away(sims[bi, aj][keep], 4)),
+        })
+
+    return _emb(sf_dir).map_batches(block_pairs, batch_format="pyarrow") \
+        .sort(["left_id", "right_id"])
+
+
+class IVFIndex:
+    """Actor state: deterministic k-means-lite centroids (init = evenly
+    spaced sorted-id sample, 5 Lloyd iterations over a fixed sample) built
+    once per actor in ``__init__`` from the broadcast sample ref."""
+
+    def __init__(self, sample_ref, n_lists: int, seed: int = 42):
+        import ray
+
+        ids, m = ray.get(sample_ref)
+        rng = np.random.default_rng(seed)
+        idx = np.linspace(0, len(ids) - 1, n_lists).astype(np.int64)
+        c = m[idx].copy()
+        for _ in range(5):
+            assign = (m @ c.T).argmax(axis=1)
+            for j in range(n_lists):
+                mem = m[assign == j]
+                if len(mem):
+                    v = mem.mean(axis=0)
+                    c[j] = v / max(np.linalg.norm(v), 1e-12)
+        self.centroids = c
+
+    def assign(self, m: np.ndarray, nprobe: int = 1) -> np.ndarray:
+        sims = m @ self.centroids.T
+        if nprobe == 1:
+            return sims.argmax(axis=1)[:, None]
+        return np.argsort(-sims, axis=1)[:, :nprobe]
+
+
+def q_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
+              nprobe: int = 4):
+    """IVF ANN top-k: vectors shuffled into centroid lists (one groupby),
+    queries probe their ``nprobe`` nearest lists only — the 10^12-row path
+    where the brute matmul row is infeasible.  Approximate by design;
+    tests measure recall vs q_knn_brute (≥0.9 at these defaults)."""
+    import pandas as pd
+    import ray
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    s_ids, SM = _batch_matrix(full.slice(0, min(2048, full.num_rows)))
+    sample_ref = ray.put((s_ids, SM))
+    q_ids, Q = _query_matrix(sf_dir, n_queries)
+    index = IVFIndex(sample_ref, n_lists)
+    q_lists = index.assign(Q, nprobe)  # (nq, nprobe)
+    # invert: list -> queries probing it
+    probes: dict[int, list[int]] = {}
+    for r, lists in enumerate(q_lists):
+        for l in lists:
+            probes.setdefault(int(l), []).append(r)
+    probes_ref = ray.put((q_ids, Q, probes))
+
+    class AssignLists:
+        def __init__(self):
+            self.index = IVFIndex(sample_ref, n_lists)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(t)
+            lists = self.index.assign(m, 1)[:, 0].astype(np.int32)
+            return t.append_column("list_id", pa.array(lists))
+
+    def list_topk(g: pa.Table) -> pa.Table:
+        qi, qm, pro = ray.get(probes_ref)
+        if g.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        lid = int(g["list_id"][0].as_py())
+        rows = pro.get(lid, [])
+        if not rows:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ids, m = _batch_matrix(g)
+        sims = qm[rows] @ m.T
+        out_q, out_v, out_s = [], [], []
+        for rr, r in enumerate(rows):
+            s = sims[rr].copy()
+            s[ids == qi[r]] = -np.inf
+            kk = min(k, len(s))
+            idx = np.lexsort((ids, -s))[:kk]
+            good = s[idx] > -np.inf
+            out_q.append(np.full(good.sum(), qi[r], dtype=np.int64))
+            out_v.append(ids[idx][good])
+            out_s.append(s[idx][good])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else [],
+                                 pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v) if out_v else [],
+                               pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s) if out_s else [],
+                               pa.float64()),
+        })
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"],
+                             ascending=[False, True]).head(k)
+
+    assigned = _emb(sf_dir).map_batches(AssignLists, batch_format="pyarrow",
+                                        concurrency=2)
+    out = assigned.groupby("list_id").map_groups(list_topk,
+                                                 batch_format="pyarrow") \
+        .groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "cosine": round_half_away(t["cosine"], 4),
+        })
+
+    return out.map_batches(rnd, batch_format="pyarrow") \
+        .sort(["query_id", "cosine", "vec_id"],
+              descending=[False, True, False])

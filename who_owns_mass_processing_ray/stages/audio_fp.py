@@ -28,8 +28,11 @@ from who_owns_mass_processing_ray.stages import pairs as pr
 def _band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     fp = batch["fp"].to_numpy()
     ok = batch["decode_ok"].to_numpy(zero_copy_only=False)
-    ids = np.asarray(batch["clip_id"].to_pylist(), dtype=object)
-    fp, ids = fp[ok], ids[ok]
+    ids_arr = batch["clip_id"]
+    if isinstance(ids_arr, pa.ChunkedArray):
+        ids_arr = ids_arr.combine_chunks()
+    ok_idx = np.flatnonzero(ok)
+    fp = fp[ok_idx]
     bands = cfg.simhash_bands
     width = cfg.simhash_bits // bands
     mask = np.uint64((1 << width) - 1)
@@ -40,12 +43,12 @@ def _band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         # don't collide into one bucket
         keys.append(hx.splitmix64(slice_b ^ np.uint64(0xAD10F00D + b * 0x9E37)))
     keys = np.stack(keys, axis=1).reshape(-1) if len(fp) else np.empty(0, np.uint64)
-    ids_rep = np.repeat(ids, bands)
+    rep_idx = pa.array(np.repeat(ok_idx, bands))
     # fp is carried bit-cast to int64: Ray's aggregate path converts uint64
     # above 2^63 to pickled Python objects; int64 stays a native Arrow column
     return pa.table({
         "bucket_key": pa.array(keys),
-        "clip_id": pa.array(ids_rep.tolist(), pa.string()),
+        "clip_id": ids_arr.take(rep_idx),
         "fp": pa.array(np.repeat(fp, bands).view(np.int64)),
     })
 
@@ -68,7 +71,9 @@ def audio_edges(features_ds, cfg: DedupConfig, num_parts: int):
         return pa.table({
             "left_id": out["left_id"],
             "right_id": out["right_id"],
-            "kind": pa.array(["audio"] * len(out), pa.string()),
+            "dropped": out["dropped"],
         })
 
-    return cand.map_batches(verify, batch_format="pyarrow", batch_size=cfg.batch_size)
+    verified = cand.map_batches(verify, batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
+    return pr.distinct_edges(verified, "audio")

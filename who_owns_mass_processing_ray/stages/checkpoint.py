@@ -76,6 +76,7 @@ class StageCache:
         tmp = out_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)  # empty datasets write no files
         ds.write_parquet(tmp)
         wall_ms = int((time.monotonic() - t0) * 1000)
         # per-partition lineage from the written part files

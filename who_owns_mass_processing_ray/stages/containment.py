@@ -42,11 +42,14 @@ def _anchor_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         cfg.containment_min_len, seed=cfg.seed,
     )
     counts = np.diff(offs)
-    ids = np.asarray(batch["clip_id"].to_pylist(), dtype=object)
+    ids_arr = batch["clip_id"]
+    if isinstance(ids_arr, pa.ChunkedArray):
+        ids_arr = ids_arr.combine_chunks()
+    rep_idx = pa.array(np.repeat(np.arange(len(batch)), counts))
     lens = pc.fill_null(pc.utf8_length(col), 0).to_numpy().astype(np.int64)
     return pa.table({
         "bucket_key": pa.array(vals),
-        "clip_id": pa.array(np.repeat(ids, counts).tolist(), pa.string()),
+        "clip_id": ids_arr.take(rep_idx),
         "n_chars": pa.array(np.repeat(lens, counts)),
     })
 
@@ -67,18 +70,17 @@ def containment_edges(features_ds, cfg: DedupConfig, num_parts: int,
         lambda t: t.filter(pc.not_equal(t["left_n_chars"], t["right_n_chars"])),
         batch_format="pyarrow",
     )
-    cand = pr.attach_feature(cand, features_ds, "left_id", "transcript_norm",
-                             "left_norm", num_partitions)
-    cand = pr.attach_feature(cand, features_ds, "right_id", "transcript_norm",
-                             "right_norm", num_partitions)
+    cand = pr.attach_pair_features(cand, features_ds, "transcript_norm",
+                                   num_partitions, out_prefix="norm")
 
     def verify(batch: pa.Table) -> pa.Table:
         ln = batch["left_norm"].to_pylist()
         rn = batch["right_norm"].to_pylist()
         li = batch["left_id"].to_pylist()
         ri = batch["right_id"].to_pylist()
-        out_l, out_r = [], []
-        for a_id, b_id, a, b in zip(li, ri, ln, rn):
+        dr = batch["dropped"].to_pylist()
+        out_l, out_r, out_d = [], [], []
+        for a_id, b_id, a, b, d in zip(li, ri, ln, rn, dr):
             if a is None or b is None:
                 continue
             if len(a) > len(b):
@@ -88,10 +90,13 @@ def containment_edges(features_ds, cfg: DedupConfig, num_parts: int,
             if len(contained) < len(container) and contained in container:
                 out_l.append(c_id)
                 out_r.append(d_id)
+                out_d.append(d)
         return pa.table({
             "left_id": pa.array(out_l, pa.string()),
             "right_id": pa.array(out_r, pa.string()),
-            "kind": pa.array(["containment"] * len(out_l), pa.string()),
+            "dropped": pa.array(out_d, pa.int64()),
         })
 
-    return cand.map_batches(verify, batch_format="pyarrow", batch_size=cfg.batch_size)
+    verified = cand.map_batches(verify, batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
+    return pr.distinct_edges(verified, "containment")

@@ -37,30 +37,40 @@ def exact_edges(features_ds, cfg: DedupConfig, num_parts: int):
         return t.append_column("part", pa.array(part))
 
     def expand(group: pa.Table) -> pa.Table:
-        th = group["t_hash"].to_numpy()
-        bh = group["b_hash"].to_numpy()
-        ids = np.asarray(group["clip_id"].to_pylist(), dtype=object)
-        order = np.lexsort((ids, bh, th))
-        th, bh, ids = th[order], bh[order], ids[order]
+        """Star edges per (t_hash, b_hash) group — fully vectorized: sort
+        with Arrow's C kernels, segment with numpy, gather with take."""
+        empty = pa.table({"left_id": pa.array([], pa.string()),
+                          "right_id": pa.array([], pa.string()),
+                          "kind": pa.array([], pa.string()),
+                          "dropped": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        tbl = group.sort_by([("t_hash", "ascending"), ("b_hash", "ascending"),
+                             ("clip_id", "ascending")])
+        th = tbl["t_hash"].to_numpy()
+        bh = tbl["b_hash"].to_numpy()
         same = (th[1:] == th[:-1]) & (bh[1:] == bh[:-1])
         change = np.flatnonzero(~same) + 1
-        starts = np.concatenate(([0], change)) if len(ids) else np.empty(0, np.int64)
-        ends = np.concatenate((change, [len(ids)])) if len(ids) else np.empty(0, np.int64)
-        lefts, rights = [], []
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                lefts.append(np.full(e - s - 1, ids[s], dtype=object))
-                rights.append(ids[s + 1 : e])
-        if not lefts:
-            return pa.table({"left_id": pa.array([], pa.string()),
-                             "right_id": pa.array([], pa.string()),
-                             "kind": pa.array([], pa.string())})
-        left = np.concatenate(lefts)
-        right = np.concatenate(rights)
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(th)])))
+        n_edges = sizes - 1
+        tot = int(n_edges.sum())
+        if tot == 0:
+            return empty
+        seg = np.repeat(np.arange(len(sizes)), n_edges)
+        left_idx = starts[seg]                      # group min (star center)
+        offs = np.arange(tot, dtype=np.int64)
+        cum = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(n_edges, out=cum[1:])
+        right_idx = left_idx + 1 + (offs - cum[seg])
+        ids_arr = tbl["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
         return pa.table({
-            "left_id": pa.array(left.tolist(), pa.string()),
-            "right_id": pa.array(right.tolist(), pa.string()),
-            "kind": pa.array(["exact"] * len(left), pa.string()),
+            "left_id": ids_arr.take(pa.array(left_idx)),
+            "right_id": ids_arr.take(pa.array(right_idx)),
+            "kind": pa.array(["exact"] * tot, pa.string()),
+            "dropped": pa.array(np.zeros(tot, dtype=np.int64)),
         })
 
     return narrow.map_batches(add_part, batch_format="pyarrow") \

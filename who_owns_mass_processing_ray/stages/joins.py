@@ -44,7 +44,10 @@ def attach_columns(
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["__sidekey", *cols.values()])
 
-    proj = proj.map_batches(rename, batch_format="pyarrow")
+    # materialize the projected side ONCE: count() + to_arrow_refs() would
+    # otherwise each re-execute the side pipeline (profiling showed this
+    # double execution dominating multi-join stages)
+    proj = proj.map_batches(rename, batch_format="pyarrow").materialize()
     n_side = proj.count()
     if n_side <= broadcast_limit:
         import ray

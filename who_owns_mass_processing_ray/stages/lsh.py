@@ -74,25 +74,23 @@ def verify_jaccard(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     """Exact char-k Jaccard over candidate pairs; keep >= cfg.jaccard_thresh."""
     left = batch["left_norm"]
     right = batch["right_norm"]
-    lv, lo = hx.shingle_hashes(left, cfg.shingle_k, seed=cfg.seed)
-    rv, ro = hx.shingle_hashes(right, cfg.shingle_k, seed=cfg.seed)
-    n = len(batch)
-    keep = np.zeros(n, dtype=bool)
-    for i in range(n):
-        a = lv[lo[i] : lo[i + 1]]
-        b = rv[ro[i] : ro[i + 1]]
-        if len(a) and len(b):
-            keep[i] = hx.jaccard_from_hashsets(a, b) >= cfg.jaccard_thresh
+    jac = hx.jaccard_pairs_dict(left, right, cfg.shingle_k, seed=cfg.seed)
+    nonempty = pa.compute.and_(
+        pa.compute.greater(pa.compute.utf8_length(pa.compute.fill_null(left, "")), 0),
+        pa.compute.greater(pa.compute.utf8_length(pa.compute.fill_null(right, "")), 0),
+    ).to_numpy(zero_copy_only=False)
+    keep = (jac >= cfg.jaccard_thresh) & nonempty
     out = batch.filter(pa.array(keep))
     return pa.table({
         "left_id": out["left_id"],
         "right_id": out["right_id"],
-        "kind": pa.array(["near"] * len(out), pa.string()),
+        "dropped": out["dropped"],
     })
 
 
 def near_edges(features_ds, cfg: DedupConfig, num_parts: int, num_partitions: int):
-    """features -> verified 'near' edge Dataset (left_id, right_id, kind)."""
+    """features -> verified 'near' edge Dataset (left_id, right_id, kind,
+    dropped)."""
     narrow = features_ds.select_columns(["clip_id", "transcript_norm"])
     band_rows = narrow.map_batches(
         MinHashBands,
@@ -104,9 +102,8 @@ def near_edges(features_ds, cfg: DedupConfig, num_parts: int, num_partitions: in
     cand = pr.pairs_from_bucket_rows(
         band_rows, "bucket_key", "clip_id", cfg.max_bucket, num_parts
     )
-    cand = pr.attach_feature(cand, features_ds, "left_id", "transcript_norm",
-                             "left_norm", num_partitions)
-    cand = pr.attach_feature(cand, features_ds, "right_id", "transcript_norm",
-                             "right_norm", num_partitions)
-    return cand.map_batches(verify_jaccard, fn_kwargs={"cfg": cfg},
-                            batch_format="pyarrow", batch_size=cfg.batch_size)
+    cand = pr.attach_pair_features(cand, features_ds, "transcript_norm",
+                                   num_partitions, out_prefix="norm")
+    verified = cand.map_batches(verify_jaccard, fn_kwargs={"cfg": cfg},
+                                batch_format="pyarrow", batch_size=cfg.batch_size)
+    return pr.distinct_edges(verified, "near")

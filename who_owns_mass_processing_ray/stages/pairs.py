@@ -3,79 +3,120 @@
 The scalable pattern used by every blocking stage (exact-hash groups, LSH
 bands, SimHash bands, containment anchors):
 
-1. a ``map_batches`` stage emits narrow ``(bucket_key:uint64, clip_id, ...)``
+1. a ``map_batches`` stage emits narrow ``(bucket_key:uint64, id, ...)``
    rows and a coarse ``part = bucket_key % P`` column,
 2. ``groupby("part").map_groups`` shuffles each coarse partition to one task
    (P ~ 4x cluster CPUs, so partitions are balanced and worker-sized),
-3. inside the task, rows are sorted by ``(bucket_key, clip_id)`` and pairs
-   are expanded segment-wise with numpy — all buckets of the partition in
-   one vectorized pass, no per-bucket Python dispatch.
+3. inside the task the partition is sorted by ``(bucket_key, id)`` with
+   Arrow's C kernels and ALL buckets expand to pairs in one vectorized pass:
+   per-segment pair ranks decode to (i, j) index pairs via triangular-number
+   arithmetic — no per-bucket Python dispatch, no Python-object id arrays.
+
+Candidate pairs are deduped IN-PARTITION only (vectorized, exact — via
+dictionary codes); duplicates that survive across partitions are deduped
+AFTER verification with ``distinct_edges`` — the verified edge set is orders
+of magnitude smaller than the candidate set, so the global distinct shuffle
+moves almost nothing (vs. shuffling every candidate pre-verify, which
+profiling showed dominated stage wall time).
 
 Hot buckets (degenerate shingles, silence fingerprints — the skew the
 reference never had to handle because it was single-process, SURVEY.md §4)
-are capped at ``max_bucket`` members: the lexicographically smallest
-``max_bucket`` clip_ids are kept, the rest are dropped and the drop is
-COUNTED into the emitted ``dropped`` metric — never silent.  Determinism:
-membership and pair order depend only on (bucket_key, clip_id), not on
-arrival order or parallelism.
+are capped at ``max_bucket`` members: the first ``max_bucket`` ids in sort
+order are kept, the rest dropped, and the drop is COUNTED into the emitted
+``dropped`` column — never silent.  Determinism: membership, orientation
+(left < right by value) and pair order depend only on (bucket_key, id),
+not on arrival order or parallelism.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-
-_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-
-
-def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
-    if n not in _TRIU_CACHE:
-        _TRIU_CACHE[n] = np.triu_indices(n, k=1)
-    return _TRIU_CACHE[n]
+import pyarrow.compute as pc
 
 
-def bucket_pairs(
-    keys: np.ndarray,
-    ids: np.ndarray,
-    max_bucket: int,
-    payloads: dict[str, np.ndarray] | None = None,
-) -> tuple[np.ndarray, np.ndarray, int, dict[str, np.ndarray]]:
-    """All within-bucket unordered pairs (left_id < right_id), capped.
+def _triangular_pairs(sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized within-segment pair expansion.
 
-    ``payloads`` maps column name -> per-row values carried onto pairs as
-    ``left_<name>`` / ``right_<name>`` (e.g. fingerprints for hamming
-    verification).  Returns ``(left, right, dropped_rows, pair_payloads)``.
+    ``sizes`` are segment lengths after sorting by (key, id).  Returns
+    (left_local, right_local, dropped): local indices (relative to each
+    segment start, repeated per segment) for all i<j pairs of the first
+    ``min(size, cap)`` members, plus the total dropped-row count.
     """
-    payloads = payloads or {}
-    order = np.lexsort((ids, keys))
-    keys = keys[order]
-    ids = ids[order]
-    payloads = {k: v[order] for k, v in payloads.items()}
+    m = np.minimum(sizes, cap)
+    dropped = int((sizes - m).sum())
+    P = m * (m - 1) // 2
+    tot = int(P.sum())
+    if tot == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), dropped
+    cum = np.zeros(len(P) + 1, dtype=np.int64)
+    np.cumsum(P, out=cum[1:])
+    r = np.arange(tot, dtype=np.int64) - np.repeat(cum[:-1], P)
+    # decode pair rank r -> (i, j), i < j, pairs ordered by j then i:
+    # j = floor((1+sqrt(8r+1))/2), i = r - j(j-1)/2  (exact for j <= cap)
+    j = ((1.0 + np.sqrt(8.0 * r + 1.0)) // 2.0).astype(np.int64)
+    j = np.where(r < j * (j - 1) // 2, j - 1, j)
+    j = np.where(r >= (j + 1) * j // 2, j + 1, j)
+    i = r - j * (j - 1) // 2
+    return i, j, dropped
+
+
+def expand_partition_pairs(
+    group: pa.Table,
+    key_col: str,
+    id_col: str,
+    max_bucket: int,
+    payload_cols: list[str] | None = None,
+) -> pa.Table:
+    """One coarse partition -> its deduped candidate pairs (vectorized)."""
+    payload_cols = payload_cols or []
+    if group.num_rows == 0:
+        cols = {"left_id": pa.array([], group[id_col].type),
+                "right_id": pa.array([], group[id_col].type)}
+        for c in payload_cols:
+            cols[f"left_{c}"] = pa.array([], group[c].type)
+            cols[f"right_{c}"] = pa.array([], group[c].type)
+        cols["dropped"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    tbl = group.sort_by([(key_col, "ascending"), (id_col, "ascending")])
+    keys = tbl[key_col].to_numpy()
     change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
-    starts = np.concatenate(([0], change)) if len(keys) else np.empty(0, np.int64)
-    ends = np.concatenate((change, [len(keys)])) if len(keys) else np.empty(0, np.int64)
-    sizes = ends - starts
-    dropped = int(np.maximum(sizes - max_bucket, 0).sum()) if len(keys) else 0
-    lefts, rights = [], []
-    pair_pl: dict[str, list[np.ndarray]] = {k: [] for k in payloads}
-    pair_pr: dict[str, list[np.ndarray]] = {k: [] for k in payloads}
-    for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
-        n = min(int(e - s), max_bucket)
-        ii, jj = _triu(n)
-        seg_ids = ids[s : s + n]
-        lefts.append(seg_ids[ii])
-        rights.append(seg_ids[jj])
-        for k, v in payloads.items():
-            seg = v[s : s + n]
-            pair_pl[k].append(seg[ii])
-            pair_pr[k].append(seg[jj])
-    if not lefts:
-        out = {f"left_{k}": np.empty(0, v.dtype) for k, v in payloads.items()}
-        out |= {f"right_{k}": np.empty(0, v.dtype) for k, v in payloads.items()}
-        return np.empty(0, dtype=object), np.empty(0, dtype=object), dropped, out
-    out = {f"left_{k}": np.concatenate(pair_pl[k]) for k in payloads}
-    out |= {f"right_{k}": np.concatenate(pair_pr[k]) for k in payloads}
-    return np.concatenate(lefts), np.concatenate(rights), dropped, out
+    starts = np.concatenate(([0], change))
+    sizes = np.diff(np.concatenate((starts, [len(keys)])))
+    li, lj, dropped = _triangular_pairs(sizes, max_bucket)
+    m = np.minimum(sizes, max_bucket)
+    P = m * (m - 1) // 2
+    seg_of_pair = np.repeat(np.arange(len(sizes)), P)
+    base = starts[seg_of_pair]
+    left_idx = base + li
+    right_idx = base + lj
+    # exact in-partition pair dedup via dictionary codes (a pair found in
+    # several buckets of this partition verifies once)
+    ids_arr = tbl[id_col]
+    if isinstance(ids_arr, pa.ChunkedArray):
+        ids_arr = ids_arr.combine_chunks()
+    codes = pc.dictionary_encode(ids_arr).indices.to_numpy().astype(np.int64)
+    lc, rc = codes[left_idx], codes[right_idx]
+    order = np.lexsort((rc, lc))
+    lc_s, rc_s = lc[order], rc[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (lc_s[1:] != lc_s[:-1]) | (rc_s[1:] != rc_s[:-1])
+    keep = order[first]
+    left_idx, right_idx = left_idx[keep], right_idx[keep]
+    take_l = pa.array(left_idx)
+    take_r = pa.array(right_idx)
+    cols: dict[str, pa.Array] = {
+        "left_id": ids_arr.take(take_l),
+        "right_id": ids_arr.take(take_r),
+    }
+    for c in payload_cols:
+        col = tbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[f"left_{c}"] = col.take(take_l)
+        cols[f"right_{c}"] = col.take(take_r)
+    cols["dropped"] = pa.array(np.full(len(left_idx), dropped, dtype=np.int64))
+    return pa.table(cols)
 
 
 def pairs_from_bucket_rows(
@@ -86,8 +127,9 @@ def pairs_from_bucket_rows(
     num_parts: int,
     payload_cols: list[str] | None = None,
 ):
-    """(bucket_key, clip_id[, payloads]) Dataset -> distinct candidate-pair
-    Dataset ``(left_id, right_id, left_*, right_*, dropped)``."""
+    """(bucket_key, id[, payloads]) Dataset -> candidate-pair Dataset
+    ``(left_id, right_id, left_*, right_*, dropped)``, deduped per
+    partition (dedup the *verified* edges globally with ``distinct_edges``)."""
     payload_cols = payload_cols or []
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -95,59 +137,91 @@ def pairs_from_bucket_rows(
         return t.append_column("part", pa.array(part))
 
     def expand(group: pa.Table) -> pa.Table:
-        keys = group[key_col].to_numpy()
-        ids = np.asarray(group[id_col].to_pylist(), dtype=object)
-        payloads = {c: group[c].to_numpy() for c in payload_cols}
-        left, right, dropped, pays = bucket_pairs(keys, ids, max_bucket, payloads)
-        if len(left):
-            # in-partition pair dedup BEFORE the global shuffle: a doc pair
-            # sharing m bucket keys in this partition emits m copies; collapse
-            # them here so the global distinct aggregate shuffles far less.
-            # (payloads are identical across copies of a pair, keep first)
-            pair_key = np.char.add(np.char.add(left.astype(str), "\x1f"),
-                                   right.astype(str))
-            _, first_idx = np.unique(pair_key, return_index=True)
-            left, right = left[first_idx], right[first_idx]
-            pays = {k: v[first_idx] for k, v in pays.items()}
-        cols: dict[str, pa.Array] = {
-            "left_id": pa.array(left.tolist(), pa.string()),
-            "right_id": pa.array(right.tolist(), pa.string()),
-        }
-        for k, v in pays.items():
-            cols[k] = pa.array(v)
-        cols["dropped"] = pa.array(np.full(len(left), dropped, dtype=np.int64))
-        return pa.table(cols)
+        return expand_partition_pairs(
+            group.drop_columns(["part"]), key_col, id_col, max_bucket,
+            payload_cols)
 
     bucketed = ds.map_batches(add_part, batch_format="pyarrow")
-    pairs = bucketed.groupby("part").map_groups(expand, batch_format="pyarrow")
-    extra = [f"left_{c}" for c in payload_cols] + [f"right_{c}" for c in payload_cols]
-    return dedup_pairs(pairs, extra_cols=extra)
+    return bucketed.groupby("part").map_groups(expand, batch_format="pyarrow")
 
 
-def dedup_pairs(pairs_ds, extra_cols: list[str] | None = None):
-    """Distinct (left_id, right_id) pairs — a pair found in several buckets
-    must be verified only once.  Max-aggregates carried payloads (identical
-    across duplicates of a pair) and the ``dropped`` metric."""
+def distinct_edges(edges_ds, kind: str, extra_num_cols: list[str] | None = None):
+    """Globally dedup verified edges (left_id, right_id[, numeric extras])
+    and stamp the ``kind`` column.  Runs on the post-verify set — tiny
+    relative to candidates — so this shuffle is cheap.  ``dropped`` (the
+    skew-cap metric) is max-aggregated and kept visible."""
     from ray.data.aggregate import Max
 
-    extra_cols = extra_cols or []
+    extra_num_cols = extra_num_cols or []
     aggs = [Max("dropped", alias_name="dropped")]
-    aggs += [Max(c, alias_name=c) for c in extra_cols]
-    return pairs_ds.groupby(["left_id", "right_id"]).aggregate(*aggs)
+    aggs += [Max(c, alias_name=c) for c in extra_num_cols]
+    agg = edges_ds.groupby(["left_id", "right_id"]).aggregate(*aggs)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        cols = {"left_id": t["left_id"], "right_id": t["right_id"],
+                "kind": pa.array([kind] * len(t), pa.string()),
+                "dropped": t["dropped"]}
+        for c in extra_num_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return agg.map_batches(stamp, batch_format="pyarrow")
+
+
+def attach_pair_features(pairs_ds, features_ds, feat_col: str,
+                         num_partitions: int, side_key: str = "clip_id",
+                         out_prefix: str = ""):
+    """Attach ``feat_col`` for BOTH endpoints of each pair in one pass.
+
+    Small side (the common case — features are narrow): broadcast the
+    projected (side_key, feat_col) table once via ray.put and run two Acero
+    hash joins inside a single ``map_batches`` — one probe task per pair
+    block, no shuffle, no double execution.  Large side: two partitioned
+    ``Dataset.join`` shuffles.  Output columns: ``left_<feat_col>`` /
+    ``right_<feat_col>`` (or ``<out_prefix>`` variants).
+    """
+    import ray
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    left_out = f"left_{out_prefix or feat_col}"
+    right_out = f"right_{out_prefix or feat_col}"
+    proj = features_ds.select_columns([side_key, feat_col]).materialize()
+    if proj.count() <= joins.BROADCAST_ROW_LIMIT:
+        tables = [t for t in ray.get(proj.to_arrow_refs()) if t.num_rows]
+        if tables:
+            side = pa.concat_tables(tables).combine_chunks()
+        else:
+            side = pa.table({side_key: pa.array([], pa.string()),
+                             feat_col: pa.array([], pa.string())})
+        side_ref = ray.put(side)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            s = ray.get(side_ref)
+            ls = s.rename_columns(["left_id", left_out])
+            rs = s.rename_columns(["right_id", right_out])
+            out = batch.join(ls, keys=["left_id"], join_type="inner")
+            out = out.join(rs, keys=["right_id"], join_type="inner")
+            return out
+
+        return pairs_ds.map_batches(probe, batch_format="pyarrow")
+
+    out = joins.attach_columns(pairs_ds, features_ds, "left_id", side_key,
+                               {feat_col: left_out}, num_partitions,
+                               how="inner")
+    return joins.attach_columns(out, features_ds, "right_id", side_key,
+                                {feat_col: right_out}, num_partitions,
+                                how="inner")
 
 
 def attach_feature(pairs_ds, features_ds, pair_key: str, feat_col: str,
-                   out_col: str, num_partitions: int):
-    """Hash-join one feature column onto pair rows.
-
-    Used by verify stages to fetch both sides' normalized transcripts; the
-    features side is projected to (clip_id, feat_col) first so only narrow
-    rows move.  Broadcast vs shuffle strategy is adaptive — see
-    stages/joins.py.
-    """
+                   out_col: str, num_partitions: int,
+                   side_key: str = "clip_id"):
+    """Hash-join one feature column onto pair rows (adaptive broadcast /
+    shuffle — see stages/joins.py)."""
     from who_owns_mass_processing_ray.stages import joins
 
     return joins.attach_columns(
-        pairs_ds, features_ds, pair_key, "clip_id", {feat_col: out_col},
+        pairs_ds, features_ds, pair_key, side_key, {feat_col: out_col},
         num_partitions, how="inner",
     )
