@@ -86,41 +86,71 @@ def run_bench(flagship_only: bool = False) -> dict:
     return out
 
 
-def run_scaling() -> dict:
-    """Same flagship job, fresh ray sessions at 8 and 32 CPUs."""
-    import pyarrow.parquet as pq
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "40000"))
+SCALING_DIR = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
 
-    n_clips = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+
+def run_scaling_worker(cpus: int) -> dict:
+    """One fresh-process flagship run over the dedicated scaling corpus
+    (synthesized once, cached on disk — identical bytes for both runs)."""
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from who_owns_mass_processing_ray import synth
+    from who_owns_mass_processing_ray.pipelines import dedup
+
+    synth.generate_clips_parquet(SCALING_DIR, SCALING_ROWS, seed=42)
+    t0 = time.time()
+    res = dedup.dedup_pipeline(f"{SCALING_DIR}/clips")
+    n_clusters = res["clusters"].count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"cpus": cpus, "sec": round(dt, 3), "rows": SCALING_ROWS,
+            "clusters": n_clusters,
+            "clips_per_sec": round(SCALING_ROWS / dt, 2)}
+
+
+def run_scaling() -> dict:
+    """Same flagship job + same input, fresh processes at 8 and 32 CPUs —
+    the sandbox evidence for the north rule's N vs 4N cluster criterion."""
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ)
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-json"],
+            [sys.executable, os.path.abspath(__file__),
+             "--scaling-worker", str(cpus)],
             capture_output=True, text=True, env=env, timeout=3600)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t8 = results[8]["queries"]["dedup_clusters"]
-    t32 = results[32]["queries"]["dedup_clusters"]
-    thr8 = n_clips / t8
-    thr32 = n_clips / t32
-    # efficiency of scaling 8 -> 32 cpus (4x resources): ideal speedup 4x
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"scaling worker {cpus} failed: "
+                               f"{proc.stderr[-2000:]}")
+        results[cpus] = json.loads(lines[-1])
+    thr8 = results[8]["clips_per_sec"]
+    thr32 = results[32]["clips_per_sec"]
     eff = (thr32 / thr8) / 4.0
-    out = {
+    return {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 3),
         "unit": "fraction",
-        "queries": {"dedup_clusters_8cpu_sec": round(t8, 3),
-                    "dedup_clusters_32cpu_sec": round(t32, 3)},
-        "throughput_clips_per_sec": {"8": round(thr8, 2), "32": round(thr32, 2)},
+        "queries": {"dedup_8cpu_sec": results[8]["sec"],
+                    "dedup_32cpu_sec": results[32]["sec"]},
+        "throughput_clips_per_sec": {"8": thr8, "32": thr32},
         "speedup": round(thr32 / thr8, 3),
-        "sf": _sf_of(SF_DIR),
+        "rows": SCALING_ROWS,
+        "clusters": [results[8]["clusters"], results[32]["clusters"]],
         "num_cpus": [8, 32],
     }
-    return out
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        print(json.dumps(run_scaling_worker(cpus)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--flagship-json" in sys.argv:
         print(json.dumps(run_bench(flagship_only=True)))

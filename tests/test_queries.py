@@ -1,0 +1,90 @@
+"""Driver-contract queries vs their DuckDB oracles at sf0.001 (fast subset;
+the driver itself runs the full set at sf0.01) + ANN recall gates."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# fast, shuffle-light subset — one per operator family
+SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
+          "semi_join", "topk", "distinct", "union_entities", "exact_dedup",
+          "token_stats", "quality_score", "minhash_near_dup", "knn_brute",
+          "embed_near_dup"]
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as m
+
+    return m.queries(), m.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64").round(4)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, contract, con):
+    qs, oracles = contract
+    got = qs[name](SF_DIR)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    want = con.sql(oracles[name]).df()
+    got, want = _canon(got), _canon(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, atol=1e-9)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as m
+
+    res = m.entry()
+    n = res.count() if hasattr(res, "count") else len(res)
+    assert n >= 0
+    cols = set(res.schema().names if hasattr(res, "schema") else res.columns)
+    assert {"cluster_id", "canonical_clip_id", "size"} <= cols
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    """IVF ANN must keep recall >= 0.8 vs the exact baseline at nprobe=4."""
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    brute = vectors.q_knn_brute(SF_DIR).to_pandas()
+    ivf = vectors.q_knn_ivf(SF_DIR).to_pandas()
+    b = set(zip(brute.query_id, brute.vec_id))
+    i = set(zip(ivf.query_id, ivf.vec_id))
+    recall = len(b & i) / len(b)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_lang_id_deterministic(ray_session):
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    a = textops.q_lang_id(SF_DIR).to_pandas()
+    b = textops.q_lang_id(SF_DIR).to_pandas()
+    assert a.equals(b)
+    assert set(a["lang_pred"]) <= {"en", "es", "de", "fr", "zh"}

@@ -1,0 +1,79 @@
+"""Checkpoint/resume semantics (≙ reference ``load_read_write`` caching,
+/root/reference/R/loaders.R:373-438, generalized to per-stage lineage)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from who_owns_mass_processing_ray.config import DedupConfig
+
+CFG = DedupConfig(num_parts=8)
+
+
+def _lineage(root: str) -> list[dict]:
+    with open(os.path.join(root, "lineage.jsonl")) as f:
+        return [json.loads(l) for l in f]
+
+
+class TestResume:
+    def test_warm_run_all_cached(self, small_corpus, tmp_path):
+        from who_owns_mass_processing_ray.pipelines import dedup
+
+        ck = str(tmp_path / "ck")
+        r1 = dedup.dedup_pipeline(f"{small_corpus}/clips", CFG,
+                                  checkpoint_dir=ck)
+        n1 = r1["clusters"].count()
+        cold_records = _lineage(ck)
+        assert all(not r["cached"] for r in cold_records)
+        stages = {r["stage"] for r in cold_records}
+        assert {"features", "edges_near", "assignment", "clusters"} <= stages
+
+        t0 = time.time()
+        r2 = dedup.dedup_pipeline(f"{small_corpus}/clips", CFG,
+                                  checkpoint_dir=ck)
+        n2 = r2["clusters"].count()
+        warm_s = time.time() - t0
+        assert n1 == n2
+        assert warm_s < 5.0, f"warm resume took {warm_s:.1f}s"
+        warm_records = _lineage(ck)[len(cold_records):]
+        assert warm_records and all(r["cached"] for r in warm_records)
+
+    def test_partial_resume_skips_finished_stages(self, small_corpus, tmp_path):
+        """Kill-after-features simulation: only downstream stages recompute."""
+        import shutil
+
+        from who_owns_mass_processing_ray.pipelines import dedup
+
+        ck = str(tmp_path / "ck2")
+        dedup.dedup_pipeline(f"{small_corpus}/clips", CFG,
+                             checkpoint_dir=ck)["clusters"].count()
+        # wipe everything downstream of features — as if the run died there
+        for stage in os.listdir(ck):
+            p = os.path.join(ck, stage)
+            if os.path.isdir(p) and stage != "features":
+                shutil.rmtree(p)
+        base = len(_lineage(ck))
+        res = dedup.dedup_pipeline(f"{small_corpus}/clips", CFG,
+                                   checkpoint_dir=ck)
+        assert res["clusters"].count() > 0
+        new = _lineage(ck)[base:]
+        cached = {r["stage"] for r in new if r["cached"]}
+        recomputed = {r["stage"] for r in new if not r["cached"]}
+        assert "features" in cached
+        assert "edges_near" in recomputed
+
+    def test_config_change_invalidates(self, small_corpus, tmp_path):
+        from who_owns_mass_processing_ray.pipelines import dedup
+
+        ck = str(tmp_path / "ck3")
+        dedup.dedup_pipeline(f"{small_corpus}/clips", CFG,
+                             checkpoint_dir=ck)["clusters"].count()
+        base = len(_lineage(ck))
+        cfg2 = DedupConfig(num_parts=8, jaccard_thresh=0.6)
+        dedup.dedup_pipeline(f"{small_corpus}/clips", cfg2,
+                             checkpoint_dir=ck)["clusters"].count()
+        new = _lineage(ck)[base:]
+        assert all(not r["cached"] for r in new), \
+            "changed config must invalidate every stage"

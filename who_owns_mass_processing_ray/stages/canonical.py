@@ -61,11 +61,27 @@ def clip_to_cluster(assignment_ds, edges_ds, num_partitions: int):
 
     incident = edges_ds.map_batches(explode, batch_format="pyarrow")
 
-    def collect_kinds(g: pd.DataFrame) -> pd.DataFrame:
-        # joined to a comma-string: Arrow's hash join can't carry
-        # list<string> non-key fields; re-split after the join
-        kinds = g.groupby("clip_id")["kind"].agg(lambda s: ",".join(sorted(set(s))))
-        return kinds.rename("edge_kinds_str").reset_index()
+    # kinds as a bitmask: per-(clip, kind-bit) rows OR-reduce via a plain
+    # Sum-free two-level aggregate — fully vectorized, and the mask decodes
+    # to a canonical sorted kind string (Arrow joins can't carry
+    # list<string> non-key fields, so the string survives the join)
+    KIND_BITS = {"exact": 1, "near": 2, "containment": 4, "audio": 8}
+    MASK_STR = {0: ""}
+    for m in range(1, 16):
+        MASK_STR[m] = ",".join(k for k in ["audio", "containment", "exact", "near"]
+                               if KIND_BITS[k] & m)
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        kinds = t["kind"].to_pylist()
+        bits = np.array([KIND_BITS.get(k, 0) for k in kinds], dtype=np.int64)
+        return pa.table({"clip_id": t["clip_id"], "bit": pa.array(bits)})
+
+    def or_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # bits are powers of two, so OR of DISTINCT bits == their sum —
+        # dedup + sum keeps the whole reduce in vectorized C
+        agg = g.drop_duplicates().groupby("clip_id")["bit"].sum()
+        out = agg.map(MASK_STR).rename("edge_kinds_str").reset_index()
+        return out
 
     # coarse partition on clip_id hash so one task handles many clips
     def add_part(t: pa.Table) -> pa.Table:
@@ -74,9 +90,10 @@ def clip_to_cluster(assignment_ds, edges_ds, num_partitions: int):
         return t.append_column("part", pa.array(part))
 
     kinds_ds = (
-        incident.map_batches(add_part, batch_format="pyarrow")
+        incident.map_batches(to_bits, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(lambda g: collect_kinds(g.drop(columns=["part"])),
+        .map_groups(lambda g: or_reduce(g.drop(columns=["part"])),
                     batch_format="pandas")
     )
     from who_owns_mass_processing_ray.stages import joins

@@ -56,17 +56,18 @@ class MinHashBands:
         vals, offs = hx.shingle_hashes(col, cfg.shingle_k, seed=cfg.seed)
         sig = hx.minhash_signatures(vals, offs, cfg.num_perm, cfg.seed)
         bands = hx.band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows, seed=cfg.seed)
-        n = len(batch)
         counts = np.diff(offs)
         # null/empty transcripts produce the sentinel signature — exclude
         # them from banding entirely (they'd all collide into one mega-bucket)
-        keep = counts > 0
-        ids = np.asarray(batch["clip_id"].to_pylist(), dtype=object)
-        ids_rep = np.repeat(ids[keep], cfg.lsh_bands)
-        keys = bands[keep].reshape(-1)
+        keep_idx = np.flatnonzero(counts > 0)
+        ids_arr = batch["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        rep_idx = pa.array(np.repeat(keep_idx, cfg.lsh_bands))
+        keys = bands[keep_idx].reshape(-1)
         return pa.table({
             "bucket_key": pa.array(keys),
-            "clip_id": pa.array(ids_rep.tolist(), pa.string()),
+            "clip_id": ids_arr.take(rep_idx),
         })
 
 

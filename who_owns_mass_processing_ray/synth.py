@@ -311,7 +311,14 @@ def generate_clips_parquet(out_dir: str, n_rows: int, seed: int = 42,
                     "t_kind", pa.array(kind)
                 )
 
-        ds = rd.range(n_rows).map_batches(Gen, batch_size=256, concurrency=8,
+        import ray
+
+        # leave CPU headroom for downstream write/filter tasks — an actor
+        # pool sized to every CPU starves them and wedges the pipeline
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        conc = max(2, min(8, cpus - 2))
+        ds = rd.range(n_rows).map_batches(Gen, batch_size=256,
+                                          concurrency=conc,
                                           batch_format="pyarrow")
         ds = ds.materialize()
         ds.drop_columns(["t_left", "t_kind"]).write_parquet(clips_path)
