@@ -128,6 +128,9 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
 # Spectral band energies + energy-weighted SimHash
 # --------------------------------------------------------------------------
 
+_FRAME_SECONDS = 0.5
+
+
 def band_energies(
     pcm: np.ndarray, sr_hz: int, num_bands: int, fmin_hz: float, fmax_hz: float
 ) -> np.ndarray:
@@ -136,13 +139,32 @@ def band_energies(
     Band edges are fixed in Hz (independent of sample rate), and per-band
     power is averaged per Hz and normalized to sum 1 — so the vector is
     invariant to resampling (below ``fmax_hz``) and to truncation of a
-    stationary signal.  Uses one rfft over the clip.
+    stationary signal.
+
+    Spectra are estimated Welch-style: the clip is cut into frames of
+    ``_FRAME_SECONDS`` (length in SECONDS, not samples — a tone's measured
+    per-bin density scales with bin width, so bin width in Hz must match
+    across sample rates for resample invariance), one batched 2-D rfft
+    computes all frame spectra at once, and powers average across frames.
+    ~10-20x faster than a single whole-clip rfft (arbitrary clip lengths
+    hit pocketfft's Bluestein path for large prime factors) and a
+    lower-variance PSD estimate; 0.5 s frames give 2 Hz resolution, finer
+    than the narrowest log band (~2.8 Hz at the 100 Hz edge).
     """
     n = len(pcm)
     if n == 0:
         return np.zeros(num_bands, dtype=np.float64)
-    spec = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
-    freqs = np.fft.rfftfreq(n, d=1.0 / sr_hz)
+    x = pcm.astype(np.float64)
+    L = int(round(sr_hz * _FRAME_SECONDS))
+    if n >= 2 * L:
+        k = n // L
+        frames = x[: k * L].reshape(k, L)
+        spec = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+        n_fft = L
+    else:
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        n_fft = n
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr_hz)
     edges = np.geomspace(fmin_hz, fmax_hz, num_bands + 1)
     idx = np.searchsorted(freqs, edges)
     out = np.zeros(num_bands, dtype=np.float64)

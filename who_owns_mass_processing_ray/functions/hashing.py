@@ -127,6 +127,26 @@ def _pow_u64_vec(base: np.uint64, exps: np.ndarray) -> np.ndarray:
     return result
 
 
+def hash_binary_rows(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit content hash per binary row via blake2b (C, >1 GB/s).
+
+    The vectorized polynomial scheme in ``hash_strings`` allocates an
+    8x-size powers array over the concatenated buffer — fine for short
+    strings, pathological for multi-hundred-KB audio payloads (measured
+    12 ms/row); blake2b over zero-copy memoryview slices is ~0.2 ms/row.
+    """
+    import hashlib
+
+    data, offsets = _string_buffers(col)
+    mv = memoryview(data)
+    n = len(offsets) - 1
+    out = np.empty(n, dtype=_U64)
+    for i in range(n):
+        h = hashlib.blake2b(mv[offsets[i]:offsets[i + 1]], digest_size=8)
+        out[i] = int.from_bytes(h.digest(), "little")
+    return out
+
+
 def shingle_hashes(
     col: pa.Array | pa.ChunkedArray, k: int, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -124,9 +124,11 @@ class DecodeStats:
 def q_audio_decode_stats(sf_dir: str):
     """Decode every clip in an actor pool; per-clip sample count + RMS."""
     clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
     return clips.map_batches(DecodeStats, batch_format="pyarrow",
-                             batch_size=64, concurrency=(2, 4), num_cpus=1) \
-        .sort("clip_id")
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")
 
 
 class FrameSampler:
@@ -169,9 +171,11 @@ class FrameSampler:
 
 def q_audio_frames(sf_dir: str):
     clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
     return clips.map_batches(FrameSampler, batch_format="pyarrow",
-                             batch_size=64, concurrency=(2, 4), num_cpus=1) \
-        .sort("clip_id")
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")
 
 
 def q_image_decode_stub(sf_dir: str):
@@ -201,5 +205,8 @@ def q_image_decode_stub(sf_dir: str):
                 "decoded": pa.array([False] * len(bufs)),  # stub marker
             })
 
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
     return clips.map_batches(ImageDecodeStub, batch_format="pyarrow",
-                             batch_size=128, concurrency=2).sort("clip_id")
+                             batch_size=128,
+                             concurrency=pool_bounds(4)).sort("clip_id")

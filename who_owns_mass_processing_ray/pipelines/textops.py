@@ -117,9 +117,11 @@ def q_minhash_near_dup(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     from who_owns_mass_processing_ray.stages import pairs as pr
 
     ds = _docs(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
     band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
                                batch_format="pyarrow", batch_size=cfg.batch_size,
-                               concurrency=4)
+                               concurrency=pool_bounds(8))
     from ray.data.aggregate import Max
 
     cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
@@ -414,8 +416,11 @@ class LangID:
 def q_lang_id(sf_dir: str):
     """Language ID over documents (char-bigram cosine against per-language
     profiles held in actor state)."""
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
     return _docs(sf_dir).map_batches(
-        LangID, batch_format="pyarrow", batch_size=512, concurrency=2,
+        LangID, batch_format="pyarrow", batch_size=512,
+        concurrency=pool_bounds(4),
     ).sort("doc_id")
 
 

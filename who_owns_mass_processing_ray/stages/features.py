@@ -66,7 +66,7 @@ class ExtractFeatures:
         b_col = batch["bytes"]
         if isinstance(b_col, pa.ChunkedArray):
             b_col = b_col.combine_chunks()
-        b_hash = hx.hash_strings(b_col)
+        b_hash = hx.hash_binary_rows(b_col)
         with np.errstate(over="ignore"):
             exact_key = hx.splitmix64(t_hash * np.uint64(0xC2B2AE3D27D4EB4F) ^ b_hash)
         codecs = batch["codec"].to_pylist()
@@ -95,12 +95,20 @@ class ExtractFeatures:
 
 
 def extract_features(clips_ds, cfg: DedupConfig):
-    """clips Dataset -> narrow feature Dataset (the one wide-row pass)."""
+    """clips Dataset -> narrow feature Dataset (the one wide-row pass).
+
+    Pool bounds from ``stages.pool_bounds``: start at half the cluster
+    (autoscaling up from a tiny pool queued early tasks — profiled
+    effective parallelism ~10 of 32), cap below the cluster size so
+    downstream tasks of the same streaming pipeline never starve."""
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    lo, hi = pool_bounds(hi_cap=cfg.audio_concurrency[1])
     return clips_ds.map_batches(
         ExtractFeatures,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.audio_batch_size,
-        concurrency=cfg.audio_concurrency,
+        concurrency=(lo, hi),
         num_cpus=1,
     )

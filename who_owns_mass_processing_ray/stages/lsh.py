@@ -32,13 +32,10 @@ from who_owns_mass_processing_ray.functions import hashing as hx
 from who_owns_mass_processing_ray.stages import pairs as pr
 
 
-def _default_concurrency() -> int:
-    import ray
+def _default_concurrency() -> tuple:
+    from who_owns_mass_processing_ray.stages import pool_bounds
 
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    except Exception:
-        return 4
+    return pool_bounds()
 
 
 class MinHashBands:

@@ -311,14 +311,10 @@ def generate_clips_parquet(out_dir: str, n_rows: int, seed: int = 42,
                     "t_kind", pa.array(kind)
                 )
 
-        import ray
+        from who_owns_mass_processing_ray.stages import pool_bounds
 
-        # leave CPU headroom for downstream write/filter tasks — an actor
-        # pool sized to every CPU starves them and wedges the pipeline
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        conc = max(2, min(8, cpus - 2))
         ds = rd.range(n_rows).map_batches(Gen, batch_size=256,
-                                          concurrency=conc,
+                                          concurrency=pool_bounds(16),
                                           batch_format="pyarrow")
         ds = ds.materialize()
         ds.drop_columns(["t_left", "t_kind"]).write_parquet(clips_path)
