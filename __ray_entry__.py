@@ -45,6 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_entities": relational.q_union_entities,
         "split_rows": relational.q_split_rows,
         # --- dedup / text-analysis ops (documents table) --------------------
+        "cascade_match": relational.q_cascade_match,
+        "flag_features": textops.q_flag_features,
+        "extract_tokens": textops.q_extract_first_token,
+        "token_sort": textops.q_token_sort,
         "exact_dedup": textops.q_exact_dedup,
         "minhash_near_dup": textops.q_minhash_near_dup,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
@@ -170,6 +174,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM k GROUP BY key HAVING count(*) > 1)
             SELECT k.doc_id, g.group_id, g.group_size
             FROM k JOIN g USING (key) ORDER BY doc_id
+        """,
+        "cascade_match": """
+            WITH cand AS (
+                SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                       (o.o_totalprice >= 100 * e.value) AS strict
+                FROM events e JOIN orders o ON o.o_custkey = e.user_id),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_id
+                    ORDER BY strict DESC, o_orderdate DESC, o_orderkey ASC
+                ) AS rn FROM cand)
+            SELECT event_id, o_orderkey AS matched_order,
+                   strict AS matched_strict
+            FROM ranked WHERE rn = 1 ORDER BY event_id
+        """,
+        "flag_features": r"""
+            SELECT doc_id,
+                   regexp_matches(lower(text), '\b(query|scan|filter)\b')
+                       AS is_query,
+                   regexp_matches(lower(text), '\b(table|row|column)\b')
+                       AS is_storage,
+                   regexp_matches(lower(text), '\b(spark|hash|merge|sort)\b')
+                       AS is_exec
+            FROM documents ORDER BY doc_id
+        """,
+        "extract_tokens": r"""
+            SELECT doc_id,
+                   regexp_extract(text, '^(\S+)', 1) AS first_token,
+                   regexp_extract(text, '(\S+)$', 1) AS last_token
+            FROM documents ORDER BY doc_id
+        """,
+        "token_sort": """
+            SELECT doc_id,
+                   array_to_string(list_sort(string_split(text, ' ')), ' ')
+                       AS text_sorted
+            FROM documents ORDER BY doc_id
         """,
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -64,6 +64,44 @@ class TestResume:
         assert "features" in cached
         assert "edges_near" in recomputed
 
+    def test_partition_level_feature_resume(self, small_corpus, tmp_path):
+        """Deleting ONE features part file recomputes only that partition."""
+        import glob
+        import shutil
+
+        from who_owns_mass_processing_ray import synth
+        from who_owns_mass_processing_ray.pipelines import dedup
+
+        # multi-file input so there are several feature partitions
+        multi = str(tmp_path / "multi")
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(f"{multi}/clips", exist_ok=True)
+        src = pq.read_table(f"{small_corpus}/clips")
+        for i in range(4):
+            pq.write_table(src.slice(i * 100, 100),
+                           f"{multi}/clips/part-{i}.parquet")
+        ck = str(tmp_path / "ckp")
+        dedup.dedup_pipeline(f"{multi}/clips", CFG,
+                             checkpoint_dir=ck)["clusters"].count()
+        parts = sorted(glob.glob(f"{ck}/features/part-*.parquet"))
+        assert len(parts) == 4
+        os.remove(parts[1])
+        for stage in os.listdir(ck):
+            p = os.path.join(ck, stage)
+            if os.path.isdir(p) and stage != "features":
+                shutil.rmtree(p)
+        base = len(_lineage(ck))
+        dedup.dedup_pipeline(f"{multi}/clips", CFG,
+                             checkpoint_dir=ck)["clusters"].count()
+        new = [r for r in _lineage(ck)[base:] if r["stage"] == "features"]
+        cached = [r for r in new if r["cached"]]
+        fresh = [r for r in new if not r["cached"]]
+        assert len(cached) == 3 and len(fresh) == 1
+        assert fresh[0]["file"] == "part-part-1.parquet"
+
     def test_config_change_invalidates(self, small_corpus, tmp_path):
         from who_owns_mass_processing_ray.pipelines import dedup
 

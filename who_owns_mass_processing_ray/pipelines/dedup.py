@@ -62,10 +62,15 @@ def dedup_pipeline(
     components_method: str = "auto",
 ):
     """Run end-to-end from a Parquet path; returns dict of Datasets:
-    ``features``, ``edges``, ``clip_to_cluster``, ``clusters``."""
+    ``features``, ``edges``, ``clip_to_cluster``, ``clusters``.
+
+    With a ``checkpoint_dir``, the feature stage resumes at INPUT-FILE
+    granularity (checkpoint.partitioned_features) — only missing partitions
+    of the wide audio pass recompute after a kill."""
     return dedup_pipeline_from_dataset(
         read_clips(clips_path), cfg, checkpoint_dir=checkpoint_dir,
-        components_method=components_method, input_tag=clips_path)
+        components_method=components_method, input_tag=clips_path,
+        clips_path=clips_path)
 
 
 def dedup_pipeline_from_dataset(
@@ -74,6 +79,7 @@ def dedup_pipeline_from_dataset(
     checkpoint_dir: str | None = None,
     components_method: str = "auto",
     input_tag: str = "<dataset>",
+    clips_path: str | None = None,
 ):
     """Same DAG over an already-constructed clips Dataset (any source that
     matches the clip contract).  ``input_tag`` keys the checkpoint lineage."""
@@ -89,10 +95,13 @@ def dedup_pipeline_from_dataset(
         # re-execute the producing stage once per consumer.
         return ds if checkpoint_dir else ds.materialize()
 
-    feats = _pin(cache.run(
-        "features", cfg_fp,
-        lambda: features_mod.extract_features(clips_ds, cfg),
-    ))
+    if checkpoint_dir and clips_path:
+        feats = checkpoint.partitioned_features(clips_path, cfg, cache, cfg_fp)
+    else:
+        feats = _pin(cache.run(
+            "features", cfg_fp,
+            lambda: features_mod.extract_features(clips_ds, cfg),
+        ))
 
     e_exact = cache.run(
         "edges_exact", cfg_fp, lambda: exact.exact_edges(feats, cfg, num_parts))

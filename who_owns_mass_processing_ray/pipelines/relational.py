@@ -276,3 +276,75 @@ def q_split_rows(sf_dir: str):
     out = docs.map_batches(explode, batch_format="pyarrow") \
         .groupby(["doc_id", "word"]).aggregate(Count(alias_name="n"))
     return out.sort(["doc_id", "word"])
+
+
+def q_cascade_match(sf_dir: str):
+    """Cascading fallback match ≙ ``dedupe_address_to_address_seq``'s
+    multi-pass loosening cascade (/root/reference/R/deduplicaters.R:10-56)
+    and the route-transform-reunite bind_rows pattern: pass 1 matches each
+    event to its user's latest order with ``o_totalprice >= 100*value``
+    (strict key); rows left unmatched are FORWARDED to pass 2, which drops
+    the price predicate; results re-unite.  Deterministic: latest
+    o_orderdate, ties by min o_orderkey.  The orders side is broadcast once
+    (ray.put) as per-user sorted arrays."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                      "o_orderdate", "o_totalprice"])
+    import pyarrow.parquet as pq  # small side, read directly
+
+    otbl = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+    odf = otbl.to_pandas().sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"],
+        ascending=[True, False, True])
+    by_user = {
+        int(k): (g["o_orderkey"].to_numpy(), g["o_totalprice"].to_numpy())
+        for k, g in odf.groupby("o_custkey")
+    }
+    side_ref = ray.put(by_user)
+
+    def probe(t: pa.Table, strict: bool) -> pa.Table:
+        bu = ray.get(side_ref)
+        users = t["user_id"].to_numpy()
+        vals = t["value"].to_numpy()
+        n = len(t)
+        matched = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            entry = bu.get(int(users[i]))
+            if entry is None:
+                continue
+            keys, prices = entry
+            if strict:
+                ok = np.flatnonzero(prices >= 100.0 * vals[i])
+                if len(ok):
+                    matched[i] = keys[ok[0]]
+            else:
+                matched[i] = keys[0]
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "value": t["value"],
+            "matched_order": pa.array(matched),
+        })
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    pass1 = events.map_batches(lambda t: probe(t, True),
+                               batch_format="pyarrow").materialize()
+    hit1 = pass1.filter(expr="matched_order >= 0").map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "matched_order": t["matched_order"],
+            "matched_strict": pa.array([True] * len(t)),
+        }), batch_format="pyarrow")
+    # forward the unmatched remainder to the looser pass (route-reunite)
+    rest = pass1.filter(expr="matched_order < 0").map_batches(
+        lambda t: probe(t, False), batch_format="pyarrow")
+    hit2 = rest.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "matched_order": t["matched_order"],
+            "matched_strict": pa.array([False] * len(t)),
+        }), batch_format="pyarrow").filter(expr="matched_order >= 0")
+    return hit1.union(hit2).sort("event_id")

@@ -453,3 +453,81 @@ def q_doc_fingerprint(sf_dir: str):
         })
 
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Flag predicates + extraction + token-sort (std_flag_* / std_extract_* /
+# std_alphabetize_name capability classes)
+# ---------------------------------------------------------------------------
+
+FLAG_VOCABS = {
+    # ≙ std_flag_inst / std_flag_agent / std_flag_manager keyword vocabs
+    # (/root/reference/R/standardizers.R:1952-1973, 1907-1928)
+    "is_query": ["query", "scan", "filter"],
+    "is_storage": ["table", "row", "column"],
+    "is_exec": ["spark", "hash", "merge", "sort"],
+}
+
+
+def q_flag_features(sf_dir: str):
+    """Boolean keyword-vocab flags per doc ≙ the reference's ~9 std_flag_*
+    predicates — one compiled alternation regex per flag, all evaluated as
+    vectorized Arrow kernels in a single pass."""
+    ds = _docs(sf_dir)
+    regexes = {name: r"\b(" + "|".join(words) + r")\b"
+               for name, words in FLAG_VOCABS.items()}
+
+    def flags(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t["doc_id"]}
+        low = pc.utf8_lower(t["text"])
+        for name, rx in regexes.items():
+            cols[name] = pc.match_substring_regex(low, rx)
+        return pa.table(cols)
+
+    return ds.map_batches(flags, batch_format="pyarrow").sort("doc_id")
+
+
+def q_extract_first_token(sf_dir: str):
+    """Regex extraction into a column ≙ std_extract_zip / std_extract_address
+    (/root/reference/R/standardizers.R:609-625, 1148-1182): first token and
+    last token of each doc pulled out with one extract kernel each."""
+    ds = _docs(sf_dir)
+
+    def ext(t: pa.Table) -> pa.Table:
+        first = pc.extract_regex(t["text"], r"^(?P<tok>\S+)")
+        last = pc.extract_regex(t["text"], r"(?P<tok>\S+)$")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "first_token": pc.struct_field(first, "tok"),
+            "last_token": pc.struct_field(last, "tok"),
+        })
+
+    return ds.map_batches(ext, batch_format="pyarrow").sort("doc_id")
+
+
+def q_token_sort(sf_dir: str):
+    """Token-sorted text ≙ std_alphabetize_name explode→sort→reassemble
+    (/root/reference/R/standardizers.R:2180-2197), vectorized: one Arrow
+    split, one numpy lexsort over (doc, token), one grouped re-join."""
+    ds = _docs(sf_dir)
+
+    def srt(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(words)
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), n_per)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        order = np.lexsort((toks, doc_idx))
+        toks = toks[order]
+        # re-join per doc
+        out = []
+        pos = 0
+        for c in n_per:
+            out.append(" ".join(toks[pos:pos + c]))
+            pos += c
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_sorted": pa.array(out, pa.string()),
+        })
+
+    return ds.map_batches(srt, batch_format="pyarrow").sort("doc_id")

@@ -116,6 +116,107 @@ class StageCache:
         return rd.read_parquet(out_dir)
 
 
+def partitioned_features(clips_path: str, cfg, cache: "StageCache",
+                         fingerprint: str):
+    """PER-PARTITION resumable feature extraction: one output Parquet part
+    per INPUT file, computed by an actor pool over the pending file list and
+    written atomically (tmp + rename).  A rerun lists the input files,
+    skips every part whose output already exists under the current
+    fingerprint, and computes only the missing ones — the partition-level
+    resume the north rule asks for on the one stage that touches the wide
+    audio rows (stage-level granularity remains for shuffled stages, whose
+    partial output is not resumable — SURVEY.md §7.3).
+
+    Reference analog: ``load_read_write`` caches whole tables
+    (/root/reference/R/loaders.R:373-438); this is the same gate at input-
+    file granularity.  Expressed with ray.data over the file list (each
+    task = read one file -> featurize -> write one part) because Dataset
+    map_batches cannot bind outputs to input files; this is the documented
+    "raw-task-style stage" exception.
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+    from who_owns_mass_processing_ray.stages.features import ExtractFeatures
+
+    out_dir = cache._dir("features")
+    fp_path = os.path.join(out_dir, "_FINGERPRINT")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            if f.read().strip() != fingerprint:
+                shutil.rmtree(out_dir)
+                os.makedirs(out_dir)
+    with open(fp_path, "w") as f:
+        f.write(fingerprint)
+
+    files = sorted(glob.glob(os.path.join(clips_path, "*.parquet")))
+    if not files:
+        files = [clips_path] if clips_path.endswith(".parquet") else files
+    part_of = {f: os.path.join(
+        out_dir, f"part-{os.path.splitext(os.path.basename(f))[0]}.parquet")
+        for f in files}
+    pending = [f for f in files if not os.path.exists(part_of[f])]
+    done = [f for f in files if os.path.exists(part_of[f])]
+    cache._log_lineage([{
+        "stage": "features", "partition_id": i,
+        "input_fingerprint": fingerprint, "rows_out": -1, "wall_ms": 0,
+        "cached": True, "file": os.path.basename(part_of[f]),
+    } for i, f in enumerate(done)])
+
+    if pending:
+        cfg_ref = ray.put(cfg)
+
+        class FileWorker:
+            """One task per input file: read -> featurize -> atomic write."""
+
+            def __init__(self):
+                self.ex = ExtractFeatures(ray.get(cfg_ref))
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                rows = []
+                for src, dst in zip(batch["src"].to_pylist(),
+                                    batch["dst"].to_pylist()):
+                    t0 = time.monotonic()
+                    tbl = pq.read_table(src)
+                    outs = [self.ex(tbl.slice(s, 256))
+                            for s in range(0, tbl.num_rows, 256)]
+                    out = pa.concat_tables(outs) if outs else self.ex(tbl)
+                    tmp = dst + ".tmp"
+                    pq.write_table(out, tmp)
+                    os.replace(tmp, dst)
+                    rows.append({
+                        "file": os.path.basename(dst),
+                        "rows_out": out.num_rows,
+                        "wall_ms": int((time.monotonic() - t0) * 1000),
+                    })
+                return pa.table({
+                    "file": pa.array([r["file"] for r in rows]),
+                    "rows_out": pa.array([r["rows_out"] for r in rows]),
+                    "wall_ms": pa.array([r["wall_ms"] for r in rows]),
+                })
+
+        items = [{"src": f, "dst": part_of[f]} for f in pending]
+        lineage_tbl = rd.from_items(items).map_batches(
+            FileWorker, batch_size=1, batch_format="pyarrow",
+            concurrency=pool_bounds(), num_cpus=1,
+        ).to_pandas()
+        cache._log_lineage([{
+            "stage": "features", "partition_id": len(done) + i,
+            "input_fingerprint": fingerprint,
+            "rows_out": int(r.rows_out), "wall_ms": int(r.wall_ms),
+            "cached": False, "file": r.file,
+        } for i, r in enumerate(lineage_tbl.itertuples())])
+    with open(cache._success_path("features"), "w") as f:
+        f.write(fingerprint)
+    return rd.read_parquet(out_dir, file_extensions=["parquet"])
+
+
 def fingerprint_of(*parts) -> str:
     """Stable fingerprint string from config + input descriptors."""
     import hashlib
