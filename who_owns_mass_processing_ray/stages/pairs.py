@@ -21,11 +21,14 @@ profiling showed dominated stage wall time).
 
 Hot buckets (degenerate shingles, silence fingerprints — the skew the
 reference never had to handle because it was single-process, SURVEY.md §4)
-are capped at ``max_bucket`` members: the first ``max_bucket`` ids in sort
-order are kept, the rest dropped, and the drop is COUNTED into the emitted
-``dropped`` column — never silent.  Determinism: membership, orientation
-(left < right by value) and pair order depend only on (bucket_key, id),
-not on arrival order or parallelism.
+are SALTED, not truncated: members split into hash-salted sub-buckets of
+``max_bucket`` with full pairs inside each, plus a star from the bucket
+minimum — O(n·max_bucket) pairs, with union-find transitivity through the
+star center recovering cross-salt merges after verification.  The affected
+member count is emitted in the ``dropped`` column (the skew metric — never
+silent).  Determinism: membership, orientation (left < right by value) and
+pair order depend only on (bucket_key, id), not on arrival order or
+parallelism.
 """
 
 from __future__ import annotations
@@ -35,30 +38,95 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _triangular_pairs(sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """Vectorized within-segment pair expansion.
-
-    ``sizes`` are segment lengths after sorting by (key, id).  Returns
-    (left_local, right_local, dropped): local indices (relative to each
-    segment start, repeated per segment) for all i<j pairs of the first
-    ``min(size, cap)`` members, plus the total dropped-row count.
-    """
-    m = np.minimum(sizes, cap)
-    dropped = int((sizes - m).sum())
-    P = m * (m - 1) // 2
-    tot = int(P.sum())
-    if tot == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64), dropped
-    cum = np.zeros(len(P) + 1, dtype=np.int64)
-    np.cumsum(P, out=cum[1:])
-    r = np.arange(tot, dtype=np.int64) - np.repeat(cum[:-1], P)
-    # decode pair rank r -> (i, j), i < j, pairs ordered by j then i:
-    # j = floor((1+sqrt(8r+1))/2), i = r - j(j-1)/2  (exact for j <= cap)
+def _decode_triangular(r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """pair rank r -> (i, j), i < j, pairs ordered by j then i:
+    j = floor((1+sqrt(8r+1))/2), i = r - j(j-1)/2  (exact for j <= ~2^25)."""
     j = ((1.0 + np.sqrt(8.0 * r + 1.0)) // 2.0).astype(np.int64)
     j = np.where(r < j * (j - 1) // 2, j - 1, j)
     j = np.where(r >= (j + 1) * j // 2, j + 1, j)
     i = r - j * (j - 1) // 2
-    return i, j, dropped
+    return i, j
+
+
+def _triangular_pairs(sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized within-segment pair expansion with SALTED hot buckets.
+
+    ``sizes`` are segment lengths after sorting by (key, id).  Segments up
+    to ``cap`` expand to all i<j pairs.  HOT segments (> cap) are not
+    silently truncated: members split into ceil(n/cap) hash-salted
+    sub-buckets with full pairs inside each, plus a star from the segment
+    minimum to every member — O(n·cap) pairs instead of O(n²).  A pair of
+    genuinely-duplicate members in different salt groups still merges after
+    verification via union-find transitivity through the star center (hot
+    buckets are overwhelmingly near-identical content).  ``salted`` counts
+    the hot-segment members for the stage metrics (visible, never silent).
+
+    Returns (seg_of_pair, left_local, right_local, salted_members): local
+    indices relative to each segment start.
+    """
+    n_seg = len(sizes)
+    small = sizes <= cap
+    m = np.where(small, sizes, 0)
+    P = m * (m - 1) // 2
+    tot = int(P.sum())
+    lefts: list[np.ndarray] = []
+    rights: list[np.ndarray] = []
+    if tot:
+        cum = np.zeros(n_seg + 1, dtype=np.int64)
+        np.cumsum(P, out=cum[1:])
+        r = np.arange(tot, dtype=np.int64) - np.repeat(cum[:-1], P)
+        i, j = _decode_triangular(r)
+        seg = np.repeat(np.arange(n_seg), P)
+        lefts.append(i)
+        rights.append(j)
+        segs = [seg]
+    else:
+        segs = []
+
+    hot = np.flatnonzero(~small)
+    salted = int(sizes[hot].sum())
+    for h in hot:
+        n = int(sizes[h])
+        # star: min member to every other member
+        star_r = np.arange(1, n, dtype=np.int64)
+        # salt groups: member k -> group hash(k) % n_groups (deterministic
+        # in the member's position within the sorted segment)
+        n_groups = -(-n // cap)
+        grp = (np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               >> np.uint64(40)) % np.uint64(n_groups)
+        order = np.argsort(grp, kind="stable")
+        gs = grp[order]
+        change = np.flatnonzero(gs[1:] != gs[:-1]) + 1
+        g_starts = np.concatenate(([0], change))
+        g_sizes = np.diff(np.concatenate((g_starts, [n])))
+        gp = g_sizes * (g_sizes - 1) // 2
+        g_tot = int(gp.sum())
+        if g_tot:
+            gcum = np.zeros(len(gp) + 1, dtype=np.int64)
+            np.cumsum(gp, out=gcum[1:])
+            gr = np.arange(g_tot, dtype=np.int64) - np.repeat(gcum[:-1], gp)
+            gi, gj = _decode_triangular(gr)
+            gseg = np.repeat(np.arange(len(gp)), gp)
+            base = g_starts[gseg]
+            li = order[base + gi]
+            rj = order[base + gj]
+            # canonical orientation within the sorted segment
+            lo = np.minimum(li, rj)
+            hi_ = np.maximum(li, rj)
+        else:
+            lo = np.empty(0, np.int64)
+            hi_ = np.empty(0, np.int64)
+        lefts.append(np.concatenate((np.zeros(n - 1, np.int64), lo)))
+        rights.append(np.concatenate((star_r, hi_)))
+        segs.append(np.full(n - 1 + len(lo), h, dtype=np.int64))
+
+    if not lefts:
+        e = np.empty(0, np.int64)
+        return e, e, e, salted
+    left = np.concatenate(lefts)
+    right = np.concatenate(rights)
+    seg_all = np.concatenate(segs)
+    return seg_all, left, right, salted
 
 
 def expand_partition_pairs(
@@ -83,10 +151,7 @@ def expand_partition_pairs(
     change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
     starts = np.concatenate(([0], change))
     sizes = np.diff(np.concatenate((starts, [len(keys)])))
-    li, lj, dropped = _triangular_pairs(sizes, max_bucket)
-    m = np.minimum(sizes, max_bucket)
-    P = m * (m - 1) // 2
-    seg_of_pair = np.repeat(np.arange(len(sizes)), P)
+    seg_of_pair, li, lj, dropped = _triangular_pairs(sizes, max_bucket)
     base = starts[seg_of_pair]
     left_idx = base + li
     right_idx = base + lj
