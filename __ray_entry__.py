@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_rows": relational.q_split_rows,
         # --- dedup / text-analysis ops (documents table) --------------------
         "cascade_match": relational.q_cascade_match,
+        "window_agg": relational.q_window_agg,
+        "fuzzy_join": textops.q_fuzzy_join,
         "flag_features": textops.q_flag_features,
         "extract_tokens": textops.q_extract_first_token,
         "token_sort": textops.q_token_sort,
@@ -188,6 +190,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, o_orderkey AS matched_order,
                    strict AS matched_strict
             FROM ranked WHERE rn = 1 ORDER BY event_id
+        """,
+        "window_agg": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   round(sum(value), 2) AS value_sum,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "fuzzy_join": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract(text, '^(\S+)', 1) AS first_token
+                FROM documents),
+            v(w) AS (VALUES ('batch'),('column'),('filter'),('group'),
+                            ('hash'),('join'),('key'),('line'),('merge'),
+                            ('order'),('query'),('row'),('scan'),('sort'),
+                            ('spark'),('stream'),('table'),('value'),
+                            ('vector'),('window')),
+            ranked AS (
+                SELECT doc_id, first_token, w,
+                       levenshtein(first_token, w) AS d,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY levenshtein(first_token, w), w) AS rn
+                FROM t CROSS JOIN v)
+            SELECT doc_id, first_token,
+                   CASE WHEN d <= 2 THEN w END AS matched_word,
+                   CASE WHEN d <= 2 THEN d ELSE -1 END AS edit_dist
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         "flag_features": r"""
             SELECT doc_id,

@@ -348,3 +348,29 @@ def q_cascade_match(sf_dir: str):
             "matched_strict": pa.array([False] * len(t)),
         }), batch_format="pyarrow").filter(expr="matched_order >= 0")
     return hit1.union(hit2).sort("event_id")
+
+
+def q_window_agg(sf_dir: str):
+    """Tumbling-window aggregate (the streaming-window capability class the
+    reference lacks, SURVEY.md §2.9): per (user, UTC hour) event count +
+    value sum.  Window key derived vectorized in map_batches; partial
+    aggregation combines map-side before the shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"user_id": t["user_id"], "hour": hour,
+                         "value": t["value"]})
+
+    out = ds.map_batches(keyed, batch_format="pyarrow") \
+        .groupby(["user_id", "hour"]).aggregate(
+            Sum("value", alias_name="value_sum"),
+            Count(alias_name="n_events"))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return round_col(t, "value_sum", 2)
+
+    return out.map_batches(rnd, batch_format="pyarrow") \
+        .sort(["user_id", "hour"])

@@ -531,3 +531,71 @@ def q_token_sort(sf_dir: str):
         })
 
     return ds.map_batches(srt, batch_format="pyarrow").sort("doc_id")
+
+
+# fixed match vocabulary for the fuzzy join (≙ the reference's ~1.5k places
+# table; deliberately small + declared inline)
+FUZZY_VOCAB = ["table", "query", "spark", "merge", "batch", "window", "vector",
+               "stream", "filter", "hash", "sort", "scan", "group", "order",
+               "join", "row", "column", "value", "line", "key"]
+
+
+def _edit_distance_matrix(tokens: list[str], vocab: list[str]) -> np.ndarray:
+    """Levenshtein distance of every token to every vocab word — one
+    banded DP per vocab word over the whole token batch (numpy rows)."""
+    out = np.zeros((len(tokens), len(vocab)), dtype=np.int64)
+    for j, w in enumerate(vocab):
+        for i, t in enumerate(tokens):
+            t = t or ""
+            m, n = len(t), len(w)
+            if abs(m - n) > 4:
+                out[i, j] = abs(m - n)
+                continue
+            prev = list(range(n + 1))
+            for a in range(1, m + 1):
+                cur = [a] + [0] * n
+                ca = t[a - 1]
+                for b in range(1, n + 1):
+                    cur[b] = min(prev[b] + 1, cur[b - 1] + 1,
+                                 prev[b - 1] + (ca != w[b - 1]))
+                prev = cur
+            out[i, j] = prev[n]
+    return out
+
+
+class FuzzyJoin:
+    """Actor: vocab held in state (≙ the reference's fuzzy
+    Damerau-Levenshtein places join, /root/reference/R/standardizers.R:
+    1564-1670, 'std_munis_by_places' 3rd pass) — per batch, match each
+    doc's FIRST token to the closest vocab word with edit distance <= 2,
+    ties by lexicographic min word."""
+
+    def __init__(self):
+        self.vocab = sorted(FUZZY_VOCAB)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        first = pc.struct_field(
+            pc.extract_regex(t["text"], r"^(?P<tok>\S+)"), "tok")
+        toks = first.to_pylist()
+        d = _edit_distance_matrix(toks, self.vocab)
+        best = d.argmin(axis=1)  # ties -> first (vocab sorted -> lexic. min)
+        bestd = d[np.arange(len(toks)), best]
+        ok = bestd <= 2
+        out = pa.table({
+            "doc_id": t["doc_id"],
+            "first_token": first,
+            "matched_word": pa.array(
+                [self.vocab[b] if k else None
+                 for b, k in zip(best, ok)], pa.string()),
+            "edit_dist": pa.array(np.where(ok, bestd, -1).astype(np.int64)),
+        })
+        return out
+
+
+def q_fuzzy_join(sf_dir: str):
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return _docs(sf_dir).map_batches(
+        FuzzyJoin, batch_format="pyarrow", batch_size=512,
+        concurrency=pool_bounds(4),
+    ).sort("doc_id")
