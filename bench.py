@@ -86,7 +86,9 @@ def run_bench(flagship_only: bool = False) -> dict:
     return out
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "40000"))
+# sized so the flagship is compute-dominated at 32 CPUs (fixed stage
+# orchestration otherwise caps measurable scaling on a single node)
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "80000"))
 SCALING_DIR = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
 
 

@@ -85,13 +85,14 @@ def _triangular_pairs(sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarr
 
     hot = np.flatnonzero(~small)
     salted = int(sizes[hot].sum())
+    SALT_GROUP = 32  # pairs per hot member ~ SALT_GROUP/2 + 1 (star)
     for h in hot:
         n = int(sizes[h])
         # star: min member to every other member
         star_r = np.arange(1, n, dtype=np.int64)
         # salt groups: member k -> group hash(k) % n_groups (deterministic
         # in the member's position within the sorted segment)
-        n_groups = -(-n // cap)
+        n_groups = -(-n // SALT_GROUP)
         grp = (np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                >> np.uint64(40)) % np.uint64(n_groups)
         order = np.argsort(grp, kind="stable")
