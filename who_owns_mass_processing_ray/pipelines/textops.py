@@ -30,7 +30,14 @@ from who_owns_mass_processing_ray.config import DedupConfig
 from who_owns_mass_processing_ray.functions import hashing as hx
 from who_owns_mass_processing_ray.functions.numeric import round_half_away
 
-DOCS_CFG = DedupConfig(shingle_k=5, jaccard_thresh=0.7)  # num_parts auto = 4x CPUs
+# 48 bands x 3 rows (vs the flagship's 32x4): the oracle for
+# q_minhash_near_dup is the EXACT brute-force Jaccard SQL, so the LSH miss
+# probability is a driver-flake probability.  At J=0.7 a pair is missed with
+# p = (1-0.7^3)^48 ≈ 2e-9 (vs ~1.5e-4 for 32x4) — negligible at any test
+# scale factor; the flagship keeps 32x4 where recall 0.99 is the bar and
+# candidate volume matters more.
+DOCS_CFG = DedupConfig(shingle_k=5, jaccard_thresh=0.7, num_perm=144,
+                       lsh_bands=48, lsh_rows=3)  # num_parts auto = 4x CPUs
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
@@ -54,6 +61,10 @@ def q_exact_dedup(sf_dir: str, key_chars: int = 40):
     ds = _docs(sf_dir)
 
     def keyed(t: pa.Table) -> pa.Table:
+        # utf8_slice_codeunits slices by Unicode CODEPOINTS despite the name
+        # (verified: slice('héllo wörld',0,3) == 'hél'), matching the DuckDB
+        # oracle's character-based substr() on non-ASCII text too — see
+        # tests/test_textops_oracles.py::test_exact_dedup_key_non_ascii.
         key = pc.utf8_slice_codeunits(t["text"], 0, key_chars)
         return pa.table({"doc_id": t["doc_id"], "key": key})
 
@@ -496,10 +507,11 @@ def q_extract_first_token(sf_dir: str):
     def ext(t: pa.Table) -> pa.Table:
         first = pc.extract_regex(t["text"], r"^(?P<tok>\S+)")
         last = pc.extract_regex(t["text"], r"(?P<tok>\S+)$")
+        # no-match -> '' (DuckDB regexp_extract semantics), not null
         return pa.table({
             "doc_id": t["doc_id"],
-            "first_token": pc.struct_field(first, "tok"),
-            "last_token": pc.struct_field(last, "tok"),
+            "first_token": pc.fill_null(pc.struct_field(first, "tok"), ""),
+            "last_token": pc.fill_null(pc.struct_field(last, "tok"), ""),
         })
 
     return ds.map_batches(ext, batch_format="pyarrow").sort("doc_id")
@@ -540,15 +552,28 @@ FUZZY_VOCAB = ["table", "query", "spark", "merge", "batch", "window", "vector",
                "join", "row", "column", "value", "line", "key"]
 
 
-def _edit_distance_matrix(tokens: list[str], vocab: list[str]) -> np.ndarray:
+_BAND_LIMIT = 4  # |len(a)-len(b)| > limit short-circuits to the lower bound
+
+
+def _edit_distance_matrix(tokens: list[str], vocab: list[str],
+                          match_thresh: int = 2) -> np.ndarray:
     """Levenshtein distance of every token to every vocab word — one
-    banded DP per vocab word over the whole token batch (numpy rows)."""
+    banded DP per vocab word over the whole token batch (numpy rows).
+
+    The |m-n| > _BAND_LIMIT shortcut returns the LOWER BOUND abs(m-n)
+    instead of the true distance, which is only safe when the caller's
+    match threshold is <= _BAND_LIMIT (the shortcut value already exceeds
+    the threshold, so the argmin winner among candidates within the band is
+    unaffected) — asserted here so reuse with a larger threshold fails loud
+    instead of silently selecting wrong argmin words."""
+    assert match_thresh <= _BAND_LIMIT, (
+        f"banded shortcut valid only for thresholds <= {_BAND_LIMIT}")
     out = np.zeros((len(tokens), len(vocab)), dtype=np.int64)
     for j, w in enumerate(vocab):
         for i, t in enumerate(tokens):
             t = t or ""
             m, n = len(t), len(w)
-            if abs(m - n) > 4:
+            if abs(m - n) > _BAND_LIMIT:
                 out[i, j] = abs(m - n)
                 continue
             prev = list(range(n + 1))
@@ -574,10 +599,12 @@ class FuzzyJoin:
         self.vocab = sorted(FUZZY_VOCAB)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        first = pc.struct_field(
-            pc.extract_regex(t["text"], r"^(?P<tok>\S+)"), "tok")
+        # no-match -> '' to mirror the DuckDB oracle's regexp_extract
+        # (which yields '' for empty / whitespace-leading texts, not null)
+        first = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["text"], r"^(?P<tok>\S+)"), "tok"), "")
         toks = first.to_pylist()
-        d = _edit_distance_matrix(toks, self.vocab)
+        d = _edit_distance_matrix(toks, self.vocab, match_thresh=2)
         best = d.argmin(axis=1)  # ties -> first (vocab sorted -> lexic. min)
         bestd = d[np.arange(len(toks)), best]
         ok = bestd <= 2

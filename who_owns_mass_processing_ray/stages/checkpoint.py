@@ -144,6 +144,19 @@ def partitioned_features(clips_path: str, cfg, cache: "StageCache",
     from who_owns_mass_processing_ray.stages import pool_bounds
     from who_owns_mass_processing_ray.stages.features import ExtractFeatures
 
+    files = sorted(glob.glob(os.path.join(clips_path, "*.parquet")))
+    if not files:
+        files = [clips_path] if clips_path.endswith(".parquet") else files
+    # The fingerprint covers config + the CONCRETE input file list with
+    # sizes/mtimes, not just the path string: an input file removed, renamed
+    # or rewritten in place between runs sharing a checkpoint dir must
+    # invalidate the cache, else orphaned part files would be read back and
+    # duplicate/resurrect rows (breaking row preservation).
+    fingerprint = fingerprint_of(
+        fingerprint,
+        [(os.path.basename(f), os.path.getsize(f),
+          int(os.path.getmtime(f) * 1000)) for f in files])
+
     out_dir = cache._dir("features")
     fp_path = os.path.join(out_dir, "_FINGERPRINT")
     os.makedirs(out_dir, exist_ok=True)
@@ -155,12 +168,15 @@ def partitioned_features(clips_path: str, cfg, cache: "StageCache",
     with open(fp_path, "w") as f:
         f.write(fingerprint)
 
-    files = sorted(glob.glob(os.path.join(clips_path, "*.parquet")))
-    if not files:
-        files = [clips_path] if clips_path.endswith(".parquet") else files
     part_of = {f: os.path.join(
         out_dir, f"part-{os.path.splitext(os.path.basename(f))[0]}.parquet")
         for f in files}
+    # drop any part file not produced by the current input list (belt and
+    # braces on top of the file-list fingerprint above)
+    expected = {os.path.basename(p) for p in part_of.values()}
+    for p in os.listdir(out_dir):
+        if p.endswith(".parquet") and p not in expected:
+            os.remove(os.path.join(out_dir, p))
     pending = [f for f in files if not os.path.exists(part_of[f])]
     done = [f for f in files if os.path.exists(part_of[f])]
     cache._log_lineage([{

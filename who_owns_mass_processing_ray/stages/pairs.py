@@ -21,10 +21,12 @@ profiling showed dominated stage wall time).
 
 Hot buckets (degenerate shingles, silence fingerprints — the skew the
 reference never had to handle because it was single-process, SURVEY.md §4)
-are SALTED, not truncated: members split into hash-salted sub-buckets of
-``max_bucket`` with full pairs inside each, plus a star from the bucket
-minimum — O(n·max_bucket) pairs, with union-find transitivity through the
-star center recovering cross-salt merges after verification.  The affected
+are SALTED, not truncated: members split into hash-salted sub-buckets
+(size min(max_bucket, 64)) with full pairs inside each — TWO independent
+saltings so cross-group connectivity never hinges on one edge — plus a star
+from the bucket minimum: O(n·group) pairs, with union-find transitivity
+through the overlapping salt partitions recovering cross-salt merges after
+verification.  The affected
 member count is emitted in the ``dropped`` column (the skew metric — never
 silent).  Determinism: membership, orientation (left < right by value) and
 pair order depend only on (bucket_key, id), not on arrival order or
@@ -53,13 +55,15 @@ def _triangular_pairs(sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarr
 
     ``sizes`` are segment lengths after sorting by (key, id).  Segments up
     to ``cap`` expand to all i<j pairs.  HOT segments (> cap) are not
-    silently truncated: members split into ceil(n/cap) hash-salted
-    sub-buckets with full pairs inside each, plus a star from the segment
-    minimum to every member — O(n·cap) pairs instead of O(n²).  A pair of
-    genuinely-duplicate members in different salt groups still merges after
-    verification via union-find transitivity through the star center (hot
-    buckets are overwhelmingly near-identical content).  ``salted`` counts
-    the hot-segment members for the stage metrics (visible, never silent).
+    silently truncated: members split into hash-salted sub-buckets of size
+    min(cap, 64), with full pairs inside each, under TWO independent
+    saltings, plus a star from the segment minimum to every member —
+    O(n·group) pairs instead of O(n²).  A pair of genuinely-duplicate
+    members in different salt groups still merges after verification via
+    union-find transitivity: round-1 groups bridge round-0 groups (hot
+    buckets are overwhelmingly near-identical content), and the star adds a
+    further hub.  ``salted`` counts the hot-segment members for the stage
+    metrics (visible, never silent).
 
     Returns (seg_of_pair, left_local, right_local, salted_members): local
     indices relative to each segment start.
@@ -85,24 +89,38 @@ def _triangular_pairs(sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarr
 
     hot = np.flatnonzero(~small)
     salted = int(sizes[hot].sum())
-    SALT_GROUP = 32  # pairs per hot member ~ SALT_GROUP/2 + 1 (star)
+    # Salt-group size: sub-buckets of the configured cap, bounded at 64 so a
+    # huge cap never re-creates the quadratic blowup (pairs per hot member
+    # ~ SALT_ROUNDS * g/2 + 1).  TWO independent saltings are run so
+    # connectivity inside a hot bucket does NOT hinge on the star center
+    # being a true duplicate: round-0 groups merge internally, and round-1
+    # groups (an independent partition of the same members) bridge across
+    # round-0 groups, so a true cross-group pair connects through verified
+    # intermediate edges even when the star-center edge is refuted.
+    g_size = max(2, min(cap, 64))
+    SALT_ROUNDS = 2
     for h in hot:
         n = int(sizes[h])
         # star: min member to every other member
-        star_r = np.arange(1, n, dtype=np.int64)
-        # salt groups: member k -> group hash(k) % n_groups (deterministic
-        # in the member's position within the sorted segment)
-        n_groups = -(-n // SALT_GROUP)
-        grp = (np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-               >> np.uint64(40)) % np.uint64(n_groups)
-        order = np.argsort(grp, kind="stable")
-        gs = grp[order]
-        change = np.flatnonzero(gs[1:] != gs[:-1]) + 1
-        g_starts = np.concatenate(([0], change))
-        g_sizes = np.diff(np.concatenate((g_starts, [n])))
-        gp = g_sizes * (g_sizes - 1) // 2
-        g_tot = int(gp.sum())
-        if g_tot:
+        star_lefts = [np.zeros(n - 1, np.int64)]
+        star_rights = [np.arange(1, n, dtype=np.int64)]
+        n_groups = -(-n // g_size)
+        for rnd in range(SALT_ROUNDS):
+            # salt groups: member k -> group hash(k, round) % n_groups
+            # (deterministic in the member's position within the sorted
+            # segment — independent permutations per round)
+            mix = np.uint64([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F][rnd])
+            grp = ((np.arange(n, dtype=np.uint64) + np.uint64(rnd * 0x10001))
+                   * mix >> np.uint64(40)) % np.uint64(n_groups)
+            order = np.argsort(grp, kind="stable")
+            gs = grp[order]
+            change = np.flatnonzero(gs[1:] != gs[:-1]) + 1
+            g_starts = np.concatenate(([0], change))
+            g_sizes = np.diff(np.concatenate((g_starts, [n])))
+            gp = g_sizes * (g_sizes - 1) // 2
+            g_tot = int(gp.sum())
+            if not g_tot:
+                continue
             gcum = np.zeros(len(gp) + 1, dtype=np.int64)
             np.cumsum(gp, out=gcum[1:])
             gr = np.arange(g_tot, dtype=np.int64) - np.repeat(gcum[:-1], gp)
@@ -112,14 +130,13 @@ def _triangular_pairs(sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarr
             li = order[base + gi]
             rj = order[base + gj]
             # canonical orientation within the sorted segment
-            lo = np.minimum(li, rj)
-            hi_ = np.maximum(li, rj)
-        else:
-            lo = np.empty(0, np.int64)
-            hi_ = np.empty(0, np.int64)
-        lefts.append(np.concatenate((np.zeros(n - 1, np.int64), lo)))
-        rights.append(np.concatenate((star_r, hi_)))
-        segs.append(np.full(n - 1 + len(lo), h, dtype=np.int64))
+            star_lefts.append(np.minimum(li, rj))
+            star_rights.append(np.maximum(li, rj))
+        seg_l = np.concatenate(star_lefts)
+        seg_r = np.concatenate(star_rights)
+        lefts.append(seg_l)
+        rights.append(seg_r)
+        segs.append(np.full(len(seg_l), h, dtype=np.int64))
 
     if not lefts:
         e = np.empty(0, np.int64)
