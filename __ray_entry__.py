@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search (embeddings table) ---------------------------
         "knn_brute": vectors.q_knn_brute,
         "embed_near_dup": vectors.q_embed_near_dup,
+        "embed_near_dup_ivf": vectors.q_embed_near_dup_ivf,
         "knn_ivf": vectors.q_knn_ivf,
         # --- flagship dedup DAG + multimodal plumbing -----------------------
         "dedup_clusters": multimodal.q_dedup_clusters,

@@ -81,6 +81,21 @@ def test_ivf_recall_vs_brute(ray_session):
     assert recall >= 0.8, f"IVF recall {recall}"
 
 
+def test_embed_ivf_recall_vs_exact(ray_session):
+    """Bucketed near-dup must keep recall >= 0.8 vs the exact path, with
+    precision 1.0 (every emitted pair's cosine is exact)."""
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    exact = vectors.q_embed_near_dup(SF_DIR).to_pandas()
+    ivf = vectors.q_embed_near_dup_ivf(SF_DIR).to_pandas()
+    e = set(zip(exact.left_id, exact.right_id))
+    i = set(zip(ivf.left_id, ivf.right_id))
+    assert i <= e, "IVF emitted a pair the exact path did not (precision<1)"
+    if e:
+        recall = len(e & i) / len(e)
+        assert recall >= 0.8, f"IVF near-dup recall {recall}"
+
+
 def test_lang_id_deterministic(ray_session):
     from who_owns_mass_processing_ray.pipelines import textops
 

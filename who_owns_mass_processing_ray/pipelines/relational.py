@@ -87,19 +87,24 @@ def q_counts_in_group(sf_dir: str):
 def q_mode_per_group(sf_dir: str):
     """Most-frequent value per group ≙ ``dedupe_text_mode`` canonical-name
     election (/root/reference/R/deduplicaters.R:290-311); ties break by
-    lexicographic min — deterministic under any parallelism."""
-    import pandas as pd
+    lexicographic min — deterministic under any parallelism.
+
+    Two-level: count (lang, source) pairs first — partial aggregation
+    combines map-side, so only the TINY distinct-pair count table shuffles,
+    never the full rows (a low-cardinality groupby on the raw table would
+    funnel every row into 5 groups — the r1 skew anti-pattern)."""
+    from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", ["lang", "source"])
+    counts = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="ct"))
 
-    def elect(g: pd.DataFrame) -> pd.DataFrame:
-        counts = (g.groupby(["lang", "source"]).size().rename("ct").reset_index()
-                  .sort_values(["lang", "ct", "source"],
-                               ascending=[True, False, True]))
-        top = counts.groupby("lang").head(1)
-        return top[["lang", "source"]].rename(columns={"source": "mode_source"})
+    def argmax(g: pa.Table) -> pa.Table:
+        top = g.sort_by([("lang", "ascending"), ("ct", "descending"),
+                         ("source", "ascending")]).slice(0, 1)
+        return pa.table({"lang": top["lang"], "mode_source": top["source"]})
 
-    return ds.groupby("lang").map_groups(elect, batch_format="pandas").sort("lang")
+    return counts.groupby("lang").map_groups(
+        argmax, batch_format="pyarrow").sort("lang")
 
 
 def q_group_fill(sf_dir: str):
@@ -289,39 +294,53 @@ def q_cascade_match(sf_dir: str):
     (ray.put) as per-user sorted arrays."""
     import ray
 
+    # Broadcast side: the projected orders table, gathered from the Dataset's
+    # own blocks (NOT a driver pq.read_table — the read stays distributed and
+    # column-pruned), sorted once with Arrow's C kernel, and shipped as flat
+    # numpy arrays + per-user segment offsets.  Above joins.BROADCAST_ROW_LIMIT
+    # rows this side must become a partitioned Dataset.join keyed on user —
+    # the same adaptive swap stages/joins.attach_columns performs.
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
                                       "o_orderdate", "o_totalprice"])
-    import pyarrow.parquet as pq  # small side, read directly
-
-    otbl = pq.read_table(f"{sf_dir}/orders.parquet",
-                         columns=["o_custkey", "o_orderkey", "o_orderdate",
-                                  "o_totalprice"])
-    odf = otbl.to_pandas().sort_values(
-        ["o_custkey", "o_orderdate", "o_orderkey"],
-        ascending=[True, False, True])
-    by_user = {
-        int(k): (g["o_orderkey"].to_numpy(), g["o_totalprice"].to_numpy())
-        for k, g in odf.groupby("o_custkey")
-    }
-    side_ref = ray.put(by_user)
+    side_tables = [t for t in ray.get(orders.to_arrow_refs()) if t.num_rows]
+    otbl = pa.concat_tables(side_tables).combine_chunks().sort_by(
+        [("o_custkey", "ascending"), ("o_orderdate", "descending"),
+         ("o_orderkey", "ascending")])
+    u = otbl["o_custkey"].to_numpy()
+    change = np.flatnonzero(u[1:] != u[:-1]) + 1
+    starts = np.concatenate(([0], change, [len(u)]))
+    side_ref = ray.put((u[starts[:-1]],                 # sorted unique users
+                        starts,
+                        otbl["o_orderkey"].to_numpy(),
+                        otbl["o_totalprice"].to_numpy()))
 
     def probe(t: pa.Table, strict: bool) -> pa.Table:
-        bu = ray.get(side_ref)
+        """Vectorized probe: searchsorted into the per-user segments; the
+        strict pass walks the k-th order of every still-unmatched event in
+        lock-step (bounded by max orders/user), all numpy — no per-row
+        Python (the r1 per-row loop died here)."""
+        su, seg_starts, keys, prices = ray.get(side_ref)
         users = t["user_id"].to_numpy()
         vals = t["value"].to_numpy()
         n = len(t)
         matched = np.full(n, -1, dtype=np.int64)
-        for i in range(n):
-            entry = bu.get(int(users[i]))
-            if entry is None:
-                continue
-            keys, prices = entry
-            if strict:
-                ok = np.flatnonzero(prices >= 100.0 * vals[i])
-                if len(ok):
-                    matched[i] = keys[ok[0]]
-            else:
-                matched[i] = keys[0]
+        pos = np.searchsorted(su, users)
+        found = (pos < len(su))
+        found[found] = su[pos[found]] == users[found]
+        s = np.where(found, seg_starts[np.where(found, pos, 0)], 0)
+        e = np.where(found, seg_starts[np.where(found, pos, 0) + 1], 0)
+        if not strict:
+            matched[found] = keys[s[found]]   # latest date, min key
+        else:
+            idx = s.copy()
+            active = found.copy()
+            while active.any():
+                cur = idx[active]
+                ok = prices[cur] >= 100.0 * vals[active]
+                hit_rows = np.flatnonzero(active)[ok]
+                matched[hit_rows] = keys[cur[ok]]
+                idx[active] += 1
+                active &= (matched < 0) & (idx < e)
         return pa.table({
             "event_id": t["event_id"],
             "user_id": t["user_id"],

@@ -246,21 +246,23 @@ def q_simhash_near_dup(sf_dir: str, hamming_thresh: int = 8):
     BITS, BANDS = 64, 4
 
     def simhash_rows(t: pa.Table) -> pa.Table:
+        """Vectorized across the whole batch: unpack bits for ALL gram
+        hashes at once, then per-doc bit-one counts via one prefix-sum and
+        segment differences (bit set iff ones > grams/2 — identical to the
+        signed tf-weighted vote, since sum over occurrences == tf-weighted
+        sum over uniques).  No per-doc Python loop."""
         col = t["text"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         vals, offs = hx.shingle_hashes(col, 3, seed=13)
         n = len(t)
-        sh = np.zeros(n, dtype=np.uint64)
-        for i in range(n):
-            seg = vals[offs[i]:offs[i + 1]]
-            if not len(seg):
-                continue
-            # accumulate signed bit votes from each gram hash, weighted by tf
-            g, tf = np.unique(seg, return_counts=True)
-            bits = np.unpackbits(g.view(np.uint8).reshape(-1, 8), axis=1)
-            votes = ((bits * 2.0 - 1.0) * tf[:, None]).sum(axis=0)
-            sh[i] = np.packbits((votes > 0).astype(np.uint8)).view(np.uint64)[0]
+        counts = np.diff(offs)
+        bits = np.unpackbits(vals.view(np.uint8).reshape(-1, 8), axis=1)
+        cs = np.zeros((len(vals) + 1, 64), dtype=np.int64)
+        np.cumsum(bits, axis=0, out=cs[1:])
+        ones = cs[offs[1:]] - cs[offs[:-1]]           # (n, 64)
+        sh_bits = (2 * ones > counts[:, None]).astype(np.uint8)
+        sh = np.packbits(sh_bits, axis=1).view(np.uint64)[:, 0]
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sh)})
 
     hashed = ds.map_batches(simhash_rows, batch_format="pyarrow")
@@ -406,20 +408,40 @@ class LangID:
             np.add.at(out, ids, 1.0)
         return out
 
+    @staticmethod
+    def batch_profiles(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """(n, 729) bigram-count matrix for a whole string column — zero-copy
+        view of the Arrow byte buffer, one bincount; bigrams never cross row
+        boundaries.  Byte-identical to ``_profile`` on ASCII text (the
+        lowercase map is applied with the Arrow C kernel first)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, offsets = hx._string_buffers(pc.utf8_lower(col))
+        n = len(offsets) - 1
+        lengths = np.diff(offsets)
+        d = data[offsets[0]:offsets[-1]]
+        c = np.where((d >= 97) & (d <= 122), d - 96, 0).astype(np.int64)
+        if len(c) < 2:
+            return np.zeros((n, 27 * 27), dtype=np.float64)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        valid = row_of[:-1] == row_of[1:]
+        flat = row_of[:-1][valid] * 729 + (c[:-1] * 27 + c[1:])[valid]
+        counts = np.bincount(flat, minlength=n * 729)
+        return counts.reshape(n, 729).astype(np.float64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
-        profs = np.zeros((n, 27 * 27), dtype=np.float64)
-        texts = batch["text"].to_pylist()
-        for i, txt in enumerate(texts):
-            profs[i] = self._profile(txt or "")
+        profs = self.batch_profiles(batch["text"])
         norms = np.linalg.norm(profs, axis=1, keepdims=True)
         profs /= np.maximum(norms, 1e-12)
         sims = profs @ self.mat.T
         best = sims.argmax(axis=1)
         conf = sims[np.arange(n), best]
+        lang_arr = pa.array(self.langs, pa.string()).take(
+            pa.array(best, pa.int64()))
         return pa.table({
             "doc_id": batch["doc_id"],
-            "lang_pred": pa.array([self.langs[b] for b in best], pa.string()),
+            "lang_pred": lang_arr,
             "lang_conf": pa.array(np.round(conf, 4)),
         })
 
@@ -442,20 +464,22 @@ def q_doc_fingerprint(sf_dir: str):
     ds = _docs(sf_dir)
 
     def fp(t: pa.Table) -> pa.Table:
+        """Vectorized combine: the per-doc fingerprint is an order-free SUM
+        (mod 2^64) of splitmix-mixed anchors, so one prefix sum + segment
+        differences replaces the round-1 per-row loop (the round-1 sort
+        before summing was a no-op — addition commutes)."""
         col = t["text"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         vals, offs = hx.winnow_anchors(col, gram=16, stride=8, min_len=12, seed=7)
         n = len(t)
         counts = np.diff(offs)
-        combined = np.zeros(n, dtype=np.uint64)
-        for i in range(n):
-            seg = np.sort(vals[offs[i]:offs[i + 1]])
-            h = np.uint64(0x9E3779B97F4A7C15)
-            if len(seg):
-                with np.errstate(over="ignore"):
-                    h = hx.splitmix64(seg).sum(dtype=np.uint64)
-            combined[i] = h
+        with np.errstate(over="ignore"):
+            mixed = hx.splitmix64(vals)
+            cs = np.zeros(len(vals) + 1, dtype=np.uint64)
+            np.cumsum(mixed, out=cs[1:])
+            combined = cs[offs[1:]] - cs[offs[:-1]]
+        combined[counts == 0] = np.uint64(0x9E3779B97F4A7C15)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_anchors": pa.array(counts.astype(np.int64)),
@@ -524,22 +548,26 @@ def q_token_sort(sf_dir: str):
     ds = _docs(sf_dir)
 
     def srt(t: pa.Table) -> pa.Table:
+        """All-Arrow: sort the exploded (doc, token) table with the C sort
+        kernel, rebuild the list array from the sorted flat tokens +
+        original offsets, and re-join with ``binary_join`` — no Python
+        object arrays, no per-doc join loop.  UTF-8 byte order equals
+        codepoint order, so the Arrow sort matches DuckDB list_sort."""
         words = pc.split_pattern(t["text"], " ")
         flat = pc.list_flatten(words)
         n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(t)), n_per)
-        toks = np.asarray(flat.to_pylist(), dtype=object)
-        order = np.lexsort((toks, doc_idx))
-        toks = toks[order]
-        # re-join per doc
-        out = []
-        pos = 0
-        for c in n_per:
-            out.append(" ".join(toks[pos:pos + c]))
-            pos += c
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
+        pairs = pa.table({"d": pa.array(doc_idx), "w": flat})
+        pairs = pairs.sort_by([("d", "ascending"), ("w", "ascending")])
+        offsets = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(n_per, out=offsets[1:])
+        sorted_lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pairs["w"].combine_chunks().cast(pa.large_string()))
+        joined = pc.binary_join(sorted_lists, pa.scalar(" ", pa.large_string()))
         return pa.table({
             "doc_id": t["doc_id"],
-            "text_sorted": pa.array(out, pa.string()),
+            "text_sorted": joined.cast(pa.string()),
         })
 
     return ds.map_batches(srt, batch_format="pyarrow").sort("doc_id")

@@ -48,14 +48,29 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return t["vec_id"].to_numpy(), m
 
 
+def _smallest_ids_table(ds, n: int) -> pa.Table:
+    """The ``n`` rows with smallest vec_id, via per-block bottom-n + a tiny
+    driver merge — only n rows per block ever leave the workers (the global
+    bottom-n is a subset of the union of block bottom-ns), so this streams
+    at any table size, unlike a driver read of the whole table."""
+    import ray
+
+    def local_min(t: pa.Table) -> pa.Table:
+        return t.sort_by("vec_id").slice(0, n)
+
+    parts = [t for t in ray.get(
+        ds.map_batches(local_min, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "embedding": pa.array([], pa.list_(pa.float32()))})
+    return pa.concat_tables(parts).combine_chunks() \
+        .sort_by("vec_id").slice(0, n)
+
+
 def _query_matrix(sf_dir: str, n_queries: int):
     """First ``n_queries`` vec_ids as the query set (deterministic)."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    tbl = tbl.sort_by("vec_id").slice(0, n_queries)
-    return _batch_matrix(tbl)
+    return _batch_matrix(_smallest_ids_table(_emb(sf_dir), n_queries))
 
 
 def q_knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5):
@@ -119,13 +134,15 @@ def q_embed_near_dup(sf_dir: str, thresh: float = 0.45):
     The full normalized matrix is broadcast once (ray.put) and each batch
     computes its block-row of the similarity matrix — O(n²) flops stream
     through workers with O(n·d) memory, never materializing the n×n matrix.
-    At 10^12 rows this becomes IVF-bucketed generation (q_knn_ivf's
-    centroid route) + the same verify."""
-    import pyarrow.parquet as pq
+    The broadcast side is gathered from the Dataset's own blocks (the read
+    stays distributed + column-pruned; no driver parquet read).  This exact
+    path is the small-scale oracle; above ~1M rows the broadcast itself is
+    the bottleneck — use ``q_embed_near_dup_ivf`` (bucketed generation, no
+    full broadcast) as the scale path."""
     import ray
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    side = [t for t in ray.get(_emb(sf_dir).to_arrow_refs()) if t.num_rows]
+    full = pa.concat_tables(side).combine_chunks().sort_by("vec_id")
     all_ids, M = _batch_matrix(full)
     m_ref = ray.put((all_ids, M))
 
@@ -191,14 +208,14 @@ def q_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
     import pandas as pd
     import ray
 
-    import pyarrow.parquet as pq
-
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ds = _emb(sf_dir)
+    n_rows = ds.count()  # parquet metadata count — no scan
     # keep lists populated: >= ~32 vectors per list, else recall collapses
-    n_lists = max(2, min(n_lists, full.num_rows // 32))
+    n_lists = max(2, min(n_lists, n_rows // 32))
     nprobe = min(nprobe, n_lists)
-    s_ids, SM = _batch_matrix(full.slice(0, min(2048, full.num_rows)))
+    # centroid-training sample: streamed per-block bottom-n (deterministic),
+    # never a whole-table driver read
+    s_ids, SM = _batch_matrix(_smallest_ids_table(ds, min(2048, n_rows)))
     sample_ref = ray.put((s_ids, SM))
     q_ids, Q = _query_matrix(sf_dir, n_queries)
     index = IVFIndex(sample_ref, n_lists)
@@ -274,3 +291,84 @@ def q_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
     return out.map_batches(rnd, batch_format="pyarrow") \
         .sort(["query_id", "cosine", "vec_id"],
               descending=[False, True, False])
+
+
+def q_embed_near_dup_ivf(sf_dir: str, thresh: float = 0.45,
+                         n_lists: int = 16, nprobe: int = 2):
+    """Embedding near-dup at scale: IVF-BUCKETED pair generation — the
+    10^12-row path ``q_embed_near_dup``'s docstring names.  Each vector is
+    multi-probed into its ``nprobe`` nearest centroid lists (actor-held
+    centroids, one map pass); each list generates its local exact-cosine
+    pairs (one matmul per group); pairs dedup with a tiny groupby.  No full
+    matrix broadcast anywhere — memory per task is O(list size · d) and the
+    only wide move is the bucket shuffle.
+
+    Approximate by design: a pair lands in the same list with high
+    probability when cosine >= τ (multi-probe covers boundary cells);
+    recall vs the exact path is gated in tests/test_queries.py.  Scores of
+    emitted pairs are EXACT (computed from the true embeddings), so
+    precision is 1.0."""
+    import ray
+
+    from ray.data.aggregate import Max
+
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    n_lists = max(2, min(n_lists, n_rows // 32))
+    nprobe = min(nprobe, n_lists)
+    s_ids, SM = _batch_matrix(_smallest_ids_table(ds, min(2048, n_rows)))
+    sample_ref = ray.put((s_ids, SM))
+
+    class AssignMulti:
+        """Actor: emit each vector into its nprobe nearest lists."""
+
+        def __init__(self):
+            self.index = IVFIndex(sample_ref, n_lists)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(t)
+            emb = t["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            if not len(ids):
+                return pa.table({"list_id": pa.array([], pa.int32()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "embedding": emb})
+            lists = self.index.assign(m, nprobe)          # (n, nprobe)
+            n = len(ids)
+            rep = pa.array(np.repeat(np.arange(n), nprobe))
+            return pa.table({
+                "list_id": pa.array(lists.reshape(-1).astype(np.int32)),
+                "vec_id": pa.array(np.repeat(ids, nprobe), pa.int64()),
+                "embedding": emb.take(rep),
+            })
+
+    def local_pairs(g: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(g)
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(ids) < 2:
+            return empty
+        sims = m @ m.T
+        bi, bj = np.nonzero(sims >= thresh)
+        li, rj = ids[bi], ids[bj]
+        keep = li < rj
+        if not keep.any():
+            return empty
+        return pa.table({
+            "left_id": pa.array(li[keep]),
+            "right_id": pa.array(rj[keep]),
+            "cosine": pa.array(round_half_away(sims[bi, bj][keep], 4)),
+        })
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    assigned = ds.map_batches(AssignMulti, batch_format="pyarrow",
+                              concurrency=pool_bounds(4))
+    pairs = assigned.groupby("list_id").map_groups(
+        local_pairs, batch_format="pyarrow")
+    # a pair probed into two shared lists appears twice — dedup (tiny set)
+    out = pairs.groupby(["left_id", "right_id"]).aggregate(
+        Max("cosine", alias_name="cosine"))
+    return out.sort(["left_id", "right_id"])

@@ -11,9 +11,12 @@ is deliberate and documented here.
 Two implementations with identical output:
 
 - **driver DSU** (default, ``method="dsu"``): stream the edge dataset's
-  (left,right) pairs to the driver (edges ≈ O(dup pairs) ≪ rows) into a
-  union-find with path compression; root = lexicographic min clip_id of the
-  component, so cluster identity is deterministic under any parallelism.
+  (left,right) pairs to the driver (edges ≈ O(dup pairs) ≪ rows,
+  bounded by ``cfg.dsu_edge_limit``), dictionary-encode the string ids to
+  SORTED integer codes with Arrow C kernels, and run a fully vectorized
+  numpy min-label propagation with pointer jumping (O(E·log D) work, no
+  per-edge Python); root = lexicographic min clip_id of the component, so
+  cluster identity is deterministic under any parallelism.
 - **distributed min-label propagation** (``method="labelprop"``, the 100 TB
   path when edges exceed ``cfg.dsu_edge_limit``): iterate
   label(v) <- min(label(v), min label over neighbors) via
@@ -31,42 +34,59 @@ import pyarrow as pa
 from who_owns_mass_processing_ray.config import DedupConfig
 
 
-class DSU:
-    """Union-find with path compression; root is the min element."""
+def min_label_components(el: np.ndarray, er: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized connected components over int-coded edges: label[v] = min
+    code reachable from v, via numpy min-propagation + pointer jumping.
 
-    def __init__(self):
-        self.parent: dict = {}
-
-    def find(self, x):
-        p = self.parent
-        root = x
-        while p.get(root, root) != root:
-            root = p[root]
-        while p.get(x, x) != root:
-            p[x], x = root, p[x]
-        return root
-
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra == rb:
-            return
-        lo, hi = (ra, rb) if ra < rb else (rb, ra)
-        self.parent[hi] = lo
-
-    def roots(self) -> dict:
-        return {x: self.find(x) for x in list(self.parent)}
+    Converges in O(log D) rounds (D = component diameter; dup clusters are
+    star/clique-shaped so D is tiny) with no per-edge Python loop.
+    """
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        m = np.minimum(lab[el], lab[er])
+        new = lab.copy()
+        np.minimum.at(new, el, m)
+        np.minimum.at(new, er, m)
+        new = np.minimum(new, new[new])  # pointer jumping
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # full path compression to fixpoint
+    while True:
+        nl = lab[lab]
+        if np.array_equal(nl, lab):
+            return lab
+        lab = nl
 
 
-def components_dsu(edges_ds) -> dict:
-    """Edge dataset -> {clip_id: root_clip_id} for every clip touched by an
-    edge (clips absent from the map are singletons, root = self)."""
-    dsu = DSU()
-    for batch in edges_ds.select_columns(["left_id", "right_id"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        for a, b in zip(batch["left_id"].to_pylist(), batch["right_id"].to_pylist()):
-            dsu.union(a, b)
-    return dsu.roots()
+def components_dsu(edges_ds):
+    """Edge dataset -> (sorted_ids: pa.Array, root_idx: np.ndarray[int64])
+    for every clip touched by an edge: ``sorted_ids[root_idx[i]]`` is the
+    root (= lexicographic min member) of ``sorted_ids[i]``'s component.
+    Clips absent from ``sorted_ids`` are singletons (root = self).
+
+    Everything is Arrow/numpy C kernels: concat -> unique -> sort ->
+    index_in for the code assignment, then ``min_label_components`` — the
+    per-edge Python loop of the round-1 DSU is gone.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    tables = [t for t in ray.get(
+        edges_ds.select_columns(["left_id", "right_id"]).to_arrow_refs())
+        if t.num_rows]
+    if not tables:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    edges = pa.concat_tables(tables).combine_chunks()
+    both = pa.chunked_array([edges["left_id"], edges["right_id"]])
+    uniq = pc.unique(both.combine_chunks())
+    sorted_ids = uniq.take(pc.array_sort_indices(uniq))
+    el = pc.index_in(edges["left_id"], value_set=sorted_ids) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    er = pc.index_in(edges["right_id"], value_set=sorted_ids) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = min_label_components(el, er, len(sorted_ids))
+    return sorted_ids, lab
 
 
 def components_labelprop(edges_ds, cfg: DedupConfig, num_partitions: int):
@@ -152,17 +172,22 @@ def assignment_dataset(features_ds, edges_ds, cfg: DedupConfig,
 
     ids = features_ds.select_columns(["clip_id"])
     if method == "dsu":
-        roots = components_dsu(edges_ds)
+        sorted_ids, lab = components_dsu(edges_ds)
+        root_ids = sorted_ids.take(pa.array(lab, pa.int64()))
         import ray
-        roots_ref = ray.put(roots)
+        roots_ref = ray.put((sorted_ids, root_ids))
 
         def assign(t: pa.Table) -> pa.Table:
+            """Vectorized probe: index_in (Arrow C hash lookup) -> take the
+            root id, coalesce misses (untouched clips) to self."""
+            import pyarrow.compute as pc
             import ray as _ray
-            rmap = _ray.get(roots_ref)
-            clip_ids = t["clip_id"].to_pylist()
-            out = [rmap.get(c, c) for c in clip_ids]
-            return pa.table({"clip_id": t["clip_id"],
-                             "root_id": pa.array(out, pa.string())})
+            member, roots = _ray.get(roots_ref)
+            pos = pc.index_in(t["clip_id"], value_set=member)
+            rooted = roots.take(pos) if len(roots) else \
+                pa.nulls(len(t), pa.string())
+            out = pc.coalesce(rooted, t["clip_id"])
+            return pa.table({"clip_id": t["clip_id"], "root_id": out})
 
         return ids.map_batches(assign, batch_format="pyarrow")
 
