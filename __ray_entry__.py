@@ -26,12 +26,19 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from who_owns_mass_processing_ray.pipelines import (
         multimodal,
+        normalize,
         relational,
         textops,
         vectors,
     )
 
     return {
+        # --- rule-cascade standardizers (SURVEY.md §2.2) --------------------
+        "cascade_norm": normalize.q_cascade_norm,
+        "inst_norm": normalize.q_inst_norm,
+        "addr2_split": normalize.q_addr2_split,
+        "text_norm": normalize.q_text_norm,
+        "zip_format": normalize.q_zip_format,
         # --- relational capability queries (SURVEY.md §2.4-2.7) -------------
         "lineitem_agg": relational.q_lineitem_agg,
         "counts_in_group": relational.q_counts_in_group,
@@ -97,7 +104,16 @@ ORDER BY 1, 2
 
 
 def oracle_sql() -> dict[str, str]:
+    from who_owns_mass_processing_ray.pipelines import normalize
+
     return {
+        # generated from the SAME rule objects the Ray queries run
+        # (functions/cascade.py) — structural equivalence, not a hand copy
+        "cascade_norm": normalize.cascade_norm_sql(),
+        "inst_norm": normalize.inst_norm_sql(),
+        "addr2_split": normalize.addr2_split_sql(),
+        "text_norm": normalize.text_norm_sql(),
+        "zip_format": normalize.zip_format_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
