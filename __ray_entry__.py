@@ -51,9 +51,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct": relational.q_distinct,
         "union_entities": relational.q_union_entities,
         "split_rows": relational.q_split_rows,
+        "quantile_filter": relational.q_quantile_filter,
+        "group_fill_downup": relational.q_group_fill_downup,
+        "luc_crosswalk": relational.q_luc_crosswalk,
+        "uniqueness_flags": relational.q_uniqueness_flags,
+        "csv_topk": relational.q_csv_topk,
         # --- dedup / text-analysis ops (documents table) --------------------
         "cascade_match": relational.q_cascade_match,
         "window_agg": relational.q_window_agg,
+        "cross_table_link": textops.q_cross_table_link,
         "fuzzy_join": textops.q_fuzzy_join,
         "flag_features": textops.q_flag_features,
         "extract_tokens": textops.q_extract_first_token,
@@ -101,6 +107,58 @@ JOIN sz sb ON sb.doc_id = i.right_id
 WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
 ORDER BY 1, 2
 """
+
+
+# cross-table variant of the exact Jaccard oracle: pairs spanning the even
+# (table A) / odd (table B) doc_id split, oriented (a_id, b_id)
+_CROSS_LINK_ORACLE = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
+  FROM (SELECT doc_id, text,
+        unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+        FROM documents)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a_id
+JOIN sz sb ON sb.doc_id = i.b_id
+WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
+ORDER BY 1, 2
+"""
+
+
+def _luc_oracle() -> str:
+    """VALUES lists generated from the SAME crosswalk dicts the Ray query
+    probes — no hand-kept copy."""
+    from who_owns_mass_processing_ray.pipelines.relational import (
+        LUC_EXACT,
+        LUC_PREFIX,
+    )
+
+    ex = ", ".join(f"('{k}', '{v}')" for k, v in sorted(LUC_EXACT.items()))
+    px = ", ".join(f"('{k}', '{v}')" for k, v in sorted(LUC_PREFIX.items()))
+    return f"""
+        WITH codes AS (
+            SELECT p_partkey,
+                   lpad(CAST(p_partkey % 500 AS VARCHAR), 3, '0') AS code
+            FROM part),
+        ex(code, cat) AS (VALUES {ex}),
+        px(pfx, cat) AS (VALUES {px})
+        SELECT c.p_partkey, c.code,
+               coalesce(ex.cat, px.cat, 'UNKNOWN') AS category
+        FROM codes c
+        LEFT JOIN ex ON c.code = ex.code
+        LEFT JOIN px ON substr(c.code, 1, 2) = px.pfx
+        ORDER BY c.p_partkey
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -259,6 +317,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "cross_table_link": _CROSS_LINK_ORACLE,
+        "quantile_filter": """
+            WITH qv AS (
+                SELECT quantile_cont(o_totalprice, 0.9) AS q FROM orders)
+            SELECT o_orderstatus, count(*) AS n_above,
+                   round(q, 2) AS q_value
+            FROM orders, qv WHERE o_totalprice >= q
+            GROUP BY 1, 3 ORDER BY 1
+        """,
+        "group_fill_downup": """
+            WITH base AS (
+                SELECT user_id, event_id,
+                       CASE WHEN event_id % 3 = 0 THEN NULL
+                            ELSE value END AS val
+                FROM events),
+            f AS (
+                SELECT *,
+                       last_value(val IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS ff,
+                       first_value(val IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS bf
+                FROM base)
+            SELECT user_id, event_id, coalesce(ff, bf) AS val_filled
+            FROM f ORDER BY 1, 2
+        """,
+        "luc_crosswalk": _luc_oracle(),
+        "uniqueness_flags": """
+            SELECT o_orderkey,
+                   (count(*) OVER (PARTITION BY o_custkey)) = 1
+                       AS cust_unique,
+                   (count(*) OVER (PARTITION BY o_orderdate)) = 1
+                       AS date_unique
+            FROM orders ORDER BY o_orderkey
+        """,
+        "csv_topk": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            ORDER BY round(c_acctbal, 2) DESC, c_custkey LIMIT 10
+        """,
         "token_stats": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,

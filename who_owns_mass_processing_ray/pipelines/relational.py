@@ -393,3 +393,189 @@ def q_window_agg(sf_dir: str):
 
     return out.map_batches(rnd, batch_format="pyarrow") \
         .sort(["user_id", "hour"])
+
+
+def q_quantile_filter(sf_dir: str, q: float = 0.9):
+    """Quantile-gated filter ≙ the reference's 0.95-quantile unit-count gate
+    (/root/reference/R/loaders.R:1153): orders priced at or above the exact
+    0.9 quantile_cont of o_totalprice, counted per orderstatus.  The
+    quantile comes from functions/quantile.exact_quantile — streaming
+    histogram bracketing, never a sort or a driver pull of the column."""
+    from ray.data.aggregate import Count
+
+    from who_owns_mass_processing_ray.functions.quantile import exact_quantile
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    qv = exact_quantile(ds, "o_totalprice", q)
+
+    def above(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["o_totalprice"], pa.scalar(qv)))
+
+    out = ds.map_batches(above, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(Count(alias_name="n_above"))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "q_value", pa.array([round_half_away(np.float64(qv), 2)] * len(t),
+                                pa.float64()))
+
+    return out.map_batches(stamp, batch_format="pyarrow").sort("o_orderstatus")
+
+
+def q_group_fill_downup(sf_dir: str):
+    """Direction-sensitive group fill ≙ ``tidyr::fill(.direction="downup")``
+    within ordered groups (/root/reference/R/standardizers.R:1672-1692,
+    used ~12x).  Coarse hash partition on the group key, then ONE vectorized
+    numpy pass per partition: forward-fill via running maximum of valid row
+    indices (invalidated when it crosses a group start), backward-fill
+    symmetric — no per-group Python, groups never split across partitions."""
+    # events: (user_id group, event_id sequence) — event_id is UNIQUE, so
+    # the fill order is total on both engines (lineitem's l_linenumber has
+    # duplicate (order, line) pairs, which would make the fill ambiguous)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    P = 32
+
+    def derive(t: pa.Table) -> pa.Table:
+        # deterministic holes: every 3rd event loses its value
+        hole = pa.array(t["event_id"].to_numpy() % 3 == 0)
+        val = pc.if_else(hole, pa.nulls(len(t), pa.float64()), t["value"])
+        part = (t["user_id"].to_numpy() % P).astype(np.int32)
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "val": val, "part": pa.array(part)})
+
+    def fill(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        keys = g["user_id"].to_numpy()
+        v = g["val"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        valid = ~np.isnan(v)
+        idx = np.arange(n)
+        grp_start = np.concatenate(
+            ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1))
+        grp_sizes = np.diff(np.concatenate((grp_start, [n])))
+        start_of = np.repeat(grp_start, grp_sizes)
+        ff = np.maximum.accumulate(np.where(valid, idx, -1))
+        ff_ok = ff >= start_of           # fill must not cross a group start
+        end_of = np.repeat(np.concatenate((grp_start[1:], [n])), grp_sizes)
+        bf = np.minimum.accumulate(np.where(valid, idx, n)[::-1])[::-1]
+        bf_ok = bf < end_of
+        filled = np.where(ff_ok, v[np.where(ff_ok, ff, 0)],
+                          np.where(bf_ok, v[np.where(bf_ok, bf, 0)], np.nan))
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "val_filled": pa.array(filled),
+        })
+
+    out = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: fill(g.drop_columns(["part"])), batch_format="pyarrow")
+    return out.sort(["user_id", "event_id"])
+
+
+# crosswalk ≙ std_luc LUC code lookup with prefix fallback
+# (/root/reference/R/standardizers.R:892-958): exact 3-digit match first,
+# else the 2-digit prefix class, else UNKNOWN.
+LUC_EXACT = {"013": "SINGLE_FAM", "104": "TWO_FAM", "275": "OFFICE",
+             "342": "WAREHOUSE", "421": "INDUSTRIAL"}
+LUC_PREFIX = {"01": "RESIDENTIAL", "10": "RESIDENTIAL", "27": "COMMERCIAL",
+              "34": "COMMERCIAL", "42": "INDUSTRIAL", "00": "EXEMPT"}
+
+
+def q_luc_crosswalk(sf_dir: str):
+    """Crosswalk lookup with prefix fallback — both maps are tiny
+    broadcast-side tables probed with Arrow ``index_in`` (C hash lookup),
+    coalesced exact -> prefix -> default."""
+    ds = _read(sf_dir, "part", ["p_partkey"])
+    ex_keys = pa.array(sorted(LUC_EXACT), pa.string())
+    ex_vals = pa.array([LUC_EXACT[k] for k in sorted(LUC_EXACT)], pa.string())
+    px_keys = pa.array(sorted(LUC_PREFIX), pa.string())
+    px_vals = pa.array([LUC_PREFIX[k] for k in sorted(LUC_PREFIX)],
+                       pa.string())
+
+    def look(t: pa.Table) -> pa.Table:
+        code = pc.utf8_lpad(pc.cast(
+            pa.array(t["p_partkey"].to_numpy() % 500, pa.int64()),
+            pa.string()), 3, "0")
+        exact = ex_vals.take(pc.index_in(code, value_set=ex_keys))
+        pfx = px_vals.take(pc.index_in(
+            pc.utf8_slice_codeunits(code, 0, 2), value_set=px_keys))
+        cat = pc.coalesce(exact, pfx, pa.scalar("UNKNOWN"))
+        return pa.table({"p_partkey": t["p_partkey"], "code": code,
+                         "category": cat})
+
+    return ds.map_batches(look, batch_format="pyarrow").sort("p_partkey")
+
+
+def q_uniqueness_flags(sf_dir: str):
+    """Multi-key uniqueness flags ≙ the reference's n()==1 flag pass over
+    four keys (/root/reference/R/loaders.R:963-983): per order, is its
+    customer unique (exactly one order) and is its order date unique —
+    two keyed count aggregates joined back, never a window over raw rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # int64 epoch-day key: Ray's groupby degrades timestamp key
+        # precision (us -> s), which then fails the Acero join back —
+        # integer keys sidestep the coercion entirely
+        dk = t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "date_key": pa.array(dk, pa.int64())})
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow")
+    c1 = kd.groupby("o_custkey").aggregate(Count(alias_name="n_cust"))
+    c2 = kd.groupby("date_key").aggregate(Count(alias_name="n_date"))
+    from who_owns_mass_processing_ray.stages import joins
+
+    out = joins.attach_columns(kd, c1, "o_custkey", "o_custkey",
+                               {"n_cust": "n_cust"}, 16, how="inner")
+    out = joins.attach_columns(out, c2, "date_key", "date_key",
+                               {"n_date": "n_date"}, 16, how="inner")
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "cust_unique": pc.equal(t["n_cust"], pa.scalar(1)),
+            "date_unique": pc.equal(t["n_date"], pa.scalar(1)),
+        })
+
+    return out.map_batches(flags, batch_format="pyarrow").sort("o_orderkey")
+
+
+def q_csv_topk(sf_dir: str):
+    """Typed CSV source path ≙ ``load_oc_companies``'s readr::read_csv with
+    an explicit col spec + filter + LIMIT (/root/reference/R/loaders.R:
+    1303-1374).  The CSV fixture is materialized ONCE per sf_dir from the
+    customer table by a distributed ``Dataset.write_csv`` (never a driver
+    read), then read back with ``read_csv`` + an explicit Arrow schema."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    csv_dir = f"/tmp/wom_csv_{tag}"
+    if not os.path.isdir(csv_dir) or not os.listdir(csv_dir):
+        os.makedirs(csv_dir, exist_ok=True)
+        _read(sf_dir, "customer").write_csv(csv_dir)
+
+    schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                        ("c_nationkey", pa.int32()),
+                        ("c_acctbal", pa.float64()),
+                        ("c_mktsegment", pa.string())])
+    ds = rd.read_csv(
+        csv_dir,
+        convert_options=pacsv.ConvertOptions(
+            column_types={f.name: f.type for f in schema}))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return round_col(t, "c_acctbal", 2)
+
+    return ds.filter(expr="c_mktsegment == 'BUILDING'") \
+        .map_batches(rnd, batch_format="pyarrow") \
+        .select_columns(["c_custkey", "c_name", "c_acctbal"]) \
+        .sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)

@@ -654,3 +654,43 @@ def q_fuzzy_join(sf_dir: str):
         FuzzyJoin, batch_format="pyarrow", batch_size=512,
         concurrency=pool_bounds(4),
     ).sort("doc_id")
+
+
+def q_cross_table_link(sf_dir: str, thresh: float = 0.7):
+    """Cross-table near-dup link ≙ ``dedupe_cosine_join``
+    (/root/reference/R/deduplicaters.R:380-444): LSH-block the UNION of two
+    source-tagged tables, verify exact Jaccard, and keep only pairs that
+    SPAN both tables (table A = even doc_ids, table B = odd — a
+    deterministic two-table split of the documents corpus).  Output is
+    oriented (a_id from A, b_id from B); same 48x3 LSH margin as
+    q_minhash_near_dup so the exact-SQL oracle cannot flake."""
+    from ray.data.aggregate import Max
+
+    from who_owns_mass_processing_ray.stages import pairs as pr, pool_bounds
+
+    cfg = DOCS_CFG
+    ds = _docs(sf_dir)
+    band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
+                               batch_format="pyarrow", batch_size=cfg.batch_size,
+                               concurrency=pool_bounds(8))
+    cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
+                                     cfg.max_bucket, cfg.num_parts or 16)
+    cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
+    verified = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
+                                batch_format="pyarrow")
+
+    def orient_cross(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy()
+        r = t["right_id"].to_numpy()
+        cross = (l % 2) != (r % 2)
+        jac = t["jaccard"].to_numpy()[cross]
+        l, r = l[cross], r[cross]
+        a = np.where(l % 2 == 0, l, r)    # the even (table-A) member
+        b = np.where(l % 2 == 0, r, l)    # the odd (table-B) member
+        return pa.table({"a_id": pa.array(a), "b_id": pa.array(b),
+                         "jaccard": pa.array(jac)})
+
+    out = verified.map_batches(orient_cross, batch_format="pyarrow") \
+        .groupby(["a_id", "b_id"]).aggregate(Max("jaccard",
+                                                 alias_name="jaccard"))
+    return out.sort(["a_id", "b_id"])
