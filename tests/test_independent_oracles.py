@@ -1,0 +1,330 @@
+"""Independent oracles for the driver queries that have no DuckDB oracle
+(random projections / MinHash / actor state / binary codecs).
+
+Each test recomputes the expected result with a deliberately DIFFERENT
+implementation — pure-Python ints and per-row loops instead of the engine's
+vectorized numpy buffer kernels, and brute-force all-pairs instead of the
+distributed blocking/shuffle machinery — so a bug in either side shows up
+as a mismatch.  This closes the round-1 gap where one third of the driver
+contract was "runs, unverified" (VERDICT.md Next-round #1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+M64 = (1 << 64) - 1
+
+
+# -- pure-Python reimplementations of the hashing kernel semantics ----------
+
+def py_splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M64
+    return x ^ (x >> 31)
+
+
+def py_shingle_hashes(text: str, k: int, seed: int) -> list[int]:
+    """Rolling char-k-gram hashes of one doc (docs >= k chars only — the
+    test corpus has no shorter rows)."""
+    b = text.encode("utf-8")
+    assert len(b) >= k
+    P = 0x9E3779B97F4A7C15 | 1
+    out = []
+    for j in range(len(b) - k + 1):
+        h = 0
+        for c in b[j:j + k]:
+            h = (h * P + c) & M64
+        out.append(py_splitmix64(h ^ seed))
+    return out
+
+
+def py_simhash(text: str) -> int:
+    """Per-doc 64-bit simhash exactly as q_simhash_near_dup defines it
+    (bit votes over 3-gram hashes, numpy unpackbits/packbits bit order)."""
+    votes = [0] * 64
+    grams = py_shingle_hashes(text, 3, 13)
+    for h in grams:
+        bs = h.to_bytes(8, "little")
+        pos = 0
+        for byte in bs:
+            for bit in range(7, -1, -1):   # unpackbits: MSB-first per byte
+                votes[pos] += 1 if (byte >> bit) & 1 else -1
+                pos += 1
+    flags = [1 if v > 0 else 0 for v in votes]
+    out_bytes = bytearray(8)
+    for i, f in enumerate(flags):          # packbits: MSB-first per byte
+        if f:
+            out_bytes[i // 8] |= 1 << (7 - (i % 8))
+    return int.from_bytes(bytes(out_bytes), "little")
+
+
+def _docs_table() -> pa.Table:
+    return pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).sort_by("doc_id")
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = _docs_table()
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+def test_simhash_near_dup_vs_bruteforce(ray_session, docs):
+    """EXACT equality against brute force: at the default radius
+    (thresh = bands-1 = 3) the banding is complete by pigeonhole, so the
+    engine's pair set and per-pair distances must equal the all-pairs
+    pure-Python recompute bit for bit."""
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    ids, texts = docs
+    sh = {i: py_simhash(t) for i, t in zip(ids, texts)}
+    brute = {}
+    id_list = sorted(sh)
+    for a_i in range(len(id_list)):
+        for b_i in range(a_i + 1, len(id_list)):
+            a, b = id_list[a_i], id_list[b_i]
+            d = bin(sh[a] ^ sh[b]).count("1")
+            if d <= 3:
+                brute[(a, b)] = d
+    got = textops.q_simhash_near_dup(SF_DIR).to_pandas()
+    engine = {(int(r.left_id), int(r.right_id)): int(r.hamming)
+              for r in got.itertuples()}
+    assert engine == brute
+    assert len(brute) > 0    # the corpus must actually exercise the query
+
+
+def test_lang_id_vs_pure_python(ray_session, docs):
+    """Per-row dict-based bigram profiles + cosine must reproduce the
+    engine's vectorized buffer-kernel predictions exactly."""
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    li = textops.LangID()
+    got = textops.q_lang_id(SF_DIR).to_pandas().set_index("doc_id")
+    ids, texts = docs
+    for i, txt in list(zip(ids, texts)):
+        counts: dict[int, int] = {}
+        b = txt.lower().encode("ascii", "replace")
+        cls = [c - 96 if 97 <= c <= 122 else 0 for c in b]
+        for a, bb in zip(cls[:-1], cls[1:]):
+            counts[a * 27 + bb] = counts.get(a * 27 + bb, 0) + 1
+        vec = np.zeros(27 * 27)
+        for k, v in counts.items():
+            vec[k] = v
+        vec /= max(np.linalg.norm(vec), 1e-12)
+        sims = vec @ li.mat.T
+        best = int(sims.argmax())
+        assert got.loc[i, "lang_pred"] == li.langs[best]
+        assert abs(got.loc[i, "lang_conf"] - sims[best]) < 1e-3
+
+
+def test_doc_fingerprint_vs_pure_python(ray_session, docs):
+    """Winnowed-anchor counts + combined fingerprints recomputed per row
+    with pure-Python ints (selection: h % stride == 0, keep-all under
+    min_len grams, first gram always kept; combine: sum of splitmix64
+    mod 2^64)."""
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_doc_fingerprint(SF_DIR).to_pandas().set_index("doc_id")
+    ids, texts = docs
+    for i, txt in zip(ids, texts):
+        grams = py_shingle_hashes(txt, 16, 7)
+        keep_all = len(grams) < 12
+        kept = [h for j, h in enumerate(grams)
+                if j == 0 or keep_all or h % 8 == 0]
+        fp = sum(py_splitmix64(h) for h in kept) & M64
+        if not kept:
+            fp = 0x9E3779B97F4A7C15
+        assert int(got.loc[i, "n_anchors"]) == len(kept)
+        want = np.uint64(fp).astype(np.int64) if fp < (1 << 63) \
+            else np.int64(fp - (1 << 64))
+        assert int(got.loc[i, "fingerprint"]) == int(want)
+
+
+def test_knn_ivf_scores_are_exact(ray_session):
+    """Every (query, vec, cosine) row the IVF path returns must carry the
+    EXACT cosine (recomputed from the raw embeddings) — the approximation
+    is allowed to miss neighbors, never to mis-score them."""
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    of = {int(v): k for k, v in enumerate(ids)}
+    got = vectors.q_knn_ivf(SF_DIR).to_pandas()
+    assert len(got)
+    for r in got.itertuples():
+        exact = float(m[of[int(r.query_id)]] @ m[of[int(r.vec_id)]])
+        assert abs(r.cosine - round(exact, 4)) <= 1e-9
+
+
+def _brute_flagship_partition(cfg):
+    """Brute-force cluster partition of the sf0.001 clip corpus: per-row
+    feature recompute (no distributed pipeline), all-pairs edge tests with
+    an independent Python Jaccard/substring, Python DSU."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.functions import text as tx
+
+    t = _docs_table()
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    clip_ids, norms, t_hashes, b_hashes, fps, oks = [], [], [], [], [], []
+    for i, txt in zip(ids, texts):
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        pcm = synth._waveform(params, sr, dur)
+        buf = audio.encode(pcm, sr, codec)
+        clip_ids.append(f"clip-{int(i):012d}")
+        norm = tx.normalize_transcripts(pa.array([txt]))[0].as_py()
+        norms.append(norm or "")
+        t_hashes.append(int(hx.hash_strings(pa.array([norm or ""]))[0]))
+        b_hashes.append(int(hx.hash_binary_rows(pa.array([buf], pa.large_binary()))[0]))
+        dec, dsr = audio.decode(buf, codec)
+        fps.append(int(audio.audio_fingerprint(
+            dec, dsr, cfg.fp_num_bands, cfg.simhash_bits,
+            cfg.fp_fmin_hz, cfg.fp_fmax_hz, cfg.seed)))
+        oks.append(True)
+
+    def grams(s: str) -> set:
+        k = cfg.shingle_k
+        return {s[j:j + k] for j in range(max(len(s) - k + 1, 0))} or \
+            ({s} if s else set())
+
+    gram_sets = [grams(n) for n in norms]
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a in range(n):
+        for b in range(a + 1, n):
+            if t_hashes[a] == t_hashes[b] and b_hashes[a] == b_hashes[b]:
+                union(a, b)
+                continue
+            ga, gb = gram_sets[a], gram_sets[b]
+            if ga and gb:
+                inter = len(ga & gb)
+                if inter and inter / (len(ga) + len(gb) - inter) \
+                        >= cfg.jaccard_thresh:
+                    union(a, b)
+                    continue
+            if oks[a] and oks[b] and \
+                    bin(fps[a] ^ fps[b]).count("1") <= cfg.hamming_thresh:
+                union(a, b)
+                continue
+            na, nb = norms[a], norms[b]
+            if na and nb and na != nb and (na in nb or nb in na):
+                union(a, b)
+    return clip_ids, [find(i) for i in range(n)]
+
+
+def test_flagship_clusters_vs_bruteforce(ray_session):
+    """The driver's dedup_assignment vs a single-process brute-force
+    recompute: engine precision must be EXACT (every engine-merged pair is
+    brute-connected — verified edges can't over-merge) and dup-pair recall
+    >= 0.99 (the north-rule bar; the only allowed misses are the documented
+    probabilistic containment/LSH residual)."""
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    cfg = multimodal.MM_CFG
+    clip_ids, roots = _brute_flagship_partition(cfg)
+    brute_of = dict(zip(clip_ids, roots))
+    got = multimodal.q_dedup_assignment(SF_DIR).to_pandas()
+    eng_of = dict(zip(got.clip_id, got.cluster_id))
+    assert set(eng_of) == set(brute_of)
+
+    from collections import defaultdict
+    eng_groups = defaultdict(list)
+    for c, g in eng_of.items():
+        eng_groups[g].append(c)
+    # precision: engine-merged => brute-connected
+    for members in eng_groups.values():
+        b0 = brute_of[members[0]]
+        for m in members[1:]:
+            assert brute_of[m] == b0, f"engine over-merged {m}"
+    # recall over brute dup pairs
+    brute_groups = defaultdict(list)
+    for c, r in brute_of.items():
+        brute_groups[r].append(c)
+    tot = hit = 0
+    for members in brute_groups.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                tot += 1
+                hit += eng_of[members[x]] == eng_of[members[y]]
+    if tot:
+        assert hit / tot >= 0.99, f"dup-pair recall {hit}/{tot}"
+
+
+def test_audio_stats_vs_direct_decode(ray_session):
+    """q_audio_decode_stats and q_audio_frames vs a direct per-row decode
+    recompute — exact equality on every row."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    stats = multimodal.q_audio_decode_stats(SF_DIR).to_pandas() \
+        .set_index("clip_id")
+    frames = multimodal.q_audio_frames(SF_DIR).to_pandas() \
+        .set_index("clip_id")
+    t = _docs_table()
+    for i in t["doc_id"].to_pylist()[:120]:   # spot-check a prefix
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        pcm0 = synth._waveform(params, sr, dur)
+        buf = audio.encode(pcm0, sr, codec)
+        pcm, dsr = audio.decode(buf, codec)
+        cid = f"clip-{int(i):012d}"
+        assert bool(stats.loc[cid, "decode_ok"]) == (dsr == sr)
+        assert int(stats.loc[cid, "n_samples"]) == len(pcm)
+        assert abs(stats.loc[cid, "rms"]
+                   - round(float(np.sqrt(np.mean(pcm ** 2))), 4)) <= 1e-12
+        hop = max(1, int(dsr * 25 / 1000))
+        k = len(pcm) // hop
+        assert int(frames.loc[cid, "n_frames"]) == k
+        if k:
+            e = (pcm[:k * hop].reshape(k, hop).astype(np.float64) ** 2) \
+                .mean(axis=1)
+            assert abs(frames.loc[cid, "mean_energy"]
+                       - round(float(e.mean()), 6)) <= 1e-12
+            assert abs(frames.loc[cid, "max_energy"]
+                       - round(float(e.max()), 6)) <= 1e-12
+
+
+def test_image_stub_vs_recompute(ray_session):
+    """The marked image-decode stub must stay deterministic: fake dims are
+    a pure function of the payload prefix."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    got = multimodal.q_image_decode_stub(SF_DIR).to_pandas() \
+        .set_index("clip_id")
+    assert not got["decoded"].any()        # stub marker stays visible
+    t = _docs_table()
+    for i in t["doc_id"].to_pylist()[:60]:
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
+        h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
+        cid = f"clip-{int(i):012d}"
+        assert int(got.loc[cid, "width"]) == 64 + h % 1024
+        assert int(got.loc[cid, "height"]) == 64 + (h >> 32) % 1024

@@ -235,15 +235,31 @@ def q_ngram_jaccard_pairs(sf_dir: str, k: int = 5, thresh: float = 0.7):
 # SimHash near-dup (cosine-ish; rows-only check — random projections)
 # ---------------------------------------------------------------------------
 
-def q_simhash_near_dup(sf_dir: str, hamming_thresh: int = 8):
+def q_simhash_near_dup(sf_dir: str, hamming_thresh: int = 3,
+                       bands: int = 4):
     """64-bit SimHash over char-3-gram term frequencies; candidate pairs
-    share one of 4 16-bit bands; verify hamming ≤ thresh.  The text analog
-    of the audio fingerprint stage (stages/audio_fp.py)."""
+    share one of ``bands`` equal-width band slices; verify hamming ≤
+    thresh.  The text analog of the audio fingerprint stage
+    (stages/audio_fp.py).
+
+    EXACTNESS: with ``hamming_thresh <= bands - 1`` the result is EXACT by
+    pigeonhole — ≤ bands-1 flipped bits cannot touch every band, so every
+    qualifying pair shares a clean band and is generated + verified
+    (asserted; equality against an all-pairs pure-Python oracle is tested
+    in tests/test_independent_oracles.py).  For a larger radius r pass
+    ``bands >= r + 1`` (64 must divide evenly: 4/8/16); wider bands raise
+    candidate volume ~ n²/2^width per band, which the salted hot-bucket
+    machinery absorbs but is the price of completeness at large radii."""
     from who_owns_mass_processing_ray import audio as au
     from who_owns_mass_processing_ray.stages import pairs as pr
 
+    assert 64 % bands == 0, "bands must divide 64"
+    assert hamming_thresh <= bands - 1, (
+        "completeness requires thresh <= bands-1; raise bands for a larger "
+        "radius")
     ds = _docs(sf_dir)
-    BITS, BANDS = 64, 4
+    BITS, BANDS = 64, bands
+    WIDTH = BITS // BANDS
 
     def simhash_rows(t: pa.Table) -> pa.Table:
         """Vectorized across the whole batch: unpack bits for ALL gram
@@ -271,8 +287,9 @@ def q_simhash_near_dup(sf_dir: str, hamming_thresh: int = 8):
         sh = t["simhash"].to_numpy()
         ids = t["doc_id"].to_numpy()
         keys, out_ids = [], []
+        mask = np.uint64((1 << WIDTH) - 1)
         for b in range(BANDS):
-            slice_bits = (sh >> np.uint64(b * 16)) & np.uint64(0xFFFF)
+            slice_bits = (sh >> np.uint64(b * WIDTH)) & mask
             keys.append(hx.splitmix64(slice_bits ^ np.uint64(b << 32)))
             out_ids.append(ids)
         return pa.table({

@@ -7,11 +7,15 @@ that coarse secondary identity is the decoded-PCM spectral SimHash computed
 by the feature stage: re-encoded/resampled copies of the same waveform land
 within a few bits of each other.
 
-Blocking: the 64-bit fingerprint is sliced into ``simhash_bands`` 16-bit
-bands; two clips within hamming distance d collide on at least one band
-slice whenever the d flipped bits avoid one band (certain for d <= 3 bands'
-worth; probabilistic above).  Verification is exact hamming distance on the
-full fingerprint (carried through the pair rows — 8 bytes, never the PCM).
+Blocking: multi-index hashing — the 64-bit fingerprint is sliced into
+``hamming_thresh + 1`` near-equal-width parts (7 parts of 9-10 bits at the
+default radius 6), so by pigeonhole EVERY pair within the verify radius
+shares at least one clean part: candidate generation is COMPLETE, recall
+loss can only come from the visible hot-bucket salting cap (round 1 used 4
+fixed 16-bit bands, which silently missed pairs at distance 4-6 — caught
+by the brute-force oracle in tests/test_independent_oracles.py).
+Verification is exact hamming distance on the full fingerprint (carried
+through the pair rows — 8 bytes, never the PCM).
 """
 
 from __future__ import annotations
@@ -33,12 +37,18 @@ def _band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         ids_arr = ids_arr.combine_chunks()
     ok_idx = np.flatnonzero(ok)
     fp = fp[ok_idx]
-    bands = cfg.simhash_bands
-    width = cfg.simhash_bits // bands
-    mask = np.uint64((1 << width) - 1)
+    # multi-index parts: radius + 1 slices, widths as equal as possible
+    # (completeness: d <= hamming_thresh flipped bits leave >= 1 part clean)
+    bands = cfg.hamming_thresh + 1
+    base = cfg.simhash_bits // bands
+    widths = [base + (1 if i < cfg.simhash_bits % bands else 0)
+              for i in range(bands)]
     keys = []
-    for b in range(bands):
-        slice_b = (fp >> np.uint64(b * width)) & mask
+    shift = 0
+    for b, w in enumerate(widths):
+        mask = np.uint64((1 << w) - 1)
+        slice_b = (fp >> np.uint64(shift)) & mask
+        shift += w
         # mix in the band index so identical slices in different bands
         # don't collide into one bucket
         keys.append(hx.splitmix64(slice_b ^ np.uint64(0xAD10F00D + b * 0x9E37)))
