@@ -50,9 +50,9 @@ def read_clips(clips_path: str):
     format is not available in this environment (no ``lance`` package);
     Parquet is the storage stand-in — same columnar contract, same
     projection pushdown (``read_lance`` would slot in here 1:1)."""
-    import ray.data as rd
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
 
-    return rd.read_parquet(clips_path)
+    return read_parquet_clean(clips_path)
 
 
 def dedup_pipeline(

@@ -28,10 +28,10 @@ MM_CFG = DedupConfig()  # num_parts auto = 4x CPUs
 def clips_from_documents(sf_dir: str):
     """documents -> Dataset matching the clip input contract.  Pure function
     of (doc_id, text): safe on any worker, any order, any batch size."""
-    import ray.data as rd
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
 
     def synthesize(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()

@@ -64,10 +64,10 @@ _BLANK_RE = r"^([\_\-\;\:\, ]+|N(ONE)?|N( /)? ?A|U ?NKNOWN|N N| *|)$"
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
 
 
 def _pick(did: np.ndarray, options: list[str]) -> pa.Array:

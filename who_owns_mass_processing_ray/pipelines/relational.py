@@ -19,9 +19,9 @@ from who_owns_mass_processing_ray.functions.numeric import round_col, round_half
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data as rd
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------

@@ -41,9 +41,10 @@ DOCS_CFG = DedupConfig(shingle_k=5, jaccard_thresh=0.7, num_perm=144,
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=list(columns))
 
 
 # ---------------------------------------------------------------------------

@@ -28,10 +28,10 @@ from who_owns_mass_processing_ray.functions.numeric import round_half_away
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
 
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from who_owns_mass_processing_ray.synth import clip_id_to_int
 
@@ -71,17 +72,38 @@ def clip_to_cluster(assignment_ds, edges_ds, num_partitions: int):
         MASK_STR[m] = ",".join(k for k in ["audio", "containment", "exact", "near"]
                                if KIND_BITS[k] & m)
 
-    def to_bits(t: pa.Table) -> pa.Table:
-        kinds = t["kind"].to_pylist()
-        bits = np.array([KIND_BITS.get(k, 0) for k in kinds], dtype=np.int64)
-        return pa.table({"clip_id": t["clip_id"], "bit": pa.array(bits)})
+    _KIND_ARR = pa.array(["exact", "near", "containment", "audio"])
+    _BIT_ARR = pa.array([1, 2, 4, 8], pa.int64())
 
-    def or_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        # bits are powers of two, so OR of DISTINCT bits == their sum —
-        # dedup + sum keeps the whole reduce in vectorized C
-        agg = g.drop_duplicates().groupby("clip_id")["bit"].sum()
-        out = agg.map(MASK_STR).rename("edge_kinds_str").reset_index()
-        return out
+    def to_bits(t: pa.Table) -> pa.Table:
+        bits = pc.fill_null(_BIT_ARR.take(
+            pc.index_in(t["kind"], value_set=_KIND_ARR)), 0)
+        return pa.table({"clip_id": t["clip_id"], "bit": bits})
+
+    _MASK_ARR = pa.array([MASK_STR[m] for m in range(16)], pa.string())
+    _KINDS_SCHEMA = pa.schema([("clip_id", pa.string()),
+                               ("edge_kinds_str", pa.string())])
+
+    def or_reduce(g: pa.Table) -> pa.Table:
+        """Bits are powers of two, so OR == sum over DISTINCT (clip, bit)
+        pairs — one dictionary encode + one np.unique + one bincount, all C
+        (the r1 pandas drop_duplicates/groupby pass is gone)."""
+        if g.num_rows == 0:
+            return _KINDS_SCHEMA.empty_table()
+        ids = g["clip_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        enc = pc.dictionary_encode(ids)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniq_ids = enc.dictionary
+        bits = g["bit"].to_numpy()
+        pair = np.unique(codes * 16 + bits)
+        mask = np.bincount(pair >> 4, weights=pair & 15,
+                           minlength=len(uniq_ids)).astype(np.int64)
+        return pa.table({
+            "clip_id": uniq_ids,
+            "edge_kinds_str": _MASK_ARR.take(pa.array(mask, pa.int64())),
+        }, schema=_KINDS_SCHEMA)
 
     # coarse partition on clip_id hash so one task handles many clips
     def add_part(t: pa.Table) -> pa.Table:
@@ -93,8 +115,8 @@ def clip_to_cluster(assignment_ds, edges_ds, num_partitions: int):
         incident.map_batches(to_bits, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(lambda g: or_reduce(g.drop(columns=["part"])),
-                    batch_format="pandas")
+        .map_groups(lambda g: or_reduce(g.drop_columns(["part"])),
+                    batch_format="pyarrow")
     )
     from who_owns_mass_processing_ray.stages import joins
 
@@ -133,34 +155,75 @@ def clusters_table(assignment_ds, features_ds, edges_ds, num_partitions: int):
         part = (cid.to_numpy() % num_partitions).astype(np.int32)
         return t.append_column("cluster_id", cid).append_column("part", pa.array(part))
 
-    def elect(g: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized election across every cluster in this partition."""
-        g = g.sort_values(["cluster_id", "clip_id"])
-        agg = g.groupby("cluster_id").agg(
-            canonical_clip_id=("clip_id", "min"),
-            size=("clip_id", "size"),
-            total_dur_ms=("dur_ms", "sum"),
-        )
-        # mode transcript per cluster, ties -> lexicographic min transcript
-        tn = g.dropna(subset=["transcript_norm"])
-        if len(tn):
-            counts = (
-                tn.groupby(["cluster_id", "transcript_norm"]).size().rename("ct").reset_index()
-                .sort_values(["cluster_id", "ct", "transcript_norm"],
-                             ascending=[True, False, True])
-            )
-            mode = counts.groupby("cluster_id").head(1).set_index("cluster_id")["transcript_norm"]
-        else:
-            mode = pd.Series(dtype=object)
-        agg["canonical_transcript"] = mode.reindex(agg.index)
-        agg["total_dur_ms"] = agg["total_dur_ms"].astype("int64")
-        agg["size"] = agg["size"].astype("int64")
-        return agg.reset_index()
+    _ELECT_SCHEMA = pa.schema([
+        ("cluster_id", pa.int64()), ("canonical_clip_id", pa.string()),
+        ("size", pa.int64()), ("total_dur_ms", pa.int64()),
+        ("canonical_transcript", pa.string()),
+    ])
+
+    def elect(g: pa.Table) -> pa.Table:
+        """Vectorized election across every cluster in this partition —
+        Arrow C sort + numpy segment reduces (the r1 pandas groupby pass
+        converted every partition to Python objects)."""
+        if g.num_rows == 0:
+            return _ELECT_SCHEMA.empty_table()
+        g = g.sort_by([("cluster_id", "ascending"), ("clip_id", "ascending")])
+        cid = g["cluster_id"].to_numpy()
+        n = len(cid)
+        starts = np.concatenate(([0], np.flatnonzero(cid[1:] != cid[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        dur = g["dur_ms"].to_numpy().astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(dur)))
+        totals = cs[starts + sizes] - cs[starts]
+        take_first = pa.array(starts)
+        clusters = cid[starts]
+        # mode transcript per cluster, ties -> lexicographic min transcript:
+        # count (cluster, transcript) runs, order runs by (cluster, ct desc,
+        # transcript asc == run position), take first run per cluster
+        valid = pc.is_valid(g["transcript_norm"])
+        sub = g.filter(valid).select(["cluster_id", "transcript_norm"]) \
+            .sort_by([("cluster_id", "ascending"),
+                      ("transcript_norm", "ascending")])
+        mode_str = pa.nulls(len(starts), pa.string())
+        if sub.num_rows:
+            c2 = sub["cluster_id"].to_numpy()
+            t2 = sub["transcript_norm"]
+            if isinstance(t2, pa.ChunkedArray):
+                t2 = t2.combine_chunks()
+            tcodes = pc.dictionary_encode(t2).indices.to_numpy() \
+                .astype(np.int64)
+            m = len(c2)
+            r_starts = np.concatenate(
+                ([0], np.flatnonzero((c2[1:] != c2[:-1])
+                                     | (tcodes[1:] != tcodes[:-1])) + 1))
+            r_ct = np.diff(np.concatenate((r_starts, [m])))
+            r_cid = c2[r_starts]
+            # stable pick: (cluster asc, ct desc, run position asc) — run
+            # position already orders transcripts ascending within cluster
+            order = np.lexsort((np.arange(len(r_ct)), -r_ct, r_cid))
+            keep = np.ones(len(order), dtype=bool)
+            keep[1:] = r_cid[order][1:] != r_cid[order][:-1]
+            win = order[keep]
+            pos = np.searchsorted(clusters, r_cid[win])
+            mode_np = np.full(len(starts), -1, dtype=np.int64)
+            mode_np[pos] = r_starts[win]
+            mode_str = pc.if_else(
+                pa.array(mode_np >= 0),
+                t2.take(pa.array(np.maximum(mode_np, 0))),
+                pa.nulls(len(starts), pa.string()))
+        return pa.table({
+            "cluster_id": pa.array(clusters),
+            "canonical_clip_id": g["clip_id"].take(take_first),
+            "size": pa.array(sizes.astype(np.int64)),
+            "total_dur_ms": pa.array(totals.astype(np.int64)),
+            "canonical_transcript": mode_str,
+        }, schema=_ELECT_SCHEMA)
 
     base = (
         member.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(lambda g: elect(g.drop(columns=["part"])), batch_format="pandas")
+        .map_groups(lambda g: elect(g.drop_columns(["part"])),
+                    batch_format="pyarrow")
     )
 
     # per-cluster edge-kind counts: map left endpoint -> cluster, pivot
@@ -174,15 +237,36 @@ def clusters_table(assignment_ds, features_ds, edges_ds, num_partitions: int):
         batch_format="pyarrow",
     ).groupby(["cluster_id", "kind"]).count()
 
-    def pivot(g: pd.DataFrame) -> pd.DataFrame:
-        w = g.pivot_table(index="cluster_id", columns="kind", values="count()",
-                          aggfunc="sum", fill_value=0)
-        for k in ["exact", "near", "containment", "audio"]:
-            if k not in w.columns:
-                w[k] = 0
-        w = w[["exact", "near", "containment", "audio"]].astype("int64")
-        w.columns = ["exact_ct", "near_ct", "containment_ct", "audio_ct"]
-        return w.reset_index()
+    _PIVOT_SCHEMA = pa.schema([
+        ("cluster_id", pa.int64()), ("exact_ct", pa.int64()),
+        ("near_ct", pa.int64()), ("containment_ct", pa.int64()),
+        ("audio_ct", pa.int64()),
+    ])
+    _PIV_KINDS = pa.array(["exact", "near", "containment", "audio"])
+
+    def pivot(g: pa.Table) -> pa.Table:
+        """kind-count pivot as one bincount over (cluster code, kind index)
+        — no pandas pivot_table object pass."""
+        if g.num_rows == 0:
+            return _PIVOT_SCHEMA.empty_table()
+        cid = g["cluster_id"]
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        enc = pc.dictionary_encode(cid)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        kidx = pc.index_in(g["kind"], value_set=_PIV_KINDS).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cnt = g["count()"].to_numpy().astype(np.int64)
+        wide = np.bincount(codes * 4 + kidx, weights=cnt,
+                           minlength=len(enc.dictionary) * 4) \
+            .astype(np.int64).reshape(-1, 4)
+        return pa.table({
+            "cluster_id": enc.dictionary,
+            "exact_ct": pa.array(wide[:, 0]),
+            "near_ct": pa.array(wide[:, 1]),
+            "containment_ct": pa.array(wide[:, 2]),
+            "audio_ct": pa.array(wide[:, 3]),
+        }, schema=_PIVOT_SCHEMA)
 
     def add_part2(t: pa.Table) -> pa.Table:
         part = (t["cluster_id"].to_numpy() % num_partitions).astype(np.int32)
@@ -191,7 +275,8 @@ def clusters_table(assignment_ds, features_ds, edges_ds, num_partitions: int):
     kind_wide = (
         kind_counts.map_batches(add_part2, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(lambda g: pivot(g.drop(columns=["part"])), batch_format="pandas")
+        .map_groups(lambda g: pivot(g.drop_columns(["part"])),
+                    batch_format="pyarrow")
     )
 
     out = joins.attach_columns(

@@ -72,8 +72,19 @@ def components_dsu(edges_ds):
     import pyarrow.compute as pc
     import ray
 
+    _EDGE_SCHEMA = pa.schema([("left_id", pa.string()),
+                              ("right_id", pa.string())])
+
+    def project(t: pa.Table) -> pa.Table:
+        # map_batches (not select_columns): the Project operator passes
+        # zero-row bundles through unprojected, tripping the streaming
+        # executor's schema-consistency warning on every edge union
+        return pa.table({"left_id": t["left_id"],
+                         "right_id": t["right_id"]}, schema=_EDGE_SCHEMA)
+
     tables = [t for t in ray.get(
-        edges_ds.select_columns(["left_id", "right_id"]).to_arrow_refs())
+        edges_ds.map_batches(project,
+                             batch_format="pyarrow").to_arrow_refs())
         if t.num_rows]
     if not tables:
         return pa.array([], pa.string()), np.empty(0, np.int64)
@@ -103,11 +114,14 @@ def components_labelprop(edges_ds, cfg: DedupConfig, num_partitions: int):
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    sym = edges_ds.select_columns(["left_id", "right_id"]).union(
-        edges_ds.select_columns(["left_id", "right_id"]).map_batches(
-            lambda t: pa.table({"left_id": t["right_id"], "right_id": t["left_id"]}),
-            batch_format="pyarrow",
-        )
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table({"left_id": t["left_id"], "right_id": t["right_id"]})
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"left_id": t["right_id"], "right_id": t["left_id"]})
+
+    sym = edges_ds.map_batches(fwd, batch_format="pyarrow").union(
+        edges_ds.map_batches(rev, batch_format="pyarrow")
     ).materialize()
     # initial labels: every node labels itself
     labels = sym.groupby("left_id").aggregate(Min("right_id", alias_name="label"))
@@ -170,7 +184,9 @@ def assignment_dataset(features_ds, edges_ds, cfg: DedupConfig,
         n_edges = edges_ds.count()
         method = "dsu" if n_edges <= cfg.dsu_edge_limit else "labelprop"
 
-    ids = features_ds.select_columns(["clip_id"])
+    ids = features_ds.map_batches(
+        lambda t: pa.table({"clip_id": t["clip_id"]}),
+        batch_format="pyarrow")
     if method == "dsu":
         sorted_ids, lab = components_dsu(edges_ds)
         root_ids = sorted_ids.take(pa.array(lab, pa.int64()))

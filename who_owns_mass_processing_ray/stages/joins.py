@@ -39,15 +39,20 @@ def attach_columns(
     ``cols`` maps side column -> output column name.  ``how`` is "inner" or
     "left" (left-outer: unmatched rows keep nulls in the attached columns).
     """
-    proj = side_ds.select_columns([side_key, *cols.keys()])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["__sidekey", *cols.values()])
+    def project_rename(t: pa.Table) -> pa.Table:
+        # one map_batches, not select_columns + rename: the Project operator
+        # passes zero-row bundles through unprojected, tripping streaming-
+        # executor schema warnings on every dataset that carries empty blocks
+        out = {"__sidekey": t[side_key]}
+        for src, dst in cols.items():
+            out[dst] = t[src]
+        return pa.table(out)
 
     # materialize the projected side ONCE: count() + to_arrow_refs() would
     # otherwise each re-execute the side pipeline (profiling showed this
     # double execution dominating multi-join stages)
-    proj = proj.map_batches(rename, batch_format="pyarrow").materialize()
+    proj = side_ds.map_batches(project_rename,
+                               batch_format="pyarrow").materialize()
     n_side = proj.count()
     if n_side <= broadcast_limit:
         import ray
