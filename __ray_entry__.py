@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "addr2_split": normalize.q_addr2_split,
         "text_norm": normalize.q_text_norm,
         "zip_format": normalize.q_zip_format,
+        "concat_ranges_fix": normalize.q_concat_ranges_fix,
         # --- relational capability queries (SURVEY.md §2.4-2.7) -------------
         "lineitem_agg": relational.q_lineitem_agg,
         "counts_in_group": relational.q_counts_in_group,
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_sort": textops.q_token_sort,
         "exact_dedup": textops.q_exact_dedup,
         "minhash_near_dup": textops.q_minhash_near_dup,
+        "near_dup_groups": textops.q_near_dup_groups,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "simhash_near_dup": textops.q_simhash_near_dup,
         "token_stats": textops.q_token_stats,
@@ -172,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "addr2_split": normalize.addr2_split_sql(),
         "text_norm": normalize.text_norm_sql(),
         "zip_format": normalize.zip_format_sql(),
+        "concat_ranges_fix": normalize.concat_ranges_fix_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -318,6 +321,24 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,
+        # connected components over the exact Jaccard pair graph: min
+        # reachable doc_id via a recursive CTE == the engine's union-find
+        # root (the clustering reduce itself is oracle-checked)
+        "near_dup_groups": f"""
+            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace('ORDER BY 1, 2', '')}),
+            sym(a, b) AS (
+                SELECT left_id, right_id FROM base
+                UNION ALL
+                SELECT right_id, left_id FROM base
+            ),
+            reach(id, r) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS group_id
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
         "quantile_filter": """
             WITH qv AS (
                 SELECT quantile_cont(o_totalprice, 0.9) AS q FROM orders)

@@ -35,6 +35,7 @@ HEADLINE = [
     "lineitem_agg",        # relational aggregate
     "join_agg",            # broadcast join + aggregate
     "quality_score",       # text analysis
+    "cascade_norm",        # rule-cascade normalizer (r2)
 ]
 
 

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -373,3 +374,110 @@ class CascadeNormalizer:
             t = t.append_column(f"{c}{self.out_suffix}",
                                 apply_cascade(t[c], self.rulesets))
         return t
+
+
+# -- std_fix_concatenated_ranges (standardizers.R:399-415) -------------------
+# The reference patterns use BACKREFERENCES (^([0-9]{3,4})[A-Z]?(?=\1)),
+# which RE2 (Arrow + DuckDB) does not support at all — so this one operator
+# is ported as explicit slice-compare branches, evaluated in the same
+# priority order the backtracking regex would try ({3,4} greedy -> 4 first;
+# [A-Z]? greedy -> with-letter first).  `concat_ranges_branches` is the ONE
+# source both the Arrow kernel and the generated SQL CASE are built from.
+
+# rule 1: drop the first copy of a doubled 3-4 digit leading number
+#   ("234234A TEST ST" -> "234A TEST ST"); branch = (k, with_letter)
+_R1_BRANCHES = [(4, True), (4, False), (3, True), (3, False)]
+# rule 2: hyphenate a concatenated range ("2342345 X" -> "2342-345 X" side
+# of the reference's lookbehind form); branch = (k, with_letter), prefix =
+# first k digits, then 1 digit, optional letter, then the same k digits + digit
+_R2_BRANCHES = [(3, True), (3, False), (2, True), (2, False)]
+
+
+def fix_concat_ranges(col: pa.Array | pa.ChunkedArray):
+    """Vectorized std_fix_concatenated_ranges: rule-1 removal then rule-2
+    hyphen insertion, first matching branch wins (if_else cascade)."""
+    def digits(s, off, k):
+        return pc.match_substring_regex(
+            pc.utf8_slice_codeunits(s, off, off + k), rf"^[0-9]{{{k}}}$")
+
+    def letter_at(s, off):
+        return pc.match_substring_regex(
+            pc.utf8_slice_codeunits(s, off, off + 1), r"^[A-Z]$")
+
+    BIG = 1 << 30
+    out = col
+    # rule 1 (single anchored replacement -> evaluate branches high->low
+    # priority, later writes must not touch rows already rewritten)
+    done = pa.array(np.zeros(len(col), dtype=bool)) if len(col) else \
+        pa.array([], pa.bool_())
+    result = out
+    for k, with_letter in _R1_BRANCHES:
+        pre = pc.utf8_slice_codeunits(out, 0, k)
+        second_off = k + 1 if with_letter else k
+        cond = pc.and_kleene(digits(out, 0, k), pc.equal(
+            pc.utf8_slice_codeunits(out, second_off, second_off + k), pre))
+        if with_letter:
+            cond = pc.and_kleene(cond, letter_at(out, k))
+        cond = pc.and_kleene(cond, pc.invert(done))
+        cond = pc.fill_null(cond, False)
+        repl = pc.utf8_slice_codeunits(out, second_off, BIG)
+        result = pc.if_else(cond, repl, result)
+        done = pc.or_(done, cond)
+    out = result
+    # rule 2
+    done = pa.array(np.zeros(len(col), dtype=bool)) if len(col) else \
+        pa.array([], pa.bool_())
+    result = out
+    for k, with_letter in _R2_BRANCHES:
+        p = k + 1 + (1 if with_letter else 0)   # insertion point
+        pre = pc.utf8_slice_codeunits(out, 0, k)
+        cond = pc.and_kleene(digits(out, 0, k), digits(out, k, 1))
+        if with_letter:
+            cond = pc.and_kleene(cond, letter_at(out, k + 1))
+        cond = pc.and_kleene(cond, pc.equal(
+            pc.utf8_slice_codeunits(out, p, p + k), pre))
+        cond = pc.and_kleene(cond, digits(out, p + k, 1))
+        cond = pc.and_kleene(cond, pc.invert(done))
+        cond = pc.fill_null(cond, False)
+        repl = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(out, 0, p), "-",
+            pc.utf8_slice_codeunits(out, p, BIG), "")
+        result = pc.if_else(cond, repl, result)
+        done = pc.or_(done, cond)
+    return result
+
+
+def fix_concat_ranges_sql(expr: str) -> str:
+    """The SAME branch cascade as nested DuckDB CASEs (built from the same
+    branch lists — substr is 1-based)."""
+    def digits_sql(e, off, k):
+        return (f"regexp_matches(substr({e}, {off + 1}, {k}), "
+                f"'^[0-9]{{{k}}}$')")
+
+    def letter_sql(e, off):
+        return f"regexp_matches(substr({e}, {off + 1}, 1), '^[A-Z]$')"
+
+    v = expr
+    cases = []
+    for k, with_letter in _R1_BRANCHES:
+        second_off = k + 1 if with_letter else k
+        cond = (f"{digits_sql(v, 0, k)} AND substr({v}, {second_off + 1}, "
+                f"{k}) = substr({v}, 1, {k})")
+        if with_letter:
+            cond += f" AND {letter_sql(v, k)}"
+        cases.append((cond, f"substr({v}, {second_off + 1})"))
+    r1 = "CASE " + " ".join(f"WHEN {c} THEN {r}" for c, r in cases) \
+        + f" ELSE {v} END"
+    u = f"({r1})"
+    cases = []
+    for k, with_letter in _R2_BRANCHES:
+        p = k + 1 + (1 if with_letter else 0)
+        cond = (f"{digits_sql(u, 0, k)} AND {digits_sql(u, k, 1)}"
+                f" AND substr({u}, {p + 1}, {k}) = substr({u}, 1, {k})"
+                f" AND {digits_sql(u, p + k, 1)}")
+        if with_letter:
+            cond += f" AND {letter_sql(u, k + 1)}"
+        cases.append((cond,
+                      f"substr({u}, 1, {p}) || '-' || substr({u}, {p + 1})"))
+    return "CASE " + " ".join(f"WHEN {c} THEN {r}" for c, r in cases) \
+        + f" ELSE {u} END"

@@ -175,10 +175,15 @@ def q_addr2_split(sf_dir: str):
         main = pc.utf8_trim_whitespace(
             pc.replace_substring_regex(raw, pattern=_UNIT_TAIL,
                                        replacement=""))
+        # ≙ std_assemble_addr (concat non-empty parts with one space,
+        # /root/reference/R/standardizers.R:1474-1520)
+        assembled = pc.utf8_trim_whitespace(
+            pc.binary_join_element_wise(main, tail, " "))
         return pa.table({
             "doc_id": t["doc_id"],
             "addr_main": main,
             "addr2": tail,
+            "addr_assembled": assembled,
         })
 
     return _docs(sf_dir).map_batches(split, batch_format="pyarrow").sort("doc_id")
@@ -189,11 +194,15 @@ def addr2_split_sql() -> str:
             + _pick_sql("doc_id", UNIT_SUFS) + ")")
     raw = cx.cascade_sql(raw0, [cx.RULESETS[n] for n in ADDR2_CHAIN])
     return f"""
-        SELECT doc_id,
-               trim(regexp_replace({raw}, '{_UNIT_TAIL}', '', 'g'))
-                   AS addr_main,
-               regexp_extract({raw}, '{_UNIT_TAIL}', 1) AS addr2
-        FROM documents ORDER BY doc_id
+        SELECT doc_id, addr_main, addr2,
+               trim(concat_ws(' ', addr_main, addr2)) AS addr_assembled
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace({raw}, '{_UNIT_TAIL}', '', 'g'))
+                       AS addr_main,
+                   regexp_extract({raw}, '{_UNIT_TAIL}', 1) AS addr2
+            FROM documents)
+        ORDER BY doc_id
     """
 
 
@@ -257,4 +266,53 @@ def zip_format_sql() -> str:
                CASE WHEN regexp_matches({raw}, '^[0-9]{{1,5}}$')
                     THEN lpad({raw}, 5, '0') ELSE NULL END AS zip_norm
         FROM documents ORDER BY doc_id
+    """
+
+
+def q_concat_ranges_fix(sf_dir: str):
+    """≙ std_fix_concatenated_ranges (standardizers.R:399-415): repair
+    doubled leading street numbers ("234234A TEST ST" -> "234A TEST ST")
+    and hyphenate concatenated ranges.  The reference regexes use
+    backreferences, which RE2 lacks — ported as a slice-compare branch
+    cascade evaluated in backtracking priority order
+    (functions/cascade.fix_concat_ranges; the oracle CASE chain is
+    generated from the SAME branch lists)."""
+    def fix(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        num = pc.cast(pa.array(100 + did % 900, pa.int64()), pa.string())
+        d1 = pc.cast(pa.array(did % 10, pa.int64()), pa.string())
+        branch = did % 4
+        doubled = pc.binary_join_element_wise(num, num, " ELM ST", "")
+        lettered = pc.binary_join_element_wise(num, "B", num, " OAK ST", "")
+        ranged = pc.binary_join_element_wise(num, d1, num, d1, " PINE ST", "")
+        plain = pc.binary_join_element_wise(num, " MAPLE ST", "")
+        raw = pc.if_else(pa.array(branch == 0), doubled,
+                         pc.if_else(pa.array(branch == 1), lettered,
+                                    pc.if_else(pa.array(branch == 2), ranged,
+                                               plain)))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "addr_raw": raw,
+            "addr_fixed": cx.fix_concat_ranges(raw),
+        })
+
+    return _docs(sf_dir).map_batches(fix, batch_format="pyarrow").sort("doc_id")
+
+
+def concat_ranges_fix_sql() -> str:
+    raw = ("CASE CAST(doc_id % 4 AS INTEGER)"
+           " WHEN 0 THEN num || num || ' ELM ST'"
+           " WHEN 1 THEN num || 'B' || num || ' OAK ST'"
+           " WHEN 2 THEN num || d1 || num || d1 || ' PINE ST'"
+           " ELSE num || ' MAPLE ST' END")
+    return f"""
+        SELECT doc_id, addr_raw,
+               {cx.fix_concat_ranges_sql('addr_raw')} AS addr_fixed
+        FROM (
+            SELECT doc_id, {raw} AS addr_raw FROM (
+                SELECT doc_id,
+                       CAST(100 + doc_id % 900 AS VARCHAR) AS num,
+                       CAST(doc_id % 10 AS VARCHAR) AS d1
+                FROM documents))
+        ORDER BY doc_id
     """

@@ -30,14 +30,17 @@ from who_owns_mass_processing_ray.config import DedupConfig
 from who_owns_mass_processing_ray.functions import hashing as hx
 from who_owns_mass_processing_ray.functions.numeric import round_half_away
 
-# 48 bands x 3 rows (vs the flagship's 32x4): the oracle for
+# 48 bands x 4 rows (vs the flagship's 32x4): the oracle for
 # q_minhash_near_dup is the EXACT brute-force Jaccard SQL, so the LSH miss
 # probability is a driver-flake probability.  At J=0.7 a pair is missed with
-# p = (1-0.7^3)^48 ≈ 2e-9 (vs ~1.5e-4 for 32x4) — negligible at any test
-# scale factor; the flagship keeps 32x4 where recall 0.99 is the bar and
-# candidate volume matters more.
-DOCS_CFG = DedupConfig(shingle_k=5, jaccard_thresh=0.7, num_perm=144,
-                       lsh_bands=48, lsh_rows=3)  # num_parts auto = 4x CPUs
+# p = (1-0.7^4)^48 ≈ 2e-6 (vs ~1.5e-4 for 32x4) — negligible at any test
+# scale factor.  rows stays at 4: a 3-row variant had p≈2e-9 but its
+# shallower S-curve let ~30x more low-J candidate pairs through to verify
+# (measured 10.9s vs 4.3s at sf0.1); doubling 4-row bands buys the flake
+# margin for ~1.5x band rows instead.  The flagship keeps 32x4 where recall
+# 0.99 is the bar and candidate volume matters more.
+DOCS_CFG = DedupConfig(shingle_k=5, jaccard_thresh=0.7, num_perm=192,
+                       lsh_bands=48, lsh_rows=4)  # num_parts auto = 4x CPUs
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
@@ -614,23 +617,37 @@ def _edit_distance_matrix(tokens: list[str], vocab: list[str],
     instead of silently selecting wrong argmin words."""
     assert match_thresh <= _BAND_LIMIT, (
         f"banded shortcut valid only for thresholds <= {_BAND_LIMIT}")
-    out = np.zeros((len(tokens), len(vocab)), dtype=np.int64)
+    n = len(tokens)
+    out = np.zeros((n, len(vocab)), dtype=np.int64)
+    if n == 0:
+        return out
+    # one DP per VOCAB WORD over the whole token batch: codepoint matrix +
+    # numpy row ops, no per-(token, word) Python DP (the r1 version ran a
+    # pure-Python DP per cell — fine at 20 vocab words, 75x slower at the
+    # reference's ~1.5k places table)
+    tl = np.array([len(t or "") for t in tokens], dtype=np.int64)
+    L = max(int(tl.max()), 1)
+    T = np.zeros((n, L), dtype=np.uint32)
+    for i, t in enumerate(tokens):
+        if t:
+            T[i, :len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    rows = np.arange(n)
     for j, w in enumerate(vocab):
-        for i, t in enumerate(tokens):
-            t = t or ""
-            m, n = len(t), len(w)
-            if abs(m - n) > _BAND_LIMIT:
-                out[i, j] = abs(m - n)
-                continue
-            prev = list(range(n + 1))
-            for a in range(1, m + 1):
-                cur = [a] + [0] * n
-                ca = t[a - 1]
-                for b in range(1, n + 1):
-                    cur[b] = min(prev[b] + 1, cur[b - 1] + 1,
-                                 prev[b - 1] + (ca != w[b - 1]))
-                prev = cur
-            out[i, j] = prev[n]
+        m = len(w)
+        band = np.abs(tl - m) <= _BAND_LIMIT
+        wcp = np.frombuffer(w.encode("utf-32-le"), np.uint32)
+        prev = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+        for a in range(1, m + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = a
+            neq = (T != wcp[a - 1]).astype(np.int64)
+            for b in range(1, L + 1):
+                cur[:, b] = np.minimum(
+                    np.minimum(prev[:, b] + 1, cur[:, b - 1] + 1),
+                    prev[:, b - 1] + neq[:, b - 1])
+            prev = cur
+        d = prev[rows, tl]
+        out[:, j] = np.where(band, d, np.abs(tl - m))
     return out
 
 
@@ -712,3 +729,41 @@ def q_cross_table_link(sf_dir: str, thresh: float = 0.7):
         .groupby(["a_id", "b_id"]).aggregate(Max("jaccard",
                                                  alias_name="jaccard"))
     return out.sort(["a_id", "b_id"])
+
+
+def q_near_dup_groups(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """End-to-end near-dup CLUSTERING with a SQL oracle: LSH pairs (48x4,
+    flake p≈2e-6) -> exact-Jaccard verify -> connected components -> every
+    member of a multi-doc group with the group's min doc_id as group_id.
+
+    This is the flagship's pairs->components->assignment chain on the
+    documents table, hash-verified against a DuckDB RECURSIVE CTE computing
+    min-reachable-id over the exact all-pairs Jaccard graph — the clustering
+    reduce itself gets an oracle, not just the pair generation
+    (≙ dedupe_network + sites_to_owners,
+    /root/reference/R/deduplicaters.R:225-288, 684-710)."""
+    import ray
+
+    from who_owns_mass_processing_ray.stages.components import (
+        min_label_components,
+    )
+
+    pairs = q_minhash_near_dup(sf_dir, cfg)
+    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "group_id": pa.array([], pa.int64())}))
+    e = pa.concat_tables(tables).combine_chunks()
+    l = e["left_id"].to_numpy()
+    r = e["right_id"].to_numpy()
+    ids = np.unique(np.concatenate((l, r)))       # sorted -> code order = id order
+    el = np.searchsorted(ids, l)
+    er = np.searchsorted(ids, r)
+    lab = min_label_components(el, er, len(ids))
+    out = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "group_id": pa.array(ids[lab], pa.int64())})
+    import ray.data as rd
+
+    return rd.from_arrow(out).sort("doc_id")

@@ -261,6 +261,7 @@ def generate_clips_parquet(out_dir: str, n_rows: int, seed: int = 42,
     """
     import json
     import os
+    import shutil
 
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
@@ -275,6 +276,12 @@ def generate_clips_parquet(out_dir: str, n_rows: int, seed: int = 42,
         use_ray = n_rows > 20000
     clips_path = os.path.join(out_dir, "clips")
     truth_path = os.path.join(out_dir, "truth_pairs")
+    # stale-manifest regeneration must not leave part files from a previous
+    # (larger) corpus behind — write_parquet appends new part files, so a
+    # dirty dir would silently mix corpora (observed: an 80k manifest over
+    # 120k rows of files)
+    shutil.rmtree(clips_path, ignore_errors=True)
+    shutil.rmtree(truth_path, ignore_errors=True)
     os.makedirs(clips_path, exist_ok=True)
     os.makedirs(truth_path, exist_ok=True)
     if not use_ray:
