@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_norm": normalize.q_text_norm,
         "zip_format": normalize.q_zip_format,
         "concat_ranges_fix": normalize.q_concat_ranges_fix,
+        "co_split": normalize.q_co_split,
+        "multiname_split": normalize.q_multiname_split,
+        "select_address": normalize.q_select_address,
         # --- relational capability queries (SURVEY.md §2.4-2.7) -------------
         "lineitem_agg": relational.q_lineitem_agg,
         "counts_in_group": relational.q_counts_in_group,
@@ -175,6 +178,9 @@ def oracle_sql() -> dict[str, str]:
         "text_norm": normalize.text_norm_sql(),
         "zip_format": normalize.zip_format_sql(),
         "concat_ranges_fix": normalize.concat_ranges_fix_sql(),
+        "co_split": normalize.co_split_sql(),
+        "multiname_split": normalize.multiname_split_sql(),
+        "select_address": normalize.select_address_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

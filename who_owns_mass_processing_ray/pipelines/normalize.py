@@ -316,3 +316,210 @@ def concat_ranges_fix_sql() -> str:
                 FROM documents))
         ORDER BY doc_id
     """
+
+
+# -- row splitters: C/O-DBA-ATTN-FBO peel + multiname ------------------------
+
+CO_KWS = ["C O", "ATTN", "DBA", "FBO"]
+CO_LABELS = {"C O": "co", "ATTN": "attn", "DBA": "dba", "FBO": "fbo"}
+_CO_SPLIT = r" (C O|ATTN|DBA|FBO) "
+
+
+def q_co_split(sf_dir: str):
+    """≙ proc_name_co_dba_attn (/root/reference/R/processors.R:321-355):
+    peel the C/O / ATTN: / DBA / FBO tail of a name into its OWN row with a
+    label; the main row keeps the head.  1->N row splitting with labels —
+    one vectorized extract + one table concat per batch, no per-row
+    Python."""
+    def split(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        a = _first_upper(t)
+        b = _pick(did, ["SMITH PROPERTIES", "JONES MGMT", "ACME REALTY",
+                        "DOE HOLDINGS", "CITY BANK"])
+        kw = _pick(did, CO_KWS + [""])          # every 5th row: no keyword
+        has_kw = pc.not_equal(kw, pa.scalar(""))
+        joined = pc.binary_join_element_wise(a, kw, b, " ")
+        plain = pc.binary_join_element_wise(a, b, " ")
+        raw = pc.if_else(has_kw, joined, plain)
+        ext = pc.extract_regex(
+            raw, r" (?P<kw>C O|ATTN|DBA|FBO) (?P<tail>.*)$")
+        kw_found = pc.fill_null(pc.struct_field(ext, "kw"), "")
+        tail = pc.fill_null(pc.struct_field(ext, "tail"), "")
+        main = pc.replace_substring_regex(raw, pattern=_CO_SPLIT + r".*$",
+                                          replacement="")
+        label_map = pa.array(CO_KWS, pa.string())
+        label_vals = pa.array([CO_LABELS[k] for k in CO_KWS], pa.string())
+        lab = label_vals.take(pc.index_in(kw_found, value_set=label_map))
+        main_rows = pa.table({
+            "doc_id": t["doc_id"],
+            "label": pa.array(["main"] * len(t)),
+            "value": main,
+        })
+        keep = pc.fill_null(pc.not_equal(kw_found, pa.scalar("")), False)
+        extra = pa.table({
+            "doc_id": t["doc_id"],
+            "label": pc.fill_null(lab, ""),
+            "value": tail,
+        }).filter(keep)
+        return pa.concat_tables([main_rows, extra])
+
+    return _docs(sf_dir).map_batches(split, batch_format="pyarrow") \
+        .sort(["doc_id", "label"])
+
+
+def co_split_sql() -> str:
+    a = _FIRST_UPPER_SQL
+    b = _pick_sql("doc_id", ["SMITH PROPERTIES", "JONES MGMT", "ACME REALTY",
+                             "DOE HOLDINGS", "CITY BANK"])
+    kw = _pick_sql("doc_id", CO_KWS + [""])
+    case_label = ("CASE k WHEN 'C O' THEN 'co' WHEN 'ATTN' THEN 'attn' "
+                  "WHEN 'DBA' THEN 'dba' WHEN 'FBO' THEN 'fbo' END")
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE WHEN {kw} != ''
+                        THEN concat_ws(' ', {a}, {kw}, {b})
+                        ELSE concat_ws(' ', {a}, {b}) END AS name
+            FROM documents),
+        parts AS (
+            SELECT doc_id,
+                   regexp_replace(name, '{_CO_SPLIT}.*$', '') AS main,
+                   regexp_extract(name, ' (C O|ATTN|DBA|FBO) (.*)$', 1) AS k,
+                   regexp_extract(name, ' (C O|ATTN|DBA|FBO) (.*)$', 2) AS tail
+            FROM raw)
+        SELECT doc_id, 'main' AS label, main AS value FROM parts
+        UNION ALL
+        SELECT doc_id, {case_label} AS label, tail AS value
+        FROM parts WHERE k != ''
+        ORDER BY doc_id, label
+    """
+
+
+def q_multiname_split(sf_dir: str):
+    """≙ std_multiname (/root/reference/R/standardizers.R:2103-2147): split
+    "SURNAME FIRST I AND SECOND" on AND, inherit the surname onto the bare
+    second name, drop middle initials — emitted as one row per person."""
+    def split(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        sur = _pick(did, ["SMITH", "JONES", "GARCIA", "CHEN", "OBRIEN",
+                          "MILLER", "DAVIS"])
+        f1 = _pick(did, ["JOHN", "MARY", "JAMES", "LINDA", "ROBERT"])
+        ini = _pick(did, ["A", "B", "R"])
+        f2 = _pick(did, ["JANE", "PAUL", "ANNA", "MARK", "LUCY", "KARL"])
+        has_and = did % 4 != 3
+        full = pc.binary_join_element_wise(sur, f1, ini, "AND", f2, " ")
+        single = pc.binary_join_element_wise(sur, f1, ini, " ")
+        raw = pc.if_else(pa.array(has_and), full, single)
+        # part 1 = text before AND (or whole), surname extracted from the
+        # "SURNAME FIRST I" shape, middle initial removed (lone letters)
+        p1 = pc.replace_substring_regex(raw, pattern=r" AND .*$",
+                                        replacement="")
+        last = pc.fill_null(pc.struct_field(pc.extract_regex(
+            p1, r"^(?P<s>[A-Z]{2,}) [A-Z]{2,20} [A-Z]$"), "s"), "")
+        p1c = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            p1, pattern=r" [A-Z]$", replacement=""))
+        ext2 = pc.extract_regex(raw, r" AND (?P<p2>.*)$")
+        p2 = pc.fill_null(pc.struct_field(ext2, "p2"), "")
+        # bare single-word second names inherit the surname
+        bare = pc.match_substring_regex(p2, r"^[A-Z]+$")
+        p2f = pc.if_else(
+            pc.and_(bare, pc.not_equal(last, pa.scalar(""))),
+            pc.utf8_trim_whitespace(
+                pc.binary_join_element_wise(p2, last, " ")),
+            p2)
+        rows1 = pa.table({"doc_id": t["doc_id"],
+                          "member": pa.array([1] * len(t), pa.int32()),
+                          "name": p1c})
+        keep = pc.fill_null(pc.not_equal(p2, pa.scalar("")), False)
+        rows2 = pa.table({"doc_id": t["doc_id"],
+                          "member": pa.array([2] * len(t), pa.int32()),
+                          "name": p2f}).filter(keep)
+        return pa.concat_tables([rows1, rows2])
+
+    return _docs(sf_dir).map_batches(split, batch_format="pyarrow") \
+        .sort(["doc_id", "member"])
+
+
+def multiname_split_sql() -> str:
+    sur = _pick_sql("doc_id", ["SMITH", "JONES", "GARCIA", "CHEN", "OBRIEN",
+                               "MILLER", "DAVIS"])
+    f1 = _pick_sql("doc_id", ["JOHN", "MARY", "JAMES", "LINDA", "ROBERT"])
+    ini = _pick_sql("doc_id", ["A", "B", "R"])
+    f2 = _pick_sql("doc_id", ["JANE", "PAUL", "ANNA", "MARK", "LUCY",
+                              "KARL"])
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 != 3
+                        THEN concat_ws(' ', {sur}, {f1}, {ini}, 'AND', {f2})
+                        ELSE concat_ws(' ', {sur}, {f1}, {ini}) END AS name
+            FROM documents),
+        parts AS (
+            SELECT doc_id,
+                   regexp_replace(name, ' AND .*$', '') AS p1,
+                   regexp_extract(name, ' AND (.*)$', 1) AS p2
+            FROM raw),
+        der AS (
+            SELECT doc_id,
+                   trim(regexp_replace(p1, ' [A-Z]$', '')) AS p1c,
+                   regexp_extract(p1, '^([A-Z]{{2,}}) [A-Z]{{2,20}} [A-Z]$',
+                                  1) AS last,
+                   p2
+            FROM parts)
+        SELECT doc_id, 1 AS member, p1c AS name FROM der
+        UNION ALL
+        SELECT doc_id, 2 AS member,
+               CASE WHEN regexp_matches(p2, '^[A-Z]+$') AND last != ''
+                    THEN trim(concat_ws(' ', p2, last)) ELSE p2 END AS name
+        FROM der WHERE p2 != ''
+        ORDER BY doc_id, member
+    """
+
+
+def q_select_address(sf_dir: str):
+    """≙ std_select_address (/root/reference/R/standardizers.R:1724-1766):
+    pick the best of several candidate address columns — prefer the first
+    candidate that looks like a street address (leading number + words),
+    else the first non-junk candidate, else NULL.  Pure vectorized CASE."""
+    looks = r"^[0-9]+ [A-Z]"
+
+    def sel(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        # candidate 1 is junk for every 3rd row; candidate 2 for every 4th
+        a1_good = pc.binary_join_element_wise(
+            pc.cast(pa.array(did % 500, pa.int64()), pa.string()),
+            _pick(did, ["MAIN ST", "OAK AVE", "ELM RD"]), " ")
+        a1 = pc.if_else(pa.array(did % 3 == 0),
+                        _pick(did, ["N/A", "UNKNOWN", ""]), a1_good)
+        a2_good = pc.binary_join_element_wise(
+            pc.cast(pa.array(did % 700, pa.int64()), pa.string()),
+            _pick(did, ["PINE LN", "BIRCH DR"]), " ")
+        a2 = pc.if_else(pa.array(did % 4 == 0),
+                        pa.array([""] * len(t)), a2_good)
+        ok1 = pc.match_substring_regex(a1, looks)
+        ok2 = pc.match_substring_regex(a2, looks)
+        sel_v = pc.if_else(ok1, a1, pc.if_else(ok2, a2,
+                                               pa.nulls(len(t), pa.string())))
+        return pa.table({"doc_id": t["doc_id"], "addr1": a1, "addr2": a2,
+                         "addr_selected": sel_v})
+
+    return _docs(sf_dir).map_batches(sel, batch_format="pyarrow").sort("doc_id")
+
+
+def select_address_sql() -> str:
+    a1g = ("concat_ws(' ', CAST(doc_id % 500 AS VARCHAR), "
+           + _pick_sql("doc_id", ["MAIN ST", "OAK AVE", "ELM RD"]) + ")")
+    a1 = (f"CASE WHEN doc_id % 3 = 0 THEN "
+          + _pick_sql("doc_id", ["N/A", "UNKNOWN", ""]) + f" ELSE {a1g} END")
+    a2g = ("concat_ws(' ', CAST(doc_id % 700 AS VARCHAR), "
+           + _pick_sql("doc_id", ["PINE LN", "BIRCH DR"]) + ")")
+    a2 = f"CASE WHEN doc_id % 4 = 0 THEN '' ELSE {a2g} END"
+    return f"""
+        WITH c AS (SELECT doc_id, {a1} AS addr1, {a2} AS addr2
+                   FROM documents)
+        SELECT doc_id, addr1, addr2,
+               CASE WHEN regexp_matches(addr1, '^[0-9]+ [A-Z]') THEN addr1
+                    WHEN regexp_matches(addr2, '^[0-9]+ [A-Z]') THEN addr2
+                    ELSE NULL END AS addr_selected
+        FROM c ORDER BY doc_id
+    """
