@@ -15,7 +15,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "semi_join", "topk", "distinct", "union_entities", "exact_dedup",
           "token_stats", "quality_score", "minhash_near_dup", "knn_brute",
-          "embed_near_dup"]
+          "embed_near_dup", "cascade_norm", "inst_norm", "co_split",
+          "multiname_split", "quantile_filter", "luc_crosswalk",
+          "group_fill_downup", "near_dup_groups", "concat_ranges_fix"]
 
 
 @pytest.fixture(scope="module")
