@@ -115,3 +115,63 @@ class TestResume:
         new = _lineage(ck)[base:]
         assert all(not r["cached"] for r in new), \
             "changed config must invalidate every stage"
+
+
+class TestCheckpointInputChange:
+    def test_rewritten_input_invalidates_feature_cache(self, small_corpus,
+                                                       tmp_path):
+        """ADVICE r1 (medium): the feature checkpoint fingerprint must cover
+        the concrete input file list + contents, so an input REWRITTEN
+        in place (or removed) between runs sharing a checkpoint dir can
+        never resurrect stale part files / duplicate rows."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from who_owns_mass_processing_ray.pipelines import dedup
+
+        clips_dir = str(tmp_path / "clips_copy")
+        shutil.copytree(f"{small_corpus}/clips", clips_dir)
+        ck = str(tmp_path / "ck")
+        r1 = dedup.dedup_pipeline(clips_dir, CFG, checkpoint_dir=ck)
+        n1 = r1["features"].count()
+
+        # rewrite one input file in place with HALF its rows
+        files = sorted(os.listdir(clips_dir))
+        victim = os.path.join(clips_dir, files[0])
+        tbl = pq.read_table(victim)
+        kept = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, kept), victim)
+
+        r2 = dedup.dedup_pipeline(clips_dir, CFG, checkpoint_dir=ck)
+        n2 = r2["features"].count()
+        assert n2 == n1 - (tbl.num_rows - kept), (
+            "stale checkpoint rows resurrected after in-place input rewrite")
+
+    def test_removed_input_drops_orphan_parts(self, small_corpus, tmp_path):
+        import shutil
+
+        from who_owns_mass_processing_ray.pipelines import dedup
+
+        clips_dir = str(tmp_path / "clips_copy2")
+        shutil.copytree(f"{small_corpus}/clips", clips_dir)
+        # split the single part into two so one can be removed
+        import pyarrow.parquet as pq
+
+        files = sorted(os.listdir(clips_dir))
+        src = os.path.join(clips_dir, files[0])
+        tbl = pq.read_table(src)
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), os.path.join(clips_dir, "a.parquet"))
+        pq.write_table(tbl.slice(half), os.path.join(clips_dir, "b.parquet"))
+        os.remove(src)
+
+        ck = str(tmp_path / "ck2")
+        r1 = dedup.dedup_pipeline(clips_dir, CFG, checkpoint_dir=ck)
+        n1 = r1["features"].count()
+        assert n1 == tbl.num_rows
+
+        os.remove(os.path.join(clips_dir, "b.parquet"))
+        r2 = dedup.dedup_pipeline(clips_dir, CFG, checkpoint_dir=ck)
+        assert r2["features"].count() == half, (
+            "orphaned feature part for the removed input was read back")
