@@ -95,6 +95,26 @@ def dedup_pipeline_from_dataset(
         # re-execute the producing stage once per consumer.
         return ds if checkpoint_dir else ds.materialize()
 
+    def _coalesce(ds):
+        """Collapse pathological tiny-block layouts before the fan of
+        downstream shuffles: a materialized stage that inherited one block
+        per input file / actor task (e.g. 332 blocks of 240 rows at 80k
+        clips) makes EVERY downstream groupby/sort pay per-block fixed
+        costs — measured 46s -> 3.6s for the canonical stage at 80k just
+        from this.  Block target = max(2 blocks/CPU, 128 MB/block), so at
+        real scale (blocks already >= 128 MB) this is a no-op."""
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            size = ds.size_bytes() or 0
+            want = max(cpus * 2, -(-size // (128 << 20)))
+            if ds.num_blocks() > want * 2:
+                return ds.repartition(int(want)).materialize()
+        except Exception:
+            pass
+        return ds
+
     if checkpoint_dir and clips_path:
         feats = checkpoint.partitioned_features(clips_path, cfg, cache, cfg_fp)
     else:
@@ -102,6 +122,7 @@ def dedup_pipeline_from_dataset(
             "features", cfg_fp,
             lambda: features_mod.extract_features(clips_ds, cfg),
         ))
+    feats = _coalesce(feats)
 
     e_exact = cache.run(
         "edges_exact", cfg_fp, lambda: exact.exact_edges(feats, cfg, num_parts))
@@ -114,13 +135,13 @@ def dedup_pipeline_from_dataset(
         "edges_containment", cfg_fp,
         lambda: containment.containment_edges(feats, cfg, num_parts, num_partitions))
 
-    edges = _pin(e_exact.union(e_near).union(e_audio).union(e_contain))
+    edges = _coalesce(_pin(e_exact.union(e_near).union(e_audio).union(e_contain)))
 
-    assignment = _pin(cache.run(
+    assignment = _coalesce(_pin(cache.run(
         "assignment", cfg_fp,
         lambda: components.assignment_dataset(
             feats, edges, cfg, num_partitions, method=components_method),
-    ))
+    )))
 
     c2c = cache.run(
         "clip_to_cluster", cfg_fp,
