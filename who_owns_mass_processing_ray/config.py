@@ -67,6 +67,11 @@ class DedupConfig:
 
     # --- execution sizing ---------------------------------------------------
     batch_size: int = 1024          # rows per batch for text stages
+    # candidate-verify batches are larger: the exact-Jaccard kernel memoizes
+    # per-DISTINCT-doc shingle sets within a batch, so bigger batches reuse
+    # hot docs across more pairs (measured 44.5s -> 32.5s for the 80k near
+    # stage at 8192 vs 1024)
+    verify_batch_size: int = 8192
     audio_batch_size: int = 64      # rows per batch for PCM decode (wide rows)
     minhash_concurrency: int = 0    # 0 = let Ray autoscale task pool
     # decode actor pool autoscales between (min, max); max is sized to a

@@ -143,7 +143,8 @@ def q_minhash_near_dup(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
                                      cfg.max_bucket, cfg.num_parts or 16)
     cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
     out = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
-                           batch_format="pyarrow")
+                           batch_format="pyarrow",
+                           batch_size=cfg.verify_batch_size)
     # cross-partition dup pairs dedup AFTER verify (tiny set)
     out = out.groupby(["left_id", "right_id"]).aggregate(
         Max("jaccard", alias_name="jaccard"))
@@ -712,7 +713,8 @@ def q_cross_table_link(sf_dir: str, thresh: float = 0.7):
                                      cfg.max_bucket, cfg.num_parts or 16)
     cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
     verified = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
-                                batch_format="pyarrow")
+                                batch_format="pyarrow",
+                                batch_size=cfg.verify_batch_size)
 
     def orient_cross(t: pa.Table) -> pa.Table:
         l = t["left_id"].to_numpy()

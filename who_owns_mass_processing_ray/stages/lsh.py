@@ -103,5 +103,6 @@ def near_edges(features_ds, cfg: DedupConfig, num_parts: int, num_partitions: in
     cand = pr.attach_pair_features(cand, features_ds, "transcript_norm",
                                    num_partitions, out_prefix="norm")
     verified = cand.map_batches(verify_jaccard, fn_kwargs={"cfg": cfg},
-                                batch_format="pyarrow", batch_size=cfg.batch_size)
+                                batch_format="pyarrow",
+                                batch_size=cfg.verify_batch_size)
     return pr.distinct_edges(verified, "near")
