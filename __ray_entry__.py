@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_split": normalize.q_co_split,
         "multiname_split": normalize.q_multiname_split,
         "select_address": normalize.q_select_address,
+        "address_preprocess": normalize.q_address_preprocess,
         # --- relational capability queries (SURVEY.md §2.4-2.7) -------------
         "lineitem_agg": relational.q_lineitem_agg,
         "counts_in_group": relational.q_counts_in_group,
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "co_split": normalize.co_split_sql(),
         "multiname_split": normalize.multiname_split_sql(),
         "select_address": normalize.select_address_sql(),
+        "address_preprocess": normalize.address_preprocess_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -523,3 +523,61 @@ def select_address_sql() -> str:
                     ELSE NULL END AS addr_selected
         FROM c ORDER BY doc_id
     """
+
+
+def q_address_preprocess(sf_dir: str):
+    """≙ load_boston/nonboston_address_preprocess — the full composed
+    address pipeline (/root/reference/R/loaders.R:836-962): dirty address ->
+    8-set normalizer cascade -> addr2 peel + keyword canonicalization ->
+    zip pad -> assembled canonical address.  One query demonstrating the
+    composition surface: every stage is the same rule/kernel object the
+    standalone queries run, chained."""
+    addr_chains = [cx.RULESETS[n] for n in ADDR_CHAIN]
+    a2_chains = [cx.RULESETS[n] for n in ADDR2_CHAIN]
+
+    def prep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        raw = pc.binary_join_element_wise(
+            _addr_raw(t), _pick(did, UNIT_SUFS), " ")
+        norm = cx.apply_cascade(raw, addr_chains)
+        norm = cx.apply_cascade(norm, a2_chains)
+        tail = pc.fill_null(pc.struct_field(
+            pc.extract_regex(norm, _UNIT_TAIL), "a"), "")
+        main = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(norm, pattern=_UNIT_TAIL,
+                                       replacement=""))
+        zip5 = pc.utf8_lpad(pc.cast(
+            pa.array(did % 100000, pa.int64()), pa.string()), 5, "0")
+        assembled = pc.utf8_trim_whitespace(pc.binary_join_element_wise(
+            main, tail, zip5, " "))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "addr_raw": raw,
+            "addr_main": main,
+            "addr2": tail,
+            "zip": zip5,
+            "addr_assembled": assembled,
+        })
+
+    return _docs(sf_dir).map_batches(prep, batch_format="pyarrow").sort("doc_id")
+
+
+def address_preprocess_sql() -> str:
+    raw = ("concat_ws(' ', " + _ADDR_RAW_SQL + ", "
+           + _pick_sql("doc_id", UNIT_SUFS) + ")")
+    final = """
+        SELECT doc_id, addr_raw,
+               trim(regexp_replace(v, '{tail}', '', 'g')) AS addr_main,
+               regexp_extract(v, '{tail}', 1) AS addr2,
+               lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') AS zip,
+               trim(concat_ws(' ',
+                    trim(regexp_replace(v, '{tail}', '', 'g')),
+                    regexp_extract(v, '{tail}', 1),
+                    lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')))
+                   AS addr_assembled
+        FROM {last} ORDER BY doc_id
+    """.replace("{tail}", _UNIT_TAIL)
+    return cx.cascade_cte_sql(
+        f"SELECT doc_id, {raw} AS addr_raw, {raw} AS v FROM documents",
+        [cx.RULESETS[n] for n in ADDR_CHAIN + ADDR2_CHAIN],
+        final)
