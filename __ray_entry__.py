@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiname_split": normalize.q_multiname_split,
         "select_address": normalize.q_select_address,
         "address_preprocess": normalize.q_address_preprocess,
+        "muni_norm": normalize.q_muni_norm,
         # --- relational capability queries (SURVEY.md §2.4-2.7) -------------
         "lineitem_agg": relational.q_lineitem_agg,
         "counts_in_group": relational.q_counts_in_group,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "multiname_split": normalize.multiname_split_sql(),
         "select_address": normalize.select_address_sql(),
         "address_preprocess": normalize.address_preprocess_sql(),
+        "muni_norm": normalize.muni_norm_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

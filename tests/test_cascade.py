@@ -106,3 +106,36 @@ def test_sql_generator_mirrors_arrow():
                              "SELECT v FROM {last} ORDER BY i")
     want = [r[0] for r in con.sql(sql).fetchall()]
     assert got == want
+
+
+def test_muni_names_every_rule_fires():
+    """≙ std_muni_names(mass=TRUE) — each reference correction rewrites its
+    misspelling, including the faithful space-dropping HLDS rule."""
+    cases = {
+        "FOXBORO": "FOXBOROUGH",
+        "ACT": "ACTON",
+        "GLOUSTER": "GLOUCESTER",
+        "NEW TOWN": "NEWTON",
+        "KAMBRIDGE": "CAMBRIDGE",
+        "NEWBURY PORT": "NEWBURYPORT",
+        "ROCKY HLDS": "ROCKYHIGHLANDS",
+        "DEVEN": "DEVENS",
+        "PRIDE CROSSING": "PRIDES CROSSING",
+        "MANCHESTER": "MANCHESTER-BY-THE-SEA",
+        "MANC BY THE SEA": "MANCHESTER-BY-THE-SEA",
+        "BOSTON": "BOSTON",
+    }
+    got = cx.apply_cascade(pa.array(list(cases)), [cx.RULESETS["muni_names"]])
+    assert [v.as_py() for v in got] == list(cases.values())
+
+
+def test_nyc_muni_detection():
+    import re
+
+    hits = ["QUEENS", "BKLN", "BROOKLYN X", "STATEN ISLAND", "NEW YORK",
+            "HARLEM", "MANHATTAN", "THE BRONX", "BRONX"]
+    misses = ["NEW YORK CITY X", "LA", "CHICAGO", "EAST QUEENS"]
+    for s in hits:
+        assert re.search(cx.NYC_MUNI_RE, s), s
+    for s in misses:
+        assert not re.search(cx.NYC_MUNI_RE, s), s

@@ -36,6 +36,9 @@ driver verifies engine == DuckDB on the same chains):
 - MASS_CORP         ≙ std_mass_corp           (standardizers.R:793-800)
 - ADDR2_KEYWORDS    ≙ std_addr2_remove_keywords canonicalization tail
                                               (standardizers.R:1389-1419)
+- MUNI_NAMES        ≙ std_muni_names(mass=TRUE) (standardizers.R:663-690);
+  the NYC branch (mass=FALSE, :691-714) is the NYC_MUNI_RE detection
+  constant + a case mapping in pipelines/normalize.q_muni_norm
 
 ``apply_cascade`` runs a chain on an Arrow column (vectorized RE2 kernels,
 no Python per row); ``cascade_sql`` emits the EXACT same chain as a nested
@@ -257,6 +260,40 @@ MASS_CORP = RuleSet("mass_corp", (
      r"\1"),
 ))
 
+# ≙ std_muni_names(mass=TRUE) misspelling canonicalization
+# (/root/reference/R/standardizers.R:663-690).  Mirrored faithfully,
+# including the reference's " HLDS( |$)" -> "HIGHLANDS" rule, which drops
+# the leading space ("ROCKY HLDS" -> "ROCKYHIGHLANDS") — same on both
+# engines.  Rule order matters: the MANCHESTER rewrite runs before the
+# MANC...SEA catch-all, whose char class excludes '-' so the already
+# canonical form is not re-matched.
+MUNI_NAMES = RuleSet("muni_names", (
+    (r"BORO$", "BOROUGH"),
+    (r"^ACT$", "ACTON"),
+    (r"^GLOUSTER$", "GLOUCESTER"),
+    (r"^NEW TOWN$", "NEWTON"),
+    (r"^[A-Z]AMBRIDGE$", "CAMBRIDGE"),
+    (r"^NEWBURY PORT$", "NEWBURYPORT"),
+    (r" HLDS( |$)", "HIGHLANDS"),
+    (r"^DEVEN$", "DEVENS"),
+    (r"^PRIDE CROSSING$", "PRIDES CROSSING"),
+    (r"^MANCHESTER$", "MANCHESTER-BY-THE-SEA"),
+    (r"^MANC[A-Z /]+SEA$", "MANCHESTER-BY-THE-SEA"),
+))
+
+# ≙ std_muni_names(mass=FALSE) NYC/LA detect-to-constant branch
+# (/root/reference/R/standardizers.R:691-714): a case_when, not a cascade —
+# exposed as the collapsed detection regex both engines compile.
+NYC_MUNI_RE = "|".join(f"({p})" for p in [
+    r"^QUEENS( |$)",
+    r"^(BROOKLYN|BKLY?N)( |$)",
+    r"^STATEN (ISL(AND)?)?( |$)",
+    r"^NEW YORK$",
+    r"^HARLEM$( |$)",
+    r"^MANHATTAN( |$)",
+    r"^(THE )?BRONX( |$)",
+])
+
 ADDR2_KEYWORDS = RuleSet("addr2_keywords", (
     (r"([ \-,])FLR?\b", r"\1FLOOR"),
     (r"([ \-,])BSMT\b", r"\1BASEMENT"),
@@ -271,7 +308,7 @@ RULESETS: dict[str, RuleSet] = {rs.name: rs for rs in [
     DIRECTIONS, STREET_TYPES, SMALL_NUMBERS, SMALL_ORDINALS, INST_TYPES,
     TRAILING_LEADING, LEADING_ZEROS, SPACING, FRAC_TO_DEC, HYPHENATE_RANGE,
     REMOVE_TITLES, REMOVE_ESTATE, MIDDLE_INITIAL, MASSACHUSETTS, MASS_CORP,
-    ADDR2_KEYWORDS,
+    ADDR2_KEYWORDS, MUNI_NAMES,
 ]}
 
 _SQUISH_PAT = r"\s+"

@@ -476,6 +476,57 @@ def multiname_split_sql() -> str:
     """
 
 
+MASS_MUNI_DIRTY = ["FOXBORO", "ACT", "GLOUSTER", "NEW TOWN", "KAMBRIDGE",
+                   "NEWBURY PORT", "ROCKY HLDS", "DEVEN", "PRIDE CROSSING",
+                   "MANCHESTER", "MANC BY THE SEA", "BOSTON"]
+NYC_MUNI_DIRTY = ["QUEENS", "BKLN", "STATEN ISL", "NEW YORK", "HARLEM",
+                  "MANHATTAN", "THE BRONX", "LA", "CHICAGO"]
+
+
+def q_muni_norm(sf_dir: str):
+    """≙ std_muni_names (/root/reference/R/standardizers.R:663-715), both
+    branches: the Massachusetts misspelling cascade (mass=TRUE, a rule set
+    every entry of which fires on the derived vocab) and the NYC/LA
+    detect-to-constant mapping (mass=FALSE)."""
+    chains = [cx.RULESETS["muni_names"]]
+
+    def norm(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        mass_raw = _pick(did, MASS_MUNI_DIRTY)
+        nyc_raw = _pick(did, NYC_MUNI_DIRTY)
+        is_nyc = pc.match_substring_regex(nyc_raw, cx.NYC_MUNI_RE)
+        nyc_out = pc.if_else(
+            is_nyc, pa.array(["NEW YORK CITY"] * len(t)),
+            pc.if_else(pc.equal(nyc_raw, pa.scalar("LA")),
+                       pa.array(["LOS ANGELES"] * len(t)), nyc_raw))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "muni_raw": mass_raw,
+            "muni_mass": cx.apply_cascade(mass_raw, chains),
+            "nyc_raw": nyc_raw,
+            "muni_nyc": nyc_out,
+        })
+
+    return _docs(sf_dir).map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
+def muni_norm_sql() -> str:
+    mass_raw = _pick_sql("doc_id", MASS_MUNI_DIRTY)
+    nyc_raw = _pick_sql("doc_id", NYC_MUNI_DIRTY)
+    mass_norm = cx.cascade_sql("muni_raw", [cx.RULESETS["muni_names"]])
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, {mass_raw} AS muni_raw, {nyc_raw} AS nyc_raw
+            FROM documents)
+        SELECT doc_id, muni_raw, {mass_norm} AS muni_mass, nyc_raw,
+               CASE WHEN regexp_matches(nyc_raw, '{cx.NYC_MUNI_RE}')
+                    THEN 'NEW YORK CITY'
+                    WHEN nyc_raw = 'LA' THEN 'LOS ANGELES'
+                    ELSE nyc_raw END AS muni_nyc
+        FROM raw ORDER BY doc_id
+    """
+
+
 def q_select_address(sf_dir: str):
     """≙ std_select_address (/root/reference/R/standardizers.R:1724-1766):
     pick the best of several candidate address columns — prefer the first

@@ -698,7 +698,7 @@ def q_cross_table_link(sf_dir: str, thresh: float = 0.7):
     source-tagged tables, verify exact Jaccard, and keep only pairs that
     SPAN both tables (table A = even doc_ids, table B = odd — a
     deterministic two-table split of the documents corpus).  Output is
-    oriented (a_id from A, b_id from B); same 48x3 LSH margin as
+    oriented (a_id from A, b_id from B); same 48x4 LSH margin as
     q_minhash_near_dup so the exact-SQL oracle cannot flake."""
     from ray.data.aggregate import Max
 

@@ -28,22 +28,25 @@ from who_owns_mass_processing_ray.synth import clip_id_to_int
 
 def _cluster_id_of_root(roots: pa.Array | pa.ChunkedArray) -> pa.Array:
     """int64 cluster id from the root clip_id: numeric suffix when the id
-    follows the ``clip-%012d`` convention, else a stable 63-bit hash."""
+    follows the ``clip-%012d`` convention, else a stable 63-bit hash.
+
+    Fully vectorized: one RE2 extract + cast for the whole batch; the hash
+    fallback is computed per BATCH (and only when some row needs it), not
+    per row — this runs in the flagship's hot tail three times per
+    assignment/edge row."""
     from who_owns_mass_processing_ray.functions import hashing as hx
 
-    ids = roots.to_pylist()
-    out = np.empty(len(ids), dtype=np.int64)
-    hashed = None
-    for i, s in enumerate(ids):
-        try:
-            out[i] = int(s.rsplit("-", 1)[1])
-        except (ValueError, IndexError, AttributeError):
-            if hashed is None:
-                if isinstance(roots, pa.ChunkedArray):
-                    roots = roots.combine_chunks()
-                hashed = (hx.hash_strings(roots) >> np.uint64(1)).astype(np.int64)
-            out[i] = hashed[i]
-    return pa.array(out)
+    if isinstance(roots, pa.ChunkedArray):
+        roots = roots.combine_chunks()
+    # <= 18 digits so the int64 cast can never overflow; longer suffixes
+    # fall through to the hash path like any other non-conforming id
+    parsed = pc.cast(pc.struct_field(
+        pc.extract_regex(roots, r"-(?P<n>\d{1,18})$"), "n"), pa.int64())
+    if parsed.null_count == 0:
+        return parsed
+    hashed = pa.array((hx.hash_strings(pc.fill_null(roots, ""))
+                       >> np.uint64(1)).astype(np.int64))
+    return pc.if_else(pc.is_valid(parsed), parsed, hashed)
 
 
 def clip_to_cluster(assignment_ds, edges_ds, num_partitions: int):
@@ -81,6 +84,11 @@ def clip_to_cluster(assignment_ds, edges_ds, num_partitions: int):
         return pa.table({"clip_id": t["clip_id"], "bit": bits})
 
     _MASK_ARR = pa.array([MASK_STR[m] for m in range(16)], pa.string())
+    # the same 16 masks as prebuilt list<string> values: decoding the joined
+    # mask string back to a list is one index_in + one take (no per-row split)
+    _MASK_LISTS = pa.array(
+        [MASK_STR[m].split(",") if MASK_STR[m] else [] for m in range(16)],
+        pa.list_(pa.string()))
     _KINDS_SCHEMA = pa.schema([("clip_id", pa.string()),
                                ("edge_kinds_str", pa.string())])
 
@@ -126,12 +134,12 @@ def clip_to_cluster(assignment_ds, edges_ds, num_partitions: int):
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        kinds = t["edge_kinds_str"].to_pylist()
-        filled = [k.split(",") if k else [] for k in kinds]
+        idx = pc.index_in(pc.fill_null(t["edge_kinds_str"], ""),
+                          value_set=_MASK_ARR)
         return pa.table({
             "clip_id": t["clip_id"],
             "cluster_id": _cluster_id_of_root(t["root_id"]),
-            "edge_kinds": pa.array(filled, pa.list_(pa.string())),
+            "edge_kinds": _MASK_LISTS.take(idx),
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
