@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_address": normalize.q_select_address,
         "address_preprocess": normalize.q_address_preprocess,
         "muni_norm": normalize.q_muni_norm,
+        "po_pmb_split": normalize.q_po_pmb_split,
         # --- relational capability queries (SURVEY.md §2.4-2.7) -------------
         "lineitem_agg": relational.q_lineitem_agg,
         "counts_in_group": relational.q_counts_in_group,
@@ -68,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_table_link": textops.q_cross_table_link,
         "fuzzy_join": textops.q_fuzzy_join,
         "flag_features": textops.q_flag_features,
+        "entity_flags": textops.q_entity_flags,
         "extract_tokens": textops.q_extract_first_token,
         "token_sort": textops.q_token_sort,
         "exact_dedup": textops.q_exact_dedup,
@@ -169,7 +171,7 @@ def _luc_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from who_owns_mass_processing_ray.pipelines import normalize
+    from who_owns_mass_processing_ray.pipelines import normalize, textops
 
     return {
         # generated from the SAME rule objects the Ray queries run
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "select_address": normalize.select_address_sql(),
         "address_preprocess": normalize.address_preprocess_sql(),
         "muni_norm": normalize.muni_norm_sql(),
+        "po_pmb_split": normalize.po_pmb_split_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -328,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
                        AS text_sorted
             FROM documents ORDER BY doc_id
         """,
+        "entity_flags": textops.entity_flags_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

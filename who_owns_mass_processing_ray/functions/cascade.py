@@ -294,6 +294,20 @@ NYC_MUNI_RE = "|".join(f"({p})" for p in [
     r"^(THE )?BRONX( |$)",
 ])
 
+# ≙ std_addr2_po_pmb normalization pair (/root/reference/R/standardizers.R:
+# 1323-1345).  The reference appends a lookahead "[\\,\\-](?= ?[0-9])" to the
+# PO-box misspelling terms; RE2 has no lookahead, so the digit tail is a
+# capture group restored by the replacement.  Replacements faithfully mirror
+# the reference's space-free "PO BOX" (so "BOX 12" -> "PO BOX12"); the
+# downstream extraction regex carries the reference's optional space for
+# exactly this reason.  No squish mid-set: extraction runs on unsquished
+# text, as in the reference.
+PO_PMB = RuleSet("po_pmb", (
+    (r"((?:P ?[0O] ?)+B[0X]?X|(?:(?:P ?)?[0O])+ ?BOX|BX )[,\-]( ?[0-9])",
+     r"PO BOX\2"),
+    (r"^BO?X ", "PO BOX"),
+), squish=False)
+
 ADDR2_KEYWORDS = RuleSet("addr2_keywords", (
     (r"([ \-,])FLR?\b", r"\1FLOOR"),
     (r"([ \-,])BSMT\b", r"\1BASEMENT"),
@@ -308,7 +322,7 @@ RULESETS: dict[str, RuleSet] = {rs.name: rs for rs in [
     DIRECTIONS, STREET_TYPES, SMALL_NUMBERS, SMALL_ORDINALS, INST_TYPES,
     TRAILING_LEADING, LEADING_ZEROS, SPACING, FRAC_TO_DEC, HYPHENATE_RANGE,
     REMOVE_TITLES, REMOVE_ESTATE, MIDDLE_INITIAL, MASSACHUSETTS, MASS_CORP,
-    ADDR2_KEYWORDS, MUNI_NAMES,
+    ADDR2_KEYWORDS, MUNI_NAMES, PO_PMB,
 ]}
 
 _SQUISH_PAT = r"\s+"

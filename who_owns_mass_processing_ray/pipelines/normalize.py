@@ -527,6 +527,64 @@ def muni_norm_sql() -> str:
     """
 
 
+# dirty PO-box / PMB strings: every reference rule + extraction fires on at
+# least one entry, plus negatives ("P0 BOX..." has a zero, stays unparsed)
+PO_PMB_DIRTY = ["P O B0X-12", "123 MAIN ST,PO BOX 678", "BOX 45 ELM",
+                "UNIT 9 PMB 77-A", "P O BOX-7", "12 ELM ST",
+                "PO BOX 9-B 55", "BX -3 OAK", "P0 BOX A12 34"]
+
+# lookbehind-free re-expressions of the reference's extraction regexes
+# (standardizers.R:1350-1351) — Arrow extract_regex requires every group
+# named; DuckDB counts named groups positionally, so group 1 == <v>
+_PO_EXTRACT = r"PO BOX ?(?P<v>[A-Z0-9\-]+(?P<t> [0-9]+)?)"
+_PMB_EXTRACT = r" PMB ?(?P<v>[A-Z0-9\-]+(?P<t> [0-9]+)?)"
+_PO_PMB_REMOVE = r",?(PO BOX|PMB) ?[A-Z0-9\-]+( [0-9]+)?"
+
+
+def q_po_pmb_split(sf_dir: str):
+    """≙ std_addr2_po_pmb (/root/reference/R/standardizers.R:1323-1362):
+    canonicalize PO-box misspellings, EXTRACT the po / pmb identifiers into
+    their own columns, remove them from the address, junk -> NULL, squish."""
+    chains = [cx.RULESETS["po_pmb"]]
+
+    def split(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        raw = _pick(did, PO_PMB_DIRTY)
+        norm = cx.apply_cascade(raw, chains)
+        po = pc.struct_field(pc.extract_regex(norm, _PO_EXTRACT), "v")
+        pmb = pc.struct_field(pc.extract_regex(norm, _PMB_EXTRACT), "v")
+        rem = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.replace_substring_regex(norm, pattern=_PO_PMB_REMOVE,
+                                       replacement=""),
+            pattern=r"\s+", replacement=" "))
+        junk = pc.match_substring_regex(rem, _BLANK_RE)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "addr_raw": raw,
+            "addr_main": pc.if_else(junk, pa.nulls(len(t), pa.string()), rem),
+            "po": po,
+            "pmb": pmb,
+        })
+
+    return _docs(sf_dir).map_batches(split, batch_format="pyarrow").sort("doc_id")
+
+
+def po_pmb_split_sql() -> str:
+    raw = _pick_sql("doc_id", PO_PMB_DIRTY)
+    norm = cx.cascade_sql("addr_raw", [cx.RULESETS["po_pmb"]])
+    rem = (f"trim(regexp_replace(regexp_replace({norm}, "
+           f"'{_PO_PMB_REMOVE}', '', 'g'), '\\s+', ' ', 'g'))")
+    return f"""
+        WITH raw AS (SELECT doc_id, {raw} AS addr_raw FROM documents)
+        SELECT doc_id, addr_raw,
+               CASE WHEN regexp_matches({rem}, '{_BLANK_RE}')
+                    THEN NULL ELSE {rem} END AS addr_main,
+               nullif(regexp_extract({norm}, '{_PO_EXTRACT}', 1), '') AS po,
+               nullif(regexp_extract({norm}, '{_PMB_EXTRACT}', 1), '') AS pmb
+        FROM raw ORDER BY doc_id
+    """
+
+
 def q_select_address(sf_dir: str):
     """≙ std_select_address (/root/reference/R/standardizers.R:1724-1766):
     pick the best of several candidate address columns — prefer the first

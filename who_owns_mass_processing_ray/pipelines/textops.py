@@ -544,6 +544,114 @@ def q_flag_features(sf_dir: str):
     return ds.map_batches(flags, batch_format="pyarrow").sort("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Entity flags with the reference's ACTUAL vocabularies (std_flag_agent /
+# std_flag_manager / std_flag_inst / std_flag_trust,
+# /root/reference/R/standardizers.R:1907-2004 + SEARCH lists :1-54)
+# ---------------------------------------------------------------------------
+
+AGENT_NAME_RE = ("(^C ?T ?CORP)|( REGISTERED A)|( AGENTS?)|"
+                 "(CORPORAT(E|ION) SERVICE)|(INC(ORP(ORATING)?)? SERVICES)|"
+                 "(BUSINESS FILL?INGS)|(CORPORATION COMPANY)|"
+                 r"(PRENTICE[-\s]?HALL CORP)|(COGENCY GLOB)")
+AGENT_POS_RE = "AGENT|SIGNATORY"
+AGENT_LAW_RE = r"\b(LAW|ATTORNEY|LLP|ESQ(UIRE)?)\b"
+MANAGER_RE = "(MANAGE(R|MENT))|(PROPERT(Y|IES))"
+INST_VOCAB = [
+    "CORPORATION", " INC( |$)", "LLC", "LTD", "COMPANY",
+    "LP", "PROPERT(IES|Y)", "GROUP", "MANAGEMENT", "PARTNERS",
+    "REALTY", "DEVELOPMENT", "EQUITIES", "HOLDING", "INSTITUTE",
+    "DIOCESE", "PARISH", "CITY", "HOUSING", "AUTHORITY", "SERVICE(S|R)?",
+    "LEGAL", "SERVICES", "LLP", "UNIVERSITY", "COLLEGE", "ASSOCIATION",
+    "CONDOMINIUM", "HEALTH", "HOSPITAL", "SYSTEM", "ACCOUNTS?", "PAYABLE",
+    "ASSOCIATES", "ATTORNEY", "AT LAW", "DEPARTMENT", "REGISTERED", "AGENTS",
+    "MORTGAGE", "COMMUNITY", "BANK", "LOANS?",
+]
+INST_RE = r"\b(" + "|".join(INST_VOCAB) + r")\b"
+# TRUST(?!EES): RE2 has no lookahead — "TRUST not followed by EES" spelled
+# out as the three ways the next chars can diverge from E,E,S (or end)
+TRUST_NOT_EES_RE = r"TRUST($|[^E]|E($|[^E])|EE($|[^S]))"
+TRUSTEES_OF_RE = "^TRUSTEES OF "
+ACADEMIC_RE = "UNIVERSITY|COLLEGE|INSTITUTE"
+TRUST_DEFINITE = ["(IR)?REVOCABLE", "NOMINEE", "INCOME ONLY", "FOR LIFE",
+                  "UNDER DECLARATION OF", "LIVING", "FAMILY"]
+TRUST_DEFINITE_RE = r"\b(" + "|".join(TRUST_DEFINITE) + r")\b"
+TRUSTEES_RE = "TRUSTEES"
+
+ENTITY_NAMES = ["CT CORP SYSTEM", "ACME REGISTERED AGENTS", "SMITH LAW LLP",
+                "JONES MANAGEMENT CO", "OAK PROPERTIES LLC",
+                "DOE FAMILY TRUST", "TRUSTEES OF DARTMOUTH COLLEGE",
+                "TRUSTEES OF MAIN ST", "IRREVOCABLE NOMINEE", "MARY JONES",
+                "COGENCY GLOBAL INC", "HARVARD UNIVERSITY TRUST",
+                "JOHN SMITH TRUSTEES"]
+ENTITY_POSITIONS = ["AGENT", "SIGNATORY", "MANAGER", "OWNER", "PRESIDENT"]
+
+
+def q_entity_flags(sf_dir: str):
+    """≙ std_flag_agent + std_flag_manager + std_flag_inst + std_flag_trust
+    with the reference's full vocabularies, over derived (name, position)
+    pairs chosen so every branch of every flag fires.  The trust flag's
+    negative lookahead is re-expressed lookahead-free (RE2); the trustees
+    flag preserves the reference's "& !trust" suppression."""
+    def pick(did, options):
+        return pa.array(options, pa.string()).take(
+            pa.array(did % len(options), pa.int64()))
+
+    def flags(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        name = pick(did, ENTITY_NAMES)
+        position = pick(did, ENTITY_POSITIONS)
+        m = lambda col, rx: pc.match_substring_regex(col, rx)
+        agent = pc.or_(pc.or_(m(name, AGENT_NAME_RE), m(position, AGENT_POS_RE)),
+                       m(name, AGENT_LAW_RE))
+        manager = m(name, MANAGER_RE)
+        inst = m(name, INST_RE)
+        academic = m(name, ACADEMIC_RE)
+        trust = pc.or_(
+            pc.or_(m(name, TRUST_NOT_EES_RE),
+                   pc.and_(m(name, TRUSTEES_OF_RE), pc.invert(academic))),
+            m(name, TRUST_DEFINITE_RE))
+        trustees = pc.and_(
+            pc.and_(m(name, TRUSTEES_RE), pc.invert(academic)),
+            pc.invert(trust))
+        return pa.table({
+            "doc_id": t["doc_id"], "name": name, "position": position,
+            "agent": agent, "manager": manager, "inst": inst,
+            "trust": trust, "trustees": trustees,
+        })
+
+    return _docs(sf_dir).map_batches(flags, batch_format="pyarrow").sort("doc_id")
+
+
+def entity_flags_sql() -> str:
+    def pick_sql(col, options):
+        lst = ", ".join(f"'{o}'" for o in options)
+        return (f"list_extract([{lst}], "
+                f"CAST({col} % {len(options)} AS INTEGER) + 1)")
+
+    name = pick_sql("doc_id", ENTITY_NAMES)
+    position = pick_sql("doc_id", ENTITY_POSITIONS)
+    academic = f"regexp_matches(name, '{ACADEMIC_RE}')"
+    trust = (f"(regexp_matches(name, '{TRUST_NOT_EES_RE}')"
+             f" OR (regexp_matches(name, '{TRUSTEES_OF_RE}') AND NOT {academic})"
+             f" OR regexp_matches(name, '{TRUST_DEFINITE_RE}'))")
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, {name} AS name, {position} AS position
+            FROM documents)
+        SELECT doc_id, name, position,
+               (regexp_matches(name, '{AGENT_NAME_RE}')
+                OR regexp_matches(position, '{AGENT_POS_RE}')
+                OR regexp_matches(name, '{AGENT_LAW_RE}')) AS agent,
+               regexp_matches(name, '{MANAGER_RE}') AS manager,
+               regexp_matches(name, '{INST_RE}') AS inst,
+               {trust} AS trust,
+               (regexp_matches(name, '{TRUSTEES_RE}') AND NOT {academic}
+                AND NOT {trust}) AS trustees
+        FROM raw ORDER BY doc_id
+    """
+
+
 def q_extract_first_token(sf_dir: str):
     """Regex extraction into a column ≙ std_extract_zip / std_extract_address
     (/root/reference/R/standardizers.R:609-625, 1148-1182): first token and
