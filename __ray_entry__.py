@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "luc_crosswalk": relational.q_luc_crosswalk,
         "uniqueness_flags": relational.q_uniqueness_flags,
         "csv_topk": relational.q_csv_topk,
+        "unit_estimate": relational.q_unit_estimate,
         # --- dedup / text-analysis ops (documents table) --------------------
         "cascade_match": relational.q_cascade_match,
         "window_agg": relational.q_window_agg,
@@ -171,7 +172,11 @@ def _luc_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from who_owns_mass_processing_ray.pipelines import normalize, textops
+    from who_owns_mass_processing_ray.pipelines import (
+        normalize,
+        relational,
+        textops,
+    )
 
     return {
         # generated from the SAME rule objects the Ray queries run
@@ -382,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f ORDER BY 1, 2
         """,
         "luc_crosswalk": _luc_oracle(),
+        "unit_estimate": relational.unit_estimate_sql(),
         "uniqueness_flags": """
             SELECT o_orderkey,
                    (count(*) OVER (PARTITION BY o_custkey)) = 1

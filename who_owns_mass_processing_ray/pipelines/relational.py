@@ -579,3 +579,260 @@ def q_csv_topk(sf_dir: str):
         .map_batches(rnd, batch_format="pyarrow") \
         .select_columns(["c_custkey", "c_name", "c_acctbal"]) \
         .sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Unit-estimation rule engine ≙ proc_assess_sites_condos +
+# proc_assess_sites_units (/root/reference/R/processors.R:577-628) composing
+# std_flag_condos (standardizers.R:1930-1949), std_flag_residential
+# (:2006-2052), std_units_from_luc (:960-991), std_test_units (:993-1037)
+# and std_estimate_units (:1039-1144): LUC-driven conditional column
+# rewrites with per-parcel group aggregates and a routed re-estimation of
+# the rows that fail validity.
+#
+# Documented deviations from the reference source (both favor the evident
+# intent): (1) std_test_units' Boston branch does not parse in the
+# reference (stray "s" token, standardizers.R:1003) and its second mutate's
+# `.default = TRUE` discards the first mutate's range checks — the engine
+# implements the intended semantics (range checks AND condo/res checks);
+# (2) the per-parcel address count (all_addr) is summed from the same
+# derived table rather than a separate addresses join — the capability
+# (group sum + re-attach) is identical and the join machinery is
+# exercised by q_join_agg / interval_join.
+# ---------------------------------------------------------------------------
+
+UNIT_MUNIS = ["035", "017", "274", "049", "035"]
+UNIT_LUCS = ["101", "102", "104", "105", "111", "112", "113", "114", "025",
+             "026", "027", "970", "990", "908", "303", "120", "109"]
+# residential LUC sets by index into UNIT_LUCS (≙ std_flag_residential's
+# flags / nonboston_flags / boston_flags vocab — '103', '109', '0xxR'
+# entries not present in the derived vocab are inherently unexercised)
+_RES_COMMON_IDX = [0, 1, 2, 3, 16, 4, 5, 7, 12]     # 101 102 104 105 109 111 112 114 990
+_RES_BOSTON_IDX = _RES_COMMON_IDX + [8, 9, 10, 15, 13]  # + 025 026 027 120 908
+_RES_NONBOSTON_IDX = _RES_COMMON_IDX + [11]              # + 970
+_CONDO_REWRITE_IDX = [11, 13]                            # 970, 908 (≙ :588)
+EST_SIZE = 900.0
+
+
+def q_unit_estimate(sf_dir: str):
+    """LUC rule engine over parcels derived from orders: flag condos
+    (group-filled) and residential rows, assign units from LUC, test
+    validity, re-estimate invalid rows from address counts / floor area
+    with per-parcel backfill, reunite."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    luc_arr = pa.array(UNIT_LUCS, pa.string())
+    muni_arr = pa.array(UNIT_MUNIS, pa.string())
+
+    def base(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy()
+        ac = (okey % 9).astype(np.float64)
+        ac[okey % 9 == 0] = np.nan        # ≙ the reference's NA addr counts
+        return pa.table({
+            "row_id": t["o_orderkey"],
+            "loc_id": t["o_custkey"],
+            "midx": pa.array((okey % 5).astype(np.int32)),
+            "lidx": pa.array((okey % 17).astype(np.int32)),
+            "units0": pa.array((okey % 5).astype(np.float64)),
+            "res_area": t["o_totalprice"],
+            "ac": pa.array(ac),
+            # per-parcel aggregate contributions (pre-aggregated map-side)
+            "condo_seed": pa.array((okey % 17 == 1).astype(np.int32)),
+            "ac0": pa.array(np.nan_to_num(ac)),
+        })
+
+    rows = ds.map_batches(base, batch_format="pyarrow")
+    g1 = rows.groupby("loc_id").aggregate(
+        Sum("condo_seed", alias_name="condo_ct"),
+        Sum("ac0", alias_name="all_addr"))
+    rows = joins.attach_columns(
+        rows, g1, "loc_id", "loc_id",
+        {"condo_ct": "condo_ct", "all_addr": "all_addr"}, 16, how="inner")
+
+    def estimate(t: pa.Table) -> pa.Table:
+        lidx = t["lidx"].to_numpy()
+        midx = t["midx"].to_numpy()
+        boston = (midx == 0) | (midx == 4)
+        condo = t["condo_ct"].to_numpy() > 0
+        res = np.where(boston, np.isin(lidx, _RES_BOSTON_IDX),
+                       np.isin(lidx, _RES_NONBOSTON_IDX))
+        u1 = t["units0"].to_numpy().copy()
+        # condo LUC rewrite (processors.R:587-591), then std_units_from_luc
+        u1[condo & np.isin(lidx, _CONDO_REWRITE_IDX)] = 1.0
+        for idx, val in [(8, 1.0), (9, 2.0), (10, 3.0)]:
+            u1[boston & (lidx == idx)] = val
+        for idx, val in [(0, 1.0), (1, 1.0), (2, 2.0), (3, 3.0)]:
+            u1[lidx == idx] = val
+        # std_test_units (intended semantics; see module comment)
+        bad = (boston & (((lidx == 4) & ~((u1 >= 4) & (u1 <= 6)))
+                         | ((lidx == 5) & ~((u1 >= 7) & (u1 <= 30)))
+                         | ((lidx == 6) & ~((u1 >= 31) & (u1 <= 99)))
+                         | ((lidx == 7) & (u1 < 100))))
+        bad |= (~boston & (((lidx == 4) & ~((u1 >= 4) & (u1 <= 8)))
+                           | ((lidx == 5) & (u1 <= 8))))
+        bad |= condo & (u1 != 1) & res
+        bad |= res & (u1 == 0)
+        valid = ~bad
+        # std_estimate_units ladder (NaN addr counts fall through branches,
+        # matching the reference's NA-condition case_when semantics)
+        ac = t["ac"].to_numpy()
+        acm1 = ac - 1.0
+        uba = np.ceil(t["res_area"].to_numpy() / EST_SIZE)
+
+        def btw(x, a, b):
+            return (x >= a) & (x <= b)
+
+        u2 = u1.copy()
+        for mask, cand, lo_hi, floor_v in [
+            (boston & (lidx == 4), acm1, (4, 6), 4.0),
+            (boston & (lidx == 5), acm1, (7, 30), 7.0),
+            (boston & (lidx == 6), acm1, (31, 99), 31.0),
+            (~boston & (lidx == 4), ac, (4, 8), 4.0),
+        ]:
+            pick1 = btw(cand, *lo_hi)
+            pick2 = btw(uba, *lo_hi)
+            u2[mask] = np.where(pick1[mask], acm1[mask],
+                                np.where(pick2[mask], uba[mask], floor_v))
+        m = boston & (lidx == 7)
+        u2[m] = np.where((acm1 >= 100)[m], acm1[m],
+                         np.where((uba >= 100)[m], uba[m], 100.0))
+        m = ~boston & (lidx == 5)
+        u2[m] = np.where((ac > 8)[m], acm1[m],
+                         np.where((uba > 8)[m], uba[m], 9.0))
+        inv = ~valid
+        return pa.table({
+            "row_id": t["row_id"], "loc_id": t["loc_id"],
+            "muni_id": muni_arr.take(t["midx"].cast(pa.int64())),
+            "luc": luc_arr.take(t["lidx"].cast(pa.int64())),
+            "res": pa.array(res), "condo": pa.array(condo),
+            "units_valid": pa.array(valid),
+            "u1": pa.array(u1), "u2": pa.array(u2),
+            "ac": t["ac"], "uba": pa.array(uba),
+            "all_addr": t["all_addr"],
+            "tu_c": pa.array(np.where(inv, u2, 0.0)),
+            "tm_c": pa.array((inv & (u2 == 0)).astype(np.int64)),
+        })
+
+    est = rows.map_batches(estimate, batch_format="pyarrow")
+    g2 = est.groupby("loc_id").aggregate(
+        Sum("tu_c", alias_name="total_units"),
+        Sum("tm_c", alias_name="total_missing"))
+    est = joins.attach_columns(
+        est, g2, "loc_id", "loc_id",
+        {"total_units": "total_units", "total_missing": "total_missing"},
+        16, how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        valid = t["units_valid"].to_numpy(zero_copy_only=False)
+        res = t["res"].to_numpy(zero_copy_only=False)
+        u1 = t["u1"].to_numpy()
+        u2 = t["u2"].to_numpy()
+        ac = t["ac"].to_numpy()
+        uba = t["uba"].to_numpy()
+        q = ((t["all_addr"].to_numpy() - t["total_units"].to_numpy() - 1.0)
+             / np.maximum(t["total_missing"].to_numpy(), 1.0))
+        zero = res & (u2 == 0)
+        u3 = np.where(zero & ~np.isnan(ac), ac,
+                      np.where(zero & (q >= 1.0), np.ceil(q),
+                               np.where(zero & (uba > 0), uba, u2)))
+        return pa.table({
+            "row_id": t["row_id"], "loc_id": t["loc_id"],
+            "muni_id": t["muni_id"], "luc": t["luc"],
+            "res": t["res"], "condo": t["condo"],
+            "units_valid": t["units_valid"],
+            "units": pa.array(np.where(valid, u1, u3)),
+        })
+
+    return est.map_batches(finish, batch_format="pyarrow").sort("row_id")
+
+
+def unit_estimate_sql() -> str:
+    munis = "[" + ", ".join(f"'{m}'" for m in UNIT_MUNIS) + "]"
+    lucs = "[" + ", ".join(f"'{l}'" for l in UNIT_LUCS) + "]"
+    res_b = ", ".join(str(i) for i in _RES_BOSTON_IDX)
+    res_n = ", ".join(str(i) for i in _RES_NONBOSTON_IDX)
+    condo_rw = ", ".join(str(i) for i in _CONDO_REWRITE_IDX)
+    return f"""
+        WITH base AS (
+          SELECT o_orderkey AS row_id, o_custkey AS loc_id,
+                 CAST(o_orderkey % 5 AS INTEGER) AS midx,
+                 CAST(o_orderkey % 17 AS INTEGER) AS lidx,
+                 CAST(o_orderkey % 5 AS DOUBLE) AS units0,
+                 o_totalprice AS res_area,
+                 CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                      ELSE CAST(o_orderkey % 9 AS DOUBLE) END AS ac
+          FROM orders),
+        b2 AS (
+          SELECT *, (midx = 0 OR midx = 4) AS boston,
+                 list_extract({munis}, midx + 1) AS muni_id,
+                 list_extract({lucs}, lidx + 1) AS luc,
+                 ceil(res_area / {EST_SIZE}) AS uba,
+                 bool_or(lidx = 1) OVER (PARTITION BY loc_id) AS condo,
+                 sum(coalesce(ac, 0)) OVER (PARTITION BY loc_id) AS all_addr
+          FROM base),
+        b3 AS (
+          SELECT *,
+            CASE WHEN boston THEN lidx IN ({res_b})
+                 ELSE lidx IN ({res_n}) END AS res,
+            CASE WHEN condo AND lidx IN ({condo_rw}) THEN 1.0
+                 WHEN lidx IN (0, 1) THEN 1.0
+                 WHEN lidx = 2 THEN 2.0
+                 WHEN lidx = 3 THEN 3.0
+                 WHEN boston AND lidx = 8 THEN 1.0
+                 WHEN boston AND lidx = 9 THEN 2.0
+                 WHEN boston AND lidx = 10 THEN 3.0
+                 ELSE units0 END AS u1
+          FROM b2),
+        b4 AS (
+          SELECT *,
+            NOT ((boston AND ((lidx = 4 AND u1 NOT BETWEEN 4 AND 6)
+                           OR (lidx = 5 AND u1 NOT BETWEEN 7 AND 30)
+                           OR (lidx = 6 AND u1 NOT BETWEEN 31 AND 99)
+                           OR (lidx = 7 AND u1 < 100)))
+              OR (NOT boston AND ((lidx = 4 AND u1 NOT BETWEEN 4 AND 8)
+                               OR (lidx = 5 AND u1 <= 8)))
+              OR (condo AND u1 != 1 AND res)
+              OR (res AND u1 = 0)) AS units_valid,
+            CASE WHEN boston AND lidx = 4 THEN
+                   CASE WHEN ac - 1 BETWEEN 4 AND 6 THEN ac - 1
+                        WHEN uba BETWEEN 4 AND 6 THEN uba ELSE 4 END
+                 WHEN boston AND lidx = 5 THEN
+                   CASE WHEN ac - 1 BETWEEN 7 AND 30 THEN ac - 1
+                        WHEN uba BETWEEN 7 AND 30 THEN uba ELSE 7 END
+                 WHEN boston AND lidx = 6 THEN
+                   CASE WHEN ac - 1 BETWEEN 31 AND 99 THEN ac - 1
+                        WHEN uba BETWEEN 31 AND 99 THEN uba ELSE 31 END
+                 WHEN boston AND lidx = 7 THEN
+                   CASE WHEN ac - 1 >= 100 THEN ac - 1
+                        WHEN uba >= 100 THEN uba ELSE 100 END
+                 WHEN NOT boston AND lidx = 4 THEN
+                   CASE WHEN ac BETWEEN 4 AND 8 THEN ac - 1
+                        WHEN uba BETWEEN 4 AND 8 THEN uba ELSE 4 END
+                 WHEN NOT boston AND lidx = 5 THEN
+                   CASE WHEN ac > 8 THEN ac - 1
+                        WHEN uba > 8 THEN uba ELSE 9 END
+                 ELSE u1 END AS u2
+          FROM b3),
+        b5 AS (
+          SELECT *,
+            sum(CASE WHEN NOT units_valid THEN u2 ELSE 0 END)
+                OVER (PARTITION BY loc_id) AS total_units,
+            sum(CASE WHEN NOT units_valid AND u2 = 0 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY loc_id) AS total_missing
+          FROM b4)
+        SELECT row_id, loc_id, muni_id, luc, res, condo, units_valid,
+               CAST(CASE WHEN units_valid THEN u1 ELSE
+                 CASE WHEN res AND u2 = 0 AND ac IS NOT NULL THEN ac
+                      WHEN res AND u2 = 0 AND
+                           (all_addr - total_units - 1)
+                               / greatest(total_missing, 1) >= 1
+                           THEN ceil((all_addr - total_units - 1)
+                                     / greatest(total_missing, 1))
+                      WHEN res AND u2 = 0 AND uba > 0 THEN uba
+                      ELSE u2 END END AS DOUBLE) AS units
+        FROM b5 ORDER BY row_id
+    """
