@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unit_estimate": relational.q_unit_estimate,
         # --- dedup / text-analysis ops (documents table) --------------------
         "cascade_match": relational.q_cascade_match,
+        "addr_match_cascade": relational.q_addr_match_cascade,
         "window_agg": relational.q_window_agg,
         "cross_table_link": textops.q_cross_table_link,
         "fuzzy_join": textops.q_fuzzy_join,
@@ -388,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "luc_crosswalk": _luc_oracle(),
         "unit_estimate": relational.unit_estimate_sql(),
+        "addr_match_cascade": relational.addr_match_cascade_sql(),
         "uniqueness_flags": """
             SELECT o_orderkey,
                    (count(*) OVER (PARTITION BY o_custkey)) = 1

@@ -17,7 +17,9 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "token_stats", "quality_score", "minhash_near_dup", "knn_brute",
           "embed_near_dup", "cascade_norm", "inst_norm", "co_split",
           "multiname_split", "quantile_filter", "luc_crosswalk",
-          "group_fill_downup", "near_dup_groups", "concat_ranges_fix"]
+          "group_fill_downup", "near_dup_groups", "concat_ranges_fix",
+          "muni_norm", "po_pmb_split", "entity_flags", "unit_estimate",
+          "addr_match_cascade"]
 
 
 @pytest.fixture(scope="module")

@@ -836,3 +836,244 @@ def unit_estimate_sql() -> str:
                       ELSE u2 END END AS DOUBLE) AS units
         FROM b5 ORDER BY row_id
     """
+
+
+# ---------------------------------------------------------------------------
+# 6-pass address-match cascade ≙ dedupe_address_to_address_seq
+# (/root/reference/R/deduplicaters.R:10-56) + std_simp_street
+# (/root/reference/R/standardizers.R:1421-1434) + std_match_address_to_address
+# (:2220-2257).  Pass sequence (the reference's, including the doubled
+# strict pass): (body,muni,postal) x2 -> (body,muni) gated unique_in_muni ->
+# (body,postal) gated unique_in_postal -> simp passes on body_simp (street
+# type stripped) gated unique_in_muni_simp / unique_in_postal_simp.
+# Reference fill semantics are OVERWRITE-on-match (case_when(!is.na(replace)
+# ~ replace)): a later pass that matches replaces an earlier fill, so the
+# engine combines pass results in reverse priority, exactly as sequential
+# application would.  multiple="first" is made deterministic as min(loc_id)
+# per key group (≙ SURVEY §4 determinism policy).
+# ---------------------------------------------------------------------------
+
+CM_NAMES = ["MAIN", "OAK", "ELM", "PINE", "MAPLE", "CEDAR", "WALNUT",
+            "CHERRY", "LAKE", "HILL"]
+CM_TYPES = ["STREET", "AVENUE", "ROAD", "LANE", "DRIVE", "COURT"]
+CM_MUNIS = ["BOSTON", "NEWTON", "ACTON", "CAMBRIDGE", "QUINCY", "DEVENS",
+            "SALEM"]
+# ≙ SEARCH$street_types (/root/reference/R/standardizers.R:5-10) collapsed
+# to the anchored strip regex std_simp_street builds
+SIMP_STREET_TYPES = ["STREET", "AVENUE", "LANE", "EXTENSION", "PARK",
+                     "DRIVE", "ROAD", "BOULEVARD", "PARKWAY", "TERRACE",
+                     "PLACE", "WAY", "CIRCLE", "ALLEY", "SQUARE", "HIGHWAY",
+                     "CENTER", "FREEWAY", "COURT", "PLAZA", "WHARF", "POINT",
+                     "COVE", "RIDGE"]
+SIMP_STREET_RE = " (" + "|".join(SIMP_STREET_TYPES) + ")$"
+
+
+def _cm_parts(k: np.ndarray):
+    """Deterministic address components for key array ``k``.  Class A
+    (k%3==0) standalone; class B (k%3==1) paired with its C shadow (k%3==2,
+    same fields, street type rotated +3) so (body,*) keys stay unique while
+    (body_simp,*) keys are NOT — exercising the simp gates both ways; class
+    E (k%51==0) collapses to one hot address so the strict pass's
+    min-loc_id multi-match and all-gates-false routes are exercised."""
+    b = np.where(k % 3 == 2, k - 1, k)
+    e = k % 51 == 0
+    num = np.where(e, 9, b % 1000)
+    nix = np.where(e, 0, b % 10)
+    tix = np.where(e, 0, np.where(k % 3 == 2, (b % 6 + 3) % 6, b % 6))
+    mix = np.where(e, 0, b % 7)
+    pix = np.where(e, 0, b % 25)
+    return num, nix, tix, mix, pix
+
+
+def _cm_assemble(num, nix, tix, mix, pix):
+    names = pa.array(CM_NAMES, pa.string())
+    types = pa.array(CM_TYPES, pa.string())
+    munis = pa.array(CM_MUNIS, pa.string())
+    body = pc.binary_join_element_wise(
+        pc.cast(pa.array(num, pa.int64()), pa.string()),
+        names.take(pa.array(nix, pa.int64())),
+        types.take(pa.array(tix, pa.int64())), " ")
+    muni = munis.take(pa.array(mix, pa.int64()))
+    postal = pc.utf8_lpad(pc.cast(pa.array(pix, pa.int64()), pa.string()),
+                          5, "0")
+    return body, muni, postal
+
+
+def _cm_simp(body):
+    """≙ std_simp_street: strip one trailing canonical street type."""
+    return pc.replace_substring_regex(body, pattern=SIMP_STREET_RE,
+                                      replacement="")
+
+
+def q_addr_match_cascade(sf_dir: str):
+    """Match dirty order-derived addresses against the part-derived address
+    table through all six reference passes.  The address side is the small
+    (dimension) side: gathered once from the distributed read, the six
+    pass tables built with Arrow group_by, shipped via ray.put, and probed
+    with per-batch Acero joins — above joins.BROADCAST_ROW_LIMIT this side
+    swaps to six Dataset.join shuffles keyed identically (the adaptive
+    pattern of stages/joins.attach_columns)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+    side_tables = [t for t in ray.get(part.to_arrow_refs()) if t.num_rows]
+    pk = pa.concat_tables(side_tables)["p_partkey"].to_numpy()
+    n_part = len(pk)
+    body, muni, postal = _cm_assemble(*_cm_parts(pk))
+    addr = pa.table({
+        "loc_id": pa.array(pk, pa.int64()),
+        "body": body, "muni": muni, "postal": postal,
+        "body_simp": _cm_simp(body),
+    })
+
+    def side(keys: list[str], gate: bool) -> pa.Table:
+        """(key cols..., loc): min loc_id per key group; gate=True keeps
+        only groups of size 1 (the uniqueness-flag filter)."""
+        g = addr.group_by(keys).aggregate(
+            [("loc_id", "min"), ("loc_id", "count")])
+        if gate:
+            g = g.filter(pc.equal(g["loc_id_count"], 1))
+        key = g[keys[0]]
+        for c in keys[1:]:
+            key = pc.binary_join_element_wise(key, g[c], "|")
+        return pa.table({"k": key, "loc": g["loc_id_min"]})
+
+    sides_ref = ray.put({
+        1: side(["body", "muni", "postal"], gate=False),
+        3: side(["body", "muni"], gate=True),
+        4: side(["body", "postal"], gate=True),
+        5: side(["body_simp", "muni"], gate=True),
+        6: side(["body_simp", "postal"], gate=True),
+    })
+
+    def probe(t: pa.Table) -> pa.Table:
+        sides = ray.get(sides_ref)
+        okey = t["o_orderkey"].to_numpy()
+        k = okey % n_part
+        cls = okey % 6
+        num, nix, tix, mix, pix = _cm_parts(k)
+        tix = np.where(np.isin(cls, (3, 4)), (tix + 1) % 6, tix)
+        body, muni, postal = _cm_assemble(num, nix, tix, mix, pix)
+        body = pc.if_else(pa.array(cls == 5),
+                          pa.array(["0 ZZZ NOWHERE"] * len(t)), body)
+        muni = pc.if_else(pa.array(np.isin(cls, (2, 4))),
+                          pa.array(["NOMUNI"] * len(t)), muni)
+        postal = pc.if_else(pa.array(np.isin(cls, (1, 3))),
+                            pa.array(["99999"] * len(t)), postal)
+        simp = _cm_simp(body)
+        keys = {
+            1: pc.binary_join_element_wise(body, muni, postal, "|"),
+            3: pc.binary_join_element_wise(body, muni, "|"),
+            4: pc.binary_join_element_wise(body, postal, "|"),
+            5: pc.binary_join_element_wise(simp, muni, "|"),
+            6: pc.binary_join_element_wise(simp, postal, "|"),
+        }
+        probe_t = pa.table({"row_id": t["o_orderkey"],
+                            **{f"k{p}": keys[p] for p in keys}})
+        for p, s in sides.items():
+            s = s.rename_columns(["k" + str(p), f"loc{p}"])
+            probe_t = probe_t.join(s, keys=[f"k{p}"], join_type="left outer")
+        probe_t = probe_t.sort_by("row_id")   # Acero joins reorder rows
+        locs = [probe_t[f"loc{p}"] for p in (6, 5, 4, 3, 1)]
+        loc = locs[0]
+        for nxt in locs[1:]:
+            loc = pc.if_else(pc.is_valid(loc), loc, nxt)
+        match_pass = pa.nulls(len(probe_t), pa.int32())
+        for p, col in zip((6, 5, 4, 3, 1), locs):
+            match_pass = pc.if_else(
+                pc.and_(pc.is_null(match_pass), pc.is_valid(col)),
+                pa.scalar(p, pa.int32()), match_pass)
+        return pa.table({
+            "row_id": probe_t["row_id"],
+            "loc_id": loc,
+            "matched_pass": match_pass,
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    return orders.map_batches(probe, batch_format="pyarrow").sort("row_id")
+
+
+def addr_match_cascade_sql() -> str:
+    names = "[" + ", ".join(f"'{s}'" for s in CM_NAMES) + "]"
+    types = "[" + ", ".join(f"'{s}'" for s in CM_TYPES) + "]"
+    munis = "[" + ", ".join(f"'{s}'" for s in CM_MUNIS) + "]"
+
+    parts_sql = """
+            SELECT *, CASE WHEN kk % 3 = 2 THEN kk - 1 ELSE kk END AS b,
+                   (kk % 51 = 0) AS e FROM __SRC__"""
+
+    fields = f"""
+        CASE WHEN e THEN 9 ELSE b % 1000 END AS num,
+        CASE WHEN e THEN 0 ELSE b % 10 END AS nix,
+        CASE WHEN e THEN 0
+             WHEN kk % 3 = 2 THEN (b % 6 + 3) % 6
+             ELSE b % 6 END AS tix,
+        CASE WHEN e THEN 0 ELSE b % 7 END AS mix,
+        CASE WHEN e THEN 0 ELSE b % 25 END AS pix"""
+    assemble = f"""
+        CAST(num AS VARCHAR) || ' ' ||
+            list_extract({names}, CAST(nix AS INTEGER) + 1) || ' ' ||
+            list_extract({types}, CAST(tix AS INTEGER) + 1) AS body,
+        list_extract({munis}, CAST(mix AS INTEGER) + 1) AS muni,
+        lpad(CAST(pix AS VARCHAR), 5, '0') AS postal"""
+    return f"""
+        WITH a0 AS (
+            {parts_sql.replace('__SRC__',
+                '(SELECT p_partkey, p_partkey AS kk FROM part)')}),
+        a1 AS (SELECT p_partkey AS loc_id, kk, {fields} FROM a0),
+        a2 AS (SELECT loc_id, {assemble} FROM a1),
+        addr AS (SELECT *, regexp_replace(body, '{SIMP_STREET_RE}', '')
+                     AS body_simp FROM a2),
+        u AS (SELECT *,
+                count(*) OVER (PARTITION BY body, muni) = 1 AS u_m,
+                count(*) OVER (PARTITION BY body, postal) = 1 AS u_p,
+                count(*) OVER (PARTITION BY body_simp, muni) = 1 AS u_ms,
+                count(*) OVER (PARTITION BY body_simp, postal) = 1 AS u_ps
+              FROM addr),
+        s1 AS (SELECT body, muni, postal, min(loc_id) AS loc1
+               FROM addr GROUP BY 1, 2, 3),
+        s3 AS (SELECT body, muni, min(loc_id) AS loc3
+               FROM u WHERE u_m GROUP BY 1, 2),
+        s4 AS (SELECT body, postal, min(loc_id) AS loc4
+               FROM u WHERE u_p GROUP BY 1, 2),
+        s5 AS (SELECT body_simp, muni, min(loc_id) AS loc5
+               FROM u WHERE u_ms GROUP BY 1, 2),
+        s6 AS (SELECT body_simp, postal, min(loc_id) AS loc6
+               FROM u WHERE u_ps GROUP BY 1, 2),
+        q0 AS (
+            {parts_sql.replace(
+                '__SRC__',
+                '''(SELECT o_orderkey AS row_id,
+                    o_orderkey % (SELECT count(*) FROM part) AS kk,
+                    o_orderkey % 6 AS cls FROM orders)''')}),
+        q1 AS (SELECT row_id, cls, {fields.replace(
+            'ELSE b % 6 END AS tix',
+            'ELSE b % 6 END + CASE WHEN cls IN (3, 4) THEN 1 ELSE 0 END AS tix0')}
+               FROM q0),
+        q2 AS (SELECT row_id, cls, num, nix, tix0 % 6 AS tix, mix, pix
+               FROM q1),
+        q3 AS (SELECT row_id, cls, {assemble} FROM q2),
+        q AS (SELECT row_id,
+                 CASE WHEN cls = 5 THEN '0 ZZZ NOWHERE' ELSE body END AS body,
+                 CASE WHEN cls IN (2, 4) THEN 'NOMUNI' ELSE muni END AS muni,
+                 CASE WHEN cls IN (1, 3) THEN '99999' ELSE postal END AS postal
+              FROM q3),
+        qs AS (SELECT *, regexp_replace(body, '{SIMP_STREET_RE}', '')
+                   AS body_simp FROM q)
+        SELECT qs.row_id,
+               COALESCE(loc6, loc5, loc4, loc3, loc1) AS loc_id,
+               CAST(CASE WHEN loc6 IS NOT NULL THEN 6
+                    WHEN loc5 IS NOT NULL THEN 5
+                    WHEN loc4 IS NOT NULL THEN 4
+                    WHEN loc3 IS NOT NULL THEN 3
+                    WHEN loc1 IS NOT NULL THEN 1 END AS INTEGER)
+                   AS matched_pass
+        FROM qs
+        LEFT JOIN s1 ON qs.body = s1.body AND qs.muni = s1.muni
+                    AND qs.postal = s1.postal
+        LEFT JOIN s3 ON qs.body = s3.body AND qs.muni = s3.muni
+        LEFT JOIN s4 ON qs.body = s4.body AND qs.postal = s4.postal
+        LEFT JOIN s5 ON qs.body_simp = s5.body_simp AND qs.muni = s5.muni
+        LEFT JOIN s6 ON qs.body_simp = s6.body_simp AND qs.postal = s6.postal
+        ORDER BY qs.row_id
+    """
