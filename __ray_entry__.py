@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_sort": textops.q_token_sort,
         "exact_dedup": textops.q_exact_dedup,
         "minhash_near_dup": textops.q_minhash_near_dup,
+        "bounded_near_dup": textops.q_bounded_near_dup,
         "near_dup_groups": textops.q_near_dup_groups,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "simhash_near_dup": textops.q_simhash_near_dup,
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "entity_flags": textops.entity_flags_sql(),
+        "bounded_near_dup": textops.bounded_near_dup_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

@@ -74,3 +74,20 @@ def test_salted_hot_bucket_dual_rounds_connect_without_star():
         lab = new
     # members 1..n-1 must form ONE component without the star center
     assert len(set(lab[1:])) == 1
+
+
+def test_ngram_jaccard_shuffle_path_equals_broadcast(ray_session):
+    """The adaptive DF handling's two paths (driver-broadcast vs
+    partitioned shuffle join + coarse-partition prefix pass) must produce
+    identical pairs; forcing df_broadcast_limit=0 exercises the shuffle
+    path on the same sf0.001 input."""
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    sf = "/root/testdata/sf0.001"
+    a = textops.q_ngram_jaccard_pairs(sf).to_pandas()
+    b = textops.q_ngram_jaccard_pairs(sf, df_broadcast_limit=0).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True),
+        check_dtype=False)

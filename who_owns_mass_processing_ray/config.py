@@ -58,6 +58,17 @@ class DedupConfig:
     containment_stride: int = 8     # keep grams with hash % stride == 0
     containment_min_len: int = 12   # docs with fewer grams keep every gram
 
+    # --- compound bounding (≙ dedupe_cosine_bounded's AND semantics,
+    # /root/reference/R/deduplicaters.R:446-539) -----------------------------
+    # False (default): edge kinds merge by union — recall-first, the
+    # dedupe_all shape.  True: the bounded shape — a 'near' (text-similar)
+    # edge is kept only when the SAME pair also has a verified 'audio'
+    # (fingerprint-bucket) edge, and audio-only edges do not merge on their
+    # own; exact and containment edges (exact evidence) always merge.  This
+    # is the reference's over-merge defense: name-similar entities merge
+    # only when they also share the bounding dimension.
+    compound_bound: bool = False
+
     # --- components ---------------------------------------------------------
     # Edges <= this: driver-side union-find (exact, cheap). Above: distributed
     # min-label propagation (bounded iterations). Both produce identical

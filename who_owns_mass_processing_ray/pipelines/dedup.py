@@ -135,7 +135,20 @@ def dedup_pipeline_from_dataset(
         "edges_containment", cfg_fp,
         lambda: containment.containment_edges(feats, cfg, num_parts, num_partitions))
 
-    edges = _coalesce(_pin(e_exact.union(e_near).union(e_audio).union(e_contain)))
+    if cfg.compound_bound:
+        # ≙ dedupe_cosine_bounded (/root/reference/R/deduplicaters.R:446-539):
+        # text-similar pairs merge only when they ALSO share the audio
+        # bounding dimension (edge intersection on the pair key), and the
+        # bounding dimension alone never merges; exact/containment evidence
+        # always does.  Only narrow (left_id, right_id) pairs cross the
+        # intersection shuffle.
+        from who_owns_mass_processing_ray.stages import pairs as pr
+
+        e_near_bound = pr.pair_intersect(e_near, e_audio, num_partitions)
+        edges = _coalesce(_pin(e_exact.union(e_near_bound).union(e_contain)))
+    else:
+        edges = _coalesce(_pin(
+            e_exact.union(e_near).union(e_audio).union(e_contain)))
 
     assignment = _coalesce(_pin(cache.run(
         "assignment", cfg_fp,

@@ -169,7 +169,8 @@ def _distinct_grams(t: pa.Table, k: int, seed: int) -> tuple[np.ndarray, np.ndar
     return ids[d], v, counts
 
 
-def q_ngram_jaccard_pairs(sf_dir: str, k: int = 5, thresh: float = 0.7):
+def q_ngram_jaccard_pairs(sf_dir: str, k: int = 5, thresh: float = 0.7,
+                          df_broadcast_limit: int | None = None):
     """EXACT n-gram Jaccard similarity join via prefix filtering (the
     AllPairs/PPJoin blocking, Bayardo et al. WWW'07; complete, zero
     approximation): order each doc's distinct grams globally by
@@ -177,14 +178,23 @@ def q_ngram_jaccard_pairs(sf_dir: str, k: int = 5, thresh: float = 0.7):
     |d| - ceil(τ·|d|) + 1 as blocking keys — J(A,B) ≥ τ forces the two
     prefixes to share a gram, and rare-first ordering keeps buckets small.
     This is the oracle-grade exact variant of q_minhash_near_dup (which is
-    the approximate scale path); the doc-frequency table is broadcast
-    (ray.put once, read per task) — at cluster scale swap to the shuffle
-    join in stages/joins.py."""
+    the approximate scale path).
+
+    The doc-frequency table handling is ADAPTIVE (mirrors
+    joins.attach_columns): when the distinct-gram table fits
+    ``df_broadcast_limit`` rows it is gathered once and ``ray.put``
+    (read per task, never re-shipped per batch); above the limit it is
+    NEVER driver-materialized — DF attaches to the gram rows via the
+    partitioned shuffle join and per-doc prefixes are computed inside a
+    coarse ``doc_id % P`` partition with one vectorized segment pass.
+    Both paths produce identical prefixes (tested equal)."""
     import ray
     from ray.data.aggregate import Count
 
-    from who_owns_mass_processing_ray.stages import pairs as pr
+    from who_owns_mass_processing_ray.stages import joins, pairs as pr
 
+    if df_broadcast_limit is None:
+        df_broadcast_limit = joins.BROADCAST_ROW_LIMIT
     ds = _docs(sf_dir)
     seed = 7
 
@@ -196,35 +206,74 @@ def q_ngram_jaccard_pairs(sf_dir: str, k: int = 5, thresh: float = 0.7):
         })
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow")
-    df_tbl = grams.groupby("gram").aggregate(Count(alias_name="df"))
-    df_tables = ray.get(df_tbl.to_arrow_refs())
-    df_all = pa.concat_tables([x for x in df_tables if x.num_rows]).combine_chunks()
-    sorted_grams = np.sort(df_all["gram"].to_numpy())
-    df_of = df_all["df"].to_numpy()[np.argsort(df_all["gram"].to_numpy())]
-    df_ref = ray.put((sorted_grams, df_of))
+    df_tbl = grams.groupby("gram").aggregate(Count(alias_name="df")).materialize()
 
-    def prefix_rows(t: pa.Table) -> pa.Table:
-        sg, dfv = ray.get(df_ref)
-        ids_rep, v, counts = _distinct_grams(t, k, seed)
-        df_per = dfv[np.searchsorted(sg, v.view(np.int64))]
-        doc_idx = np.repeat(np.arange(len(counts)), counts)
-        # order grams within each doc by (df, gram) ascending
-        order = np.lexsort((v, df_per, doc_idx))
-        v, ids_rep, doc_idx = v[order], ids_rep[order], doc_idx[order]
-        offs = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
-        prefix_len = counts - np.ceil(thresh * counts).astype(np.int64) + 1
-        prefix_len = np.maximum(np.minimum(prefix_len, counts), 0)
-        pos_in_doc = np.arange(len(v)) - np.repeat(offs[:-1], counts)
-        keep = pos_in_doc < np.repeat(prefix_len, counts)
-        return pa.table({
-            "bucket_key": pa.array(v[keep]),
-            "doc_id": pa.array(ids_rep[keep], pa.int64()),
-        })
+    if df_tbl.count() <= df_broadcast_limit:
+        # broadcast path: one driver gather + ray.put, probed per task
+        df_tables = ray.get(df_tbl.to_arrow_refs())
+        df_all = pa.concat_tables(
+            [x for x in df_tables if x.num_rows]).combine_chunks()
+        sorted_grams = np.sort(df_all["gram"].to_numpy())
+        df_of = df_all["df"].to_numpy()[np.argsort(df_all["gram"].to_numpy())]
+        df_ref = ray.put((sorted_grams, df_of))
+
+        def prefix_rows(t: pa.Table) -> pa.Table:
+            sg, dfv = ray.get(df_ref)
+            ids_rep, v, counts = _distinct_grams(t, k, seed)
+            df_per = dfv[np.searchsorted(sg, v.view(np.int64))]
+            doc_idx = np.repeat(np.arange(len(counts)), counts)
+            # order grams within each doc by (df, gram) ascending
+            order = np.lexsort((v, df_per, doc_idx))
+            v, ids_rep, doc_idx = v[order], ids_rep[order], doc_idx[order]
+            offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            prefix_len = counts - np.ceil(thresh * counts).astype(np.int64) + 1
+            prefix_len = np.maximum(np.minimum(prefix_len, counts), 0)
+            pos_in_doc = np.arange(len(v)) - np.repeat(offs[:-1], counts)
+            keep = pos_in_doc < np.repeat(prefix_len, counts)
+            return pa.table({
+                "bucket_key": pa.array(v[keep]),
+                "doc_id": pa.array(ids_rep[keep], pa.int64()),
+            })
+
+        prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    else:
+        # shuffle path: DF joins onto gram rows partition-by-gram (no
+        # driver gather), then per-doc prefixes inside coarse doc_id % P
+        # partitions — one vectorized segment pass per partition.
+        with_df = joins.attach_columns(
+            grams, df_tbl, "gram", "gram", {"df": "df"}, num_partitions=16,
+            how="inner", broadcast_limit=0)
+        num_parts = 16
+
+        def add_part(t: pa.Table) -> pa.Table:
+            part = (t["doc_id"].to_numpy() % num_parts).astype(np.int32)
+            return t.append_column("part", pa.array(part))
+
+        def prefix_of_partition(g: pa.Table) -> pa.Table:
+            v = g["gram"].to_numpy()
+            dfv = g["df"].to_numpy()
+            d = g["doc_id"].to_numpy()
+            order = np.lexsort((v, dfv, d))
+            v, d = v[order], d[order]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            counts = np.diff(np.r_[starts, len(d)])
+            prefix_len = counts - np.ceil(thresh * counts).astype(np.int64) + 1
+            prefix_len = np.maximum(np.minimum(prefix_len, counts), 0)
+            pos = np.arange(len(d)) - np.repeat(starts, counts)
+            keep = pos < np.repeat(prefix_len, counts)
+            return pa.table({
+                "bucket_key": pa.array(v[keep].view(np.uint64)),
+                "doc_id": pa.array(d[keep], pa.int64()),
+            })
+
+        prefixes = with_df.map_batches(add_part, batch_format="pyarrow") \
+            .groupby("part").map_groups(
+                lambda g: prefix_of_partition(g.drop_columns(["part"])),
+                batch_format="pyarrow")
 
     from ray.data.aggregate import Max
 
-    prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow")
     cand = pr.pairs_from_bucket_rows(prefixes, "bucket_key", "doc_id",
                                      max_bucket=100_000, num_parts=16)
     cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
@@ -877,3 +926,183 @@ def q_near_dup_groups(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     import ray.data as rd
 
     return rd.from_arrow(out).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Compound-bounded near-dup ≙ dedupe_cosine_bounded
+# (/root/reference/R/deduplicaters.R:446-539): a pair may merge only when it
+# is text-similar AND shares the bounding dimension — the reference's
+# address-equality bound, mapped (SURVEY §7.0) to a second signature-bucket
+# blocking dimension — with the reference's 0.85 (inst/trust) vs 0.95
+# (individuals) dual-threshold routing, pairs never crossing classes.
+#
+# The bounding signature is a 48-bit marker-bigram parity vector (bit i =
+# parity of marker_i's occurrence count): deterministic, engine-computable
+# with one vectorized count kernel per marker, and SQL-computable with
+# length/replace arithmetic — so unlike the random-projection SimHash, the
+# WHOLE compound predicate (exact Jaccard ∧ hamming ∧ routing) has a DuckDB
+# oracle and this query is driver hash-matched, not rows-only.
+#
+# Blocking is a true AND-intersection of candidate sets: LSH band pairs ∩
+# signature band pairs (4 x 12-bit bands — complete for hamming <= 3 by
+# pigeonhole, asserted), joined on the pair key BEFORE any text is attached
+# or verified, so candidate volume is bounded by the smaller set.  (The
+# composite-key alternative — emit all 48x4 (lsh_band, sig_band) keys per
+# doc — trades 4x row fan-out for no join; the join form moves only narrow
+# id pairs and is the 100 TB shape.)
+# ---------------------------------------------------------------------------
+
+BOUND_MARKERS = ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+                 "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+                 "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+                 "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+                 "ra", "ce", "li", "ch", "lo", "ma", "si", "ta"]
+BOUND_BITS = len(BOUND_MARKERS)          # 48
+BOUND_SIG_BANDS = 4                       # 4 x 12-bit slices
+BOUND_HAMMING = 3                         # <= bands - 1: complete (pigeonhole)
+BOUND_INST_THRESH = 0.85                  # ≙ config.R COSINE_THRESH routing
+BOUND_IND_THRESH = 0.95                   # ≙ dedupe_cosine_bounded inds_thresh
+
+
+def bound_signature(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """48-bit parity signature (int64) — one count kernel per marker, no
+    per-row Python.  Markers have distinct characters, so non-overlapping
+    substring counting (both Arrow count_substring and DuckDB
+    length/replace) is exact occurrence counting."""
+    low = pc.utf8_lower(col)
+    sig = np.zeros(len(low), np.int64)
+    for i, m in enumerate(BOUND_MARKERS):
+        c = pc.count_substring(low, m).to_numpy(zero_copy_only=False)
+        sig |= (c.astype(np.int64) & 1) << i
+    return sig
+
+
+def q_bounded_near_dup(sf_dir: str, hamming_thresh: int = BOUND_HAMMING):
+    """Pairs that are text-similar (exact 5-gram Jaccard >= 0.85 inst /
+    0.95 individual, same class both sides — class derived as
+    doc_id % 3 == 0 ≙ the reference's inst|trust flag) AND within hamming
+    <= 3 on the bounding parity signature."""
+    from ray.data.aggregate import Max, Min
+
+    from who_owns_mass_processing_ray import audio as au
+    from who_owns_mass_processing_ray.stages import pairs as pr, pool_bounds
+
+    assert hamming_thresh <= BOUND_SIG_BANDS - 1, (
+        "signature-band completeness requires thresh <= bands-1")
+    cfg = DOCS_CFG
+    width = BOUND_BITS // BOUND_SIG_BANDS
+    ds = _docs(sf_dir)
+
+    # dimension 1: MinHash LSH band buckets (at J >= 0.85 the 48x4 S-curve
+    # misses a pair with p ~ 5e-16 — far below driver-flake relevance)
+    band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
+                               batch_format="pyarrow",
+                               batch_size=cfg.batch_size,
+                               concurrency=pool_bounds(8))
+    cand_text = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
+                                          cfg.max_bucket, cfg.num_parts or 16)
+    cand_text = cand_text.map_batches(
+        lambda t: t.select(["left_id", "right_id"]), batch_format="pyarrow")
+
+    # dimension 2: signature band buckets (complete for the hamming radius)
+    def sig_rows(t: pa.Table) -> pa.Table:
+        sig = bound_signature(t["text"])
+        ids = t["doc_id"].to_numpy()
+        mask = np.uint64((1 << width) - 1)
+        keys, out_ids = [], []
+        u = sig.view(np.uint64)
+        for b in range(BOUND_SIG_BANDS):
+            keys.append(hx.splitmix64(
+                ((u >> np.uint64(b * width)) & mask) ^ np.uint64(b << 32)))
+            out_ids.append(ids)
+        return pa.table({
+            "bucket_key": pa.array(np.concatenate(keys)),
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "sig": pa.array(np.tile(sig, BOUND_SIG_BANDS)),
+        })
+
+    sig_banded = ds.map_batches(sig_rows, batch_format="pyarrow")
+    cand_sig = pr.pairs_from_bucket_rows(sig_banded, "bucket_key", "doc_id",
+                                         cfg.max_bucket, cfg.num_parts or 16,
+                                         payload_cols=["sig"])
+    cand_sig = cand_sig.map_batches(
+        lambda t: t.select(["left_id", "right_id", "left_sig", "right_sig"]),
+        batch_format="pyarrow")
+
+    # the AND bound: intersect the two candidate sets on the pair key
+    # (keep the sig-side rows — they carry the signatures verify needs)
+    inter = pr.pair_intersect(cand_sig, cand_text, 16)
+    inter = pr.attach_pair_features(inter, ds, "text", 16, side_key="doc_id")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        jac = hx.jaccard_pairs_dict(batch["left_text"], batch["right_text"],
+                                    cfg.shingle_k, seed=cfg.seed)
+        l = batch["left_id"].to_numpy()
+        r = batch["right_id"].to_numpy()
+        l_inst = l % 3 == 0
+        r_inst = r % 3 == 0
+        ham = au.hamming64(
+            batch["left_sig"].to_numpy().view(np.uint64),
+            batch["right_sig"].to_numpy().view(np.uint64))
+        thr = np.where(l_inst, BOUND_INST_THRESH, BOUND_IND_THRESH)
+        keep = ((l_inst == r_inst) & (ham <= hamming_thresh) & (jac >= thr))
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "left_id": out["left_id"],
+            "right_id": out["right_id"],
+            "jaccard": pa.array(round_half_away(jac[keep], 4)),
+            "hamming": pa.array(ham[keep].astype(np.int32)),
+        })
+
+    verified = inter.map_batches(
+        verify, batch_format="pyarrow", batch_size=cfg.verify_batch_size)
+    out = verified.groupby(["left_id", "right_id"]).aggregate(
+        Max("jaccard", alias_name="jaccard"),
+        Min("hamming", alias_name="hamming"))
+
+    def stamp_class(t: pa.Table) -> pa.Table:
+        inst = t["left_id"].to_numpy() % 3 == 0
+        cls = pa.array(np.where(inst, "inst", "ind"), pa.string())
+        return t.append_column("pair_class", cls)
+
+    return out.map_batches(stamp_class, batch_format="pyarrow") \
+        .sort(["left_id", "right_id"])
+
+
+def bounded_near_dup_sql() -> str:
+    sig = " + ".join(
+        f"((((length(t) - length(replace(t, '{m}', ''))) / 2) % 2)::BIGINT"
+        f" << {i})"
+        for i, m in enumerate(BOUND_MARKERS))
+    return f"""
+        WITH s AS (SELECT doc_id, lower(text) AS t FROM documents),
+        sig AS (SELECT doc_id, (doc_id % 3 = 0) AS inst, {sig} AS sig FROM s),
+        g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+                FROM documents)),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT i.left_id, i.right_id,
+                 i.c * 1.0 / (sa.n + sb.n - i.c) AS jac
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.left_id
+          JOIN sz sb ON sb.doc_id = i.right_id
+          WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {BOUND_INST_THRESH})
+        SELECT j.left_id, j.right_id, round(j.jac, 4) AS jaccard,
+               CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming,
+               CASE WHEN sa.inst THEN 'inst' ELSE 'ind' END AS pair_class
+        FROM j
+        JOIN sig sa ON sa.doc_id = j.left_id
+        JOIN sig sb ON sb.doc_id = j.right_id
+        WHERE sa.inst = sb.inst
+          AND bit_count(xor(sa.sig, sb.sig)) <= {BOUND_HAMMING}
+          AND j.jac >= CASE WHEN sa.inst THEN {BOUND_INST_THRESH}
+                            ELSE {BOUND_IND_THRESH} END
+        ORDER BY 1, 2
+    """

@@ -185,12 +185,40 @@ def containment_edges(features_ds, cfg: DedupConfig, num_parts: int,
                                    num_partitions, out_prefix="norm")
 
     def verify(batch: pa.Table) -> pa.Table:
-        ln = batch["left_norm"].to_pylist()    # container
-        rn = batch["right_norm"].to_pylist()   # contained
+        # Vectorized substring check: Arrow length/validity gates, then ONE
+        # C search kernel (pc.match_substring) per UNIQUE contained string,
+        # with pairs grouped by the contained side — Python dispatch scales
+        # with unique probes, not with pairs (a probe meets many anchors).
+        ln = batch["left_norm"]    # container
+        rn = batch["right_norm"]   # contained
+        if isinstance(ln, pa.ChunkedArray):
+            ln = ln.combine_chunks()
+        if isinstance(rn, pa.ChunkedArray):
+            rn = rn.combine_chunks()
+        pre_arr = pc.and_kleene(
+            pc.and_(pc.is_valid(ln), pc.is_valid(rn)),
+            pc.less(pc.utf8_length(rn), pc.utf8_length(ln)))
+        pre = pc.fill_null(pre_arr, False).to_numpy(zero_copy_only=False)
         ok = np.zeros(len(batch), dtype=bool)
-        for i, (a, b) in enumerate(zip(ln, rn)):
-            ok[i] = (a is not None and b is not None
-                     and len(b) < len(a) and b in a)
+        idx = np.flatnonzero(pre)
+        if len(idx):
+            take = pa.array(idx)
+            enc = pc.dictionary_encode(rn.take(take))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            uniq = enc.dictionary
+            lefts_all = ln.take(take)
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            ends = np.r_[starts[1:], len(sc)]
+            for s, e in zip(starts, ends):
+                members = order[s:e]
+                pattern = uniq[sc[s]].as_py()
+                m = pc.match_substring(
+                    lefts_all.take(pa.array(members)), pattern=pattern)
+                ok[idx[members]] = m.to_numpy(zero_copy_only=False)
         out = batch.filter(pa.array(ok))
         return pa.table({
             "left_id": out["left_id"],

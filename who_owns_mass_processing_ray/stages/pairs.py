@@ -308,3 +308,41 @@ def attach_feature(pairs_ds, features_ds, pair_key: str, feat_col: str,
         pairs_ds, features_ds, pair_key, side_key, {feat_col: out_col},
         num_partitions, how="inner",
     )
+
+
+def pair_intersect(keep_ds, bound_ds, num_partitions: int = 16):
+    """Rows of ``keep_ds`` whose (left_id, right_id) pair also appears in
+    ``bound_ds`` — the compound (AND) bound of dedupe_cosine_bounded
+    (/root/reference/R/deduplicaters.R:446-539).
+
+    Both edge sets orient pairs identically (left < right, this module), so
+    intersecting on a composite pair key is exact.  Built on
+    joins.attach_columns (adaptive broadcast / shuffle) rather than
+    Dataset.join: only the bounding side's narrow DISTINCT pair keys move.
+    """
+    from ray.data.aggregate import Count
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    def keyed(t: pa.Table) -> pa.Table:
+        l, r = t["left_id"], t["right_id"]
+        if not pa.types.is_string(l.type if not isinstance(l, pa.ChunkedArray)
+                                  else l.type):
+            l = pc.cast(l, pa.string())
+            r = pc.cast(r, pa.string())
+        return t.append_column("__pair",
+                               pc.binary_join_element_wise(l, r, "|"))
+
+    # distinct bound keys (bound candidates may repeat across partitions —
+    # dedup them so the inner join cannot row-multiply keep_ds)
+    bound_keys = bound_ds.map_batches(
+        lambda t: keyed(t).select(["__pair"]), batch_format="pyarrow"
+    ).groupby("__pair").aggregate(Count(alias_name="__b"))
+
+    out = joins.attach_columns(
+        keep_ds.map_batches(keyed, batch_format="pyarrow"), bound_keys,
+        "__pair", "__pair", {"__b": "__b"}, num_partitions, how="inner")
+    return out.map_batches(
+        lambda t: t.drop_columns([c for c in ("__pair", "__b")
+                                  if c in t.column_names]),
+        batch_format="pyarrow")
