@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "address_preprocess": normalize.q_address_preprocess,
         "muni_norm": normalize.q_muni_norm,
         "po_pmb_split": normalize.q_po_pmb_split,
+        "addr_to_range": normalize.q_addr_to_range,
         # --- relational capability queries (SURVEY.md §2.4-2.7) -------------
         "lineitem_agg": relational.q_lineitem_agg,
         "counts_in_group": relational.q_counts_in_group,
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniqueness_flags": relational.q_uniqueness_flags,
         "csv_topk": relational.q_csv_topk,
         "unit_estimate": relational.q_unit_estimate,
+        "luc_flags": relational.q_luc_flags,
         # --- dedup / text-analysis ops (documents table) --------------------
         "cascade_match": relational.q_cascade_match,
         "addr_match_cascade": relational.q_addr_match_cascade,
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "address_preprocess": normalize.address_preprocess_sql(),
         "muni_norm": normalize.muni_norm_sql(),
         "po_pmb_split": normalize.po_pmb_split_sql(),
+        "addr_to_range": normalize.addr_to_range_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -391,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "luc_crosswalk": _luc_oracle(),
         "unit_estimate": relational.unit_estimate_sql(),
+        "luc_flags": relational.luc_flags_sql(),
         "addr_match_cascade": relational.addr_match_cascade_sql(),
         "uniqueness_flags": """
             SELECT o_orderkey,

@@ -19,7 +19,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "multiname_split", "quantile_filter", "luc_crosswalk",
           "group_fill_downup", "near_dup_groups", "concat_ranges_fix",
           "muni_norm", "po_pmb_split", "entity_flags", "unit_estimate",
-          "addr_match_cascade", "bounded_near_dup"]
+          "addr_match_cascade", "bounded_near_dup", "addr_to_range",
+          "luc_flags"]
 
 
 @pytest.fixture(scope="module")

@@ -690,3 +690,138 @@ def address_preprocess_sql() -> str:
         f"SELECT doc_id, {raw} AS addr_raw, {raw} AS v FROM documents",
         [cx.RULESETS[n] for n in ADDR_CHAIN + ADDR2_CHAIN],
         final)
+
+
+# ---------------------------------------------------------------------------
+# House-number range parsing ≙ proc_address_to_range
+# (/root/reference/R/processors.R:44-112): split a street address into the
+# leading house-number token (single, hyphen/space range, decimal, or
+# letter-suffixed), the street body, numeric start/end (end falls back to
+# start when the trailing number does not exceed it), and the street-side
+# parity flag the reference's address-range interval matcher keys on
+# (proc_assess_address_to_range, R/processors.R:832-870).
+#
+# The reference's lookahead `(?= ([0-9]{1,3}(ST|ND|RD|TH)|[A-Z]))` (the next
+# token must be a word or ordinal, so the house number never swallows a
+# numeric street name) is RE2-unrepresentable; rewritten as a consuming
+# non-capturing group with only the number group captured — identical
+# matches, usable by both Arrow and DuckDB.
+# ---------------------------------------------------------------------------
+
+_RANGE_NUM_RE = (r"^(?P<num>[0-9.]+[A-Z]{0,2}(?:[ \-][0-9.]+[A-Z]?)*)"
+                 r" (?:[0-9]{1,3}(?:ST|ND|RD|TH)|[A-Z])")
+_RANGE_NUM_RE_SQL = (r"^([0-9.]+[A-Z]{0,2}(?:[ -][0-9.]+[A-Z]?)*)"
+                     r" (?:[0-9]{1,3}(?:ST|ND|RD|TH)|[A-Z])")
+# second group captured so replacement can keep the consumed next token
+_RANGE_BODY_RE = (r"^(?P<num>[0-9.]+[A-Z]{0,2}(?:[ \-][0-9.]+[A-Z]?)*)"
+                  r" (?P<nxt>[0-9]{1,3}(?:ST|ND|RD|TH)|[A-Z])")
+
+
+def _range_addr(t: pa.Table) -> pa.Array:
+    """Deterministic range-shaped addresses: single / range / decimal /
+    letter-suffixed / no-number / descending-range variants by doc_id % 6."""
+    did = t["doc_id"].to_numpy()
+    n1 = (did % 90 + 1).astype(np.int64)
+    n2 = n1 + 4
+    a1 = n1.astype(str).astype(object)
+    a2 = n2.astype(str).astype(object)
+    pat = did % 6
+    num_tok = np.select(
+        [pat == 0, pat == 1, pat == 2, pat == 3, pat == 4],
+        [a1, a1 + "-" + a2, a1 + ".5", a1 + "A",
+         np.full(len(did), "", object)],
+        default=a2 + "-" + a1)
+    street = np.select(
+        [pat == 3, pat == 4],
+        [np.full(len(did), "5TH ST", object),
+         np.full(len(did), "WASHINGTON AVE", object)],
+        default=np.char.add(
+            np.char.add(np.array([ADDR_NAMES[i] for i in did % len(ADDR_NAMES)]),
+                        " "),
+            np.array([ADDR_SUFS[i] for i in did % len(ADDR_SUFS)])).astype(object))
+    addr = np.where(num_tok == "", street, num_tok + " " + street)
+    return pa.array(addr.astype(str), pa.string())
+
+
+_RANGE_ADDR_SQL = f"""trim(concat(
+    CASE CAST(doc_id % 6 AS INTEGER)
+      WHEN 0 THEN CAST(doc_id % 90 + 1 AS VARCHAR)
+      WHEN 1 THEN CAST(doc_id % 90 + 1 AS VARCHAR) || '-' ||
+                  CAST(doc_id % 90 + 5 AS VARCHAR)
+      WHEN 2 THEN CAST(doc_id % 90 + 1 AS VARCHAR) || '.5'
+      WHEN 3 THEN CAST(doc_id % 90 + 1 AS VARCHAR) || 'A'
+      WHEN 4 THEN ''
+      ELSE CAST(doc_id % 90 + 5 AS VARCHAR) || '-' ||
+           CAST(doc_id % 90 + 1 AS VARCHAR)
+    END, ' ',
+    CASE CAST(doc_id % 6 AS INTEGER)
+      WHEN 3 THEN '5TH ST'
+      WHEN 4 THEN 'WASHINGTON AVE'
+      ELSE {_pick_sql("doc_id", ADDR_NAMES)} || ' ' ||
+           {_pick_sql("doc_id", ADDR_SUFS)}
+    END))"""
+
+
+def q_addr_to_range(sf_dir: str):
+    """addr -> (addr_body, addr_start, addr_end, addr_even) — the
+    proc_address_to_range parse, all Arrow kernels."""
+    def parse(t: pa.Table) -> pa.Table:
+        addr = _range_addr(t)
+        num = pc.struct_field(pc.extract_regex(addr, _RANGE_NUM_RE), "num")
+        valid = pc.is_valid(num)
+        nulls = pa.nulls(len(t), pa.string())
+        # body: strip "num " off the front (replacement keeps the consumed
+        # next token via \2), then trim; NULL when no number parsed
+        body = pc.if_else(
+            valid,
+            pc.utf8_trim_whitespace(pc.replace_substring_regex(
+                addr, pattern=_RANGE_BODY_RE, replacement=r"\2",
+                max_replacements=1)),
+            nulls)
+        start = pc.cast(pc.struct_field(
+            pc.extract_regex(num, r"^(?P<a>[0-9.]+)"), "a"), pa.float64())
+        end_init = pc.cast(pc.struct_field(
+            pc.extract_regex(num, r"(?P<a>[0-9.]+)[A-Z]?$"), "a"),
+            pa.float64())
+        cond = pc.or_kleene(pc.greater(end_init, start), pc.is_null(end_init))
+        end = pc.if_else(pc.fill_null(cond, False), end_init, start)
+        sv = start.to_numpy(zero_copy_only=False).astype(np.float64)
+        even = np.where(np.isnan(sv), False, np.floor(sv) % 2 == 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "addr": addr,
+            "addr_body": body,
+            "addr_start": start,
+            "addr_end": end,
+            "addr_even": pa.array(even, pa.bool_()),
+        })
+
+    return _docs(sf_dir).map_batches(parse, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def addr_to_range_sql() -> str:
+    return f"""
+        WITH a AS (SELECT doc_id, {_RANGE_ADDR_SQL} AS addr FROM documents),
+        e AS (SELECT doc_id, addr,
+                     regexp_extract(addr, '{_RANGE_NUM_RE_SQL}', 1) AS num
+              FROM a),
+        p AS (SELECT doc_id, addr,
+                     CASE WHEN num <> '' THEN num END AS num FROM e),
+        n AS (SELECT doc_id, addr, num,
+                     CASE WHEN num IS NOT NULL
+                          THEN trim(substr(addr, length(num) + 1)) END
+                         AS addr_body,
+                     CAST(regexp_extract(num, '^([0-9.]+)', 1) AS DOUBLE)
+                         AS addr_start,
+                     CAST(regexp_extract(num, '([0-9.]+)[A-Z]?$', 1)
+                          AS DOUBLE) AS end_init
+              FROM p)
+        SELECT doc_id, addr, addr_body, addr_start,
+               CASE WHEN end_init > addr_start OR end_init IS NULL
+                    THEN end_init ELSE addr_start END AS addr_end,
+               CASE WHEN addr_start IS NULL THEN FALSE
+                    WHEN CAST(floor(addr_start) AS BIGINT) % 2 = 0 THEN TRUE
+                    ELSE FALSE END AS addr_even
+        FROM n ORDER BY doc_id
+    """

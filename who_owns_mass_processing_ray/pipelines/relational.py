@@ -1077,3 +1077,99 @@ def addr_match_cascade_sql() -> str:
         LEFT JOIN s6 ON qs.body_simp = s6.body_simp AND qs.postal = s6.postal
         ORDER BY qs.row_id
     """
+
+
+# ---------------------------------------------------------------------------
+# LUC condo / residential flags ≙ std_flag_condos + std_flag_residential
+# (/root/reference/R/standardizers.R:1930-1948, 2006-2052): condo = the
+# row's PARCEL GROUP contains a luc '102' row (the reference flags condo
+# rows TRUE/NA then tidyr::fill(downup)s within the parcel and
+# replace_na(FALSE) — equivalently a per-group ANY), res = luc in the
+# residential whitelist with the Boston (muni '035') vs non-Boston code
+# routing.  The group-ANY is a keyed partial aggregate joined back through
+# the adaptive broadcast/shuffle machinery — never a window over raw rows.
+# ---------------------------------------------------------------------------
+
+LUC_RES_FLAGS = ["101", "102", "103", "104", "105", "109", "111", "112",
+                 "114", "990", "0xxR"]
+LUC_RES_NONBOSTON = ["970"]
+LUC_RES_BOSTON = ["025", "026", "027", "120", "908"]
+
+# derived columns: hits and misses for every routing branch
+_LUC_POOL = ["101", "102", "970", "908", "303", "0xxR", "340", "025",
+             "990", "112"]
+_MUNI_POOL = ["035", "001", "261"]
+
+
+def q_luc_flags(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        luc = pa.array(_LUC_POOL, pa.string()).take(
+            pa.array(did % len(_LUC_POOL), pa.int64()))
+        muni = pa.array(_MUNI_POOL, pa.string()).take(
+            pa.array(did % len(_MUNI_POOL), pa.int64()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "parcel_id": pa.array(did // 4, pa.int64()),
+            "luc": luc,
+            "muni": muni,
+            "is_condo_row": pc.cast(pc.equal(luc, "102"), pa.int64()),
+        })
+
+    rows = ds.map_batches(derive, batch_format="pyarrow")
+    per_parcel = rows.groupby("parcel_id").aggregate(
+        Max("is_condo_row", alias_name="parcel_has_condo"))
+    joined = joins.attach_columns(
+        rows, per_parcel, "parcel_id", "parcel_id",
+        {"parcel_has_condo": "parcel_has_condo"}, num_partitions=16,
+        how="left")
+
+    nonb = pa.array(LUC_RES_FLAGS + LUC_RES_NONBOSTON, pa.string())
+    bos = pa.array(LUC_RES_FLAGS + LUC_RES_BOSTON, pa.string())
+
+    def flags(t: pa.Table) -> pa.Table:
+        luc = t["luc"]
+        boston = pc.equal(t["muni"], "035")
+        res = pc.if_else(boston,
+                         pc.is_in(luc, value_set=bos),
+                         pc.is_in(luc, value_set=nonb))
+        condo = pc.equal(pc.fill_null(t["parcel_has_condo"], 0), 1)
+        return pa.table({
+            "doc_id": t["doc_id"], "parcel_id": t["parcel_id"],
+            "luc": luc, "muni": t["muni"],
+            "condo": condo, "res": res,
+        })
+
+    return joined.map_batches(flags, batch_format="pyarrow").sort("doc_id")
+
+
+def luc_flags_sql() -> str:
+    def lst(xs):
+        return ", ".join(f"'{x}'" for x in xs)
+
+    luc = (f"list_extract([{lst(_LUC_POOL)}], "
+           f"CAST(doc_id % {len(_LUC_POOL)} AS INTEGER) + 1)")
+    muni = (f"list_extract([{lst(_MUNI_POOL)}], "
+            f"CAST(doc_id % {len(_MUNI_POOL)} AS INTEGER) + 1)")
+    return f"""
+        WITH d AS (SELECT doc_id, doc_id // 4 AS parcel_id,
+                          {luc} AS luc, {muni} AS muni FROM documents),
+        c AS (SELECT parcel_id,
+                     max(CASE WHEN luc = '102' THEN 1 ELSE 0 END) = 1
+                         AS parcel_has_condo
+              FROM d GROUP BY parcel_id)
+        SELECT d.doc_id, d.parcel_id, d.luc, d.muni,
+               COALESCE(c.parcel_has_condo, FALSE) AS condo,
+               CASE WHEN d.muni = '035'
+                    THEN d.luc IN ({lst(LUC_RES_FLAGS + LUC_RES_BOSTON)})
+                    ELSE d.luc IN ({lst(LUC_RES_FLAGS + LUC_RES_NONBOSTON)})
+               END AS res
+        FROM d LEFT JOIN c ON d.parcel_id = c.parcel_id
+        ORDER BY d.doc_id
+    """
