@@ -1106,3 +1106,60 @@ def bounded_near_dup_sql() -> str:
                             ELSE {BOUND_IND_THRESH} END
         ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact strict-substring containment pairs — the standalone, ORACLE-MATCHED
+# variant of the flagship's containment stage (stages/containment.py; the
+# capability the reference expresses only as pattern-specific regex peels,
+# /root/reference/R/standardizers.R:1148-1182).  With ``stride=1`` every
+# gram is a content-defined anchor, so the probe/anchor blocking is
+# PROVABLY COMPLETE for documents with at least ``gram`` characters: if
+# A ⊆ B, A's minimum gram hash is one of B's anchor rows and the pair meets
+# in that bucket.  ``max_bucket`` is set above any sf bucket size so no
+# anchors are capped (exactness; the flagship keeps stride=8 + caps as the
+# 100 TB scale path and measures the residual instead).
+# ---------------------------------------------------------------------------
+
+def q_containment_pairs(sf_dir: str, gram: int = 4):
+    from who_owns_mass_processing_ray.stages import containment as ct
+
+    cfg = DedupConfig(containment_gram=gram, containment_stride=1,
+                      containment_min_len=1, max_bucket=1_000_000_000,
+                      num_parts=16)
+
+    def feat(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "clip_id": pc.cast(t["doc_id"], pa.string()),
+            "transcript_norm": t["text"],
+        })
+
+    # both sides of the completeness precondition: non-null, >= gram chars
+    feats = _docs(sf_dir).map_batches(feat, batch_format="pyarrow") \
+        .map_batches(
+            lambda t: t.filter(pc.fill_null(pc.greater_equal(
+                pc.utf8_length(t["transcript_norm"]), gram), False)),
+            batch_format="pyarrow")
+    edges = ct.containment_edges(feats, cfg, num_parts=16, num_partitions=16)
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "container_id": pc.cast(t["left_id"], pa.int64()),
+            "contained_id": pc.cast(t["right_id"], pa.int64()),
+        })
+
+    return edges.map_batches(out, batch_format="pyarrow") \
+        .sort(["container_id", "contained_id"])
+
+
+def containment_pairs_sql(gram: int = 4) -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE text IS NOT NULL AND length(text) >= {gram})
+        SELECT b.doc_id AS container_id, a.doc_id AS contained_id
+        FROM d a JOIN d b
+          ON a.doc_id <> b.doc_id
+         AND length(a.text) < length(b.text)
+         AND contains(b.text, a.text)
+        ORDER BY 1, 2
+    """
