@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounded_near_dup": textops.q_bounded_near_dup,
         "near_dup_groups": textops.q_near_dup_groups,
         "containment_pairs": textops.q_containment_pairs,
+        "containment_pairs_sa": textops.q_containment_pairs_sa,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "simhash_near_dup": textops.q_simhash_near_dup,
         "token_stats": textops.q_token_stats,
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_flags": textops.entity_flags_sql(),
         "bounded_near_dup": textops.bounded_near_dup_sql(),
         "containment_pairs": textops.containment_pairs_sql(),
+        "containment_pairs_sa": textops.containment_pairs_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

@@ -57,6 +57,11 @@ class DedupConfig:
     containment_gram: int = 16      # char grams used for winnowed anchors
     containment_stride: int = 8     # keep grams with hash % stride == 0
     containment_min_len: int = 12   # docs with fewer grams keep every gram
+    # verify backend: 'scan' = one pc.match_substring C kernel per unique
+    # contained string; 'suffix_array' = one generalized suffix array per
+    # verify batch over the unique containers, O(|p| log N) binary-search
+    # probes per unique pattern (functions/suffix.py). Tested equal.
+    containment_backend: str = "scan"
 
     # --- compound bounding (≙ dedupe_cosine_bounded's AND semantics,
     # /root/reference/R/deduplicaters.R:446-539) -----------------------------

@@ -1121,12 +1121,12 @@ def bounded_near_dup_sql() -> str:
 # 100 TB scale path and measures the residual instead).
 # ---------------------------------------------------------------------------
 
-def q_containment_pairs(sf_dir: str, gram: int = 4):
+def q_containment_pairs(sf_dir: str, gram: int = 4, backend: str = "scan"):
     from who_owns_mass_processing_ray.stages import containment as ct
 
     cfg = DedupConfig(containment_gram=gram, containment_stride=1,
                       containment_min_len=1, max_bucket=1_000_000_000,
-                      num_parts=16)
+                      num_parts=16, containment_backend=backend)
 
     def feat(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1150,6 +1150,13 @@ def q_containment_pairs(sf_dir: str, gram: int = 4):
 
     return edges.map_batches(out, batch_format="pyarrow") \
         .sort(["container_id", "contained_id"])
+
+
+def q_containment_pairs_sa(sf_dir: str, gram: int = 4):
+    """`q_containment_pairs` on the ``suffix_array`` verify backend
+    (functions/suffix.py) — the north-star's named suffix-array substring
+    matcher, hash-matched against the same DuckDB ``contains()`` oracle."""
+    return q_containment_pairs(sf_dir, gram=gram, backend="suffix_array")
 
 
 def containment_pairs_sql(gram: int = 4) -> str:

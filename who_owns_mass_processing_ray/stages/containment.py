@@ -184,11 +184,20 @@ def containment_edges(features_ds, cfg: DedupConfig, num_parts: int,
     cand = pr.attach_pair_features(cand, features_ds, "transcript_norm",
                                    num_partitions, out_prefix="norm")
 
+    backend = cfg.containment_backend
+
     def verify(batch: pa.Table) -> pa.Table:
-        # Vectorized substring check: Arrow length/validity gates, then ONE
-        # C search kernel (pc.match_substring) per UNIQUE contained string,
-        # with pairs grouped by the contained side — Python dispatch scales
-        # with unique probes, not with pairs (a probe meets many anchors).
+        # Vectorized substring check: Arrow length/validity gates, then one
+        # of two exact backends over the surviving pairs (tested equal,
+        # tests/test_suffix.py):
+        #  - 'scan': ONE C search kernel (pc.match_substring) per UNIQUE
+        #    contained string, with pairs grouped by the contained side —
+        #    Python dispatch scales with unique probes, not with pairs
+        #    (a probe meets many anchors).
+        #  - 'suffix_array': ONE generalized suffix array over the batch's
+        #    unique containers, then O(|p| log N) binary-search probes per
+        #    unique pattern (functions/suffix.py) — work scales with
+        #    container bytes + patterns, independent of pair fan-out.
         ln = batch["left_norm"]    # container
         rn = batch["right_norm"]   # contained
         if isinstance(ln, pa.ChunkedArray):
@@ -213,12 +222,29 @@ def containment_edges(features_ds, cfg: DedupConfig, num_parts: int,
             sc = codes[order]
             starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
             ends = np.r_[starts[1:], len(sc)]
-            for s, e in zip(starts, ends):
-                members = order[s:e]
-                pattern = uniq[sc[s]].as_py()
-                m = pc.match_substring(
-                    lefts_all.take(pa.array(members)), pattern=pattern)
-                ok[idx[members]] = m.to_numpy(zero_copy_only=False)
+            if backend == "suffix_array":
+                from who_owns_mass_processing_ray.functions import suffix as sx
+                lenc = pc.dictionary_encode(lefts_all)
+                if isinstance(lenc, pa.ChunkedArray):
+                    lenc = lenc.combine_chunks()
+                lcodes = lenc.indices.to_numpy().astype(np.int64)
+                docs = [d.as_py().encode("utf-8") for d in lenc.dictionary]
+                blob, doc_starts = sx.concat_docs(docs)
+                sa = sx.build_suffix_array(
+                    np.frombuffer(blob, dtype=np.uint8))
+                for s, e in zip(starts, ends):
+                    members = order[s:e]
+                    pattern = uniq[sc[s]].as_py().encode("utf-8")
+                    hit_docs = sx.docs_containing(blob, sa, doc_starts,
+                                                  pattern)
+                    ok[idx[members]] = np.isin(lcodes[members], hit_docs)
+            else:
+                for s, e in zip(starts, ends):
+                    members = order[s:e]
+                    pattern = uniq[sc[s]].as_py()
+                    m = pc.match_substring(
+                        lefts_all.take(pa.array(members)), pattern=pattern)
+                    ok[idx[members]] = m.to_numpy(zero_copy_only=False)
         out = batch.filter(pa.array(ok))
         return pa.table({
             "left_id": out["left_id"],
