@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "simhash_near_dup": textops.q_simhash_near_dup,
         "token_stats": textops.q_token_stats,
+        "decontaminate": textops.q_decontaminate,
+        "word_repetition": textops.q_word_repetition,
         "quality_score": textops.q_quality_score,
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_doc_fingerprint,
@@ -98,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_assignment": multimodal.q_dedup_assignment,
         "audio_decode_stats": multimodal.q_audio_decode_stats,
         "audio_frames": multimodal.q_audio_frames,
+        "audio_loudness": multimodal.q_audio_loudness,
+        "audio_silence": multimodal.q_audio_silence,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
 
@@ -347,6 +351,8 @@ def oracle_sql() -> dict[str, str]:
         "bounded_near_dup": textops.bounded_near_dup_sql(),
         "containment_pairs": textops.containment_pairs_sql(),
         "containment_pairs_sa": textops.containment_pairs_sql(),
+        "decontaminate": textops.decontaminate_sql(),
+        "word_repetition": textops.word_repetition_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

@@ -328,3 +328,41 @@ def test_image_stub_vs_recompute(ray_session):
         cid = f"clip-{int(i):012d}"
         assert int(got.loc[cid, "width"]) == 64 + h % 1024
         assert int(got.loc[cid, "height"]) == 64 + (h >> 32) % 1024
+
+
+def test_audio_loudness_silence_vs_direct_decode(ray_session):
+    """q_audio_loudness and q_audio_silence vs a direct per-row decode
+    recompute — exact equality on every checked row."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    loud = multimodal.q_audio_loudness(SF_DIR).to_pandas() \
+        .set_index("clip_id")
+    sil = multimodal.q_audio_silence(SF_DIR).to_pandas() \
+        .set_index("clip_id")
+    t = _docs_table()
+    for i in t["doc_id"].to_pylist()[:120]:
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
+        pcm, dsr = audio.decode(buf, codec)
+        cid = f"clip-{int(i):012d}"
+        r = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+        dbfs = 20.0 * np.log10(r) if r > 0 else -120.0
+        assert abs(loud.loc[cid, "rms_dbfs"] - round(dbfs, 4)) <= 1e-12
+        assert abs(loud.loc[cid, "peak"]
+                   - round(float(np.abs(pcm).max()), 4)) <= 1e-12
+        assert abs(loud.loc[cid, "gain_to_target_db"]
+                   - round(-20.0 - dbfs, 4)) <= 1e-12
+        assert abs(loud.loc[cid, "clip_frac"]
+                   - round(float(np.mean(np.abs(pcm) >= 0.999)), 6)) <= 1e-12
+        thresh = 0.05 * float(np.abs(pcm).max())
+        act = np.flatnonzero(np.abs(pcm) > thresh)
+        if len(act):
+            assert int(sil.loc[cid, "lead_silence_ms"]) == \
+                int(act[0] * 1000 / dsr)
+            assert int(sil.loc[cid, "trail_silence_ms"]) == \
+                int((len(pcm) - 1 - act[-1]) * 1000 / dsr)
+            assert int(sil.loc[cid, "active_ms"]) == \
+                int((act[-1] - act[0] + 1) * 1000 / dsr)

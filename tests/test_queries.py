@@ -20,7 +20,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "group_fill_downup", "near_dup_groups", "concat_ranges_fix",
           "muni_norm", "po_pmb_split", "entity_flags", "unit_estimate",
           "addr_match_cascade", "bounded_near_dup", "addr_to_range",
-          "luc_flags", "containment_pairs", "containment_pairs_sa"]
+          "luc_flags", "containment_pairs", "containment_pairs_sa",
+          "decontaminate", "word_repetition"]
 
 
 @pytest.fixture(scope="module")

@@ -210,3 +210,107 @@ def q_image_decode_stub(sf_dir: str):
     return clips.map_batches(ImageDecodeStub, batch_format="pyarrow",
                              batch_size=128,
                              concurrency=pool_bounds(4)).sort("clip_id")
+
+
+class LoudnessStats:
+    """Actor-pool loudness stage (the audio-normalization preprocessing a
+    training corpus runs before feature extraction): per clip RMS dBFS,
+    peak, the gain (dB) that would bring it to the -20 dBFS target, and
+    the clipped-sample fraction.  Codec dispatch table is actor state;
+    per-clip work is numpy over the decoded PCM (the decode itself is
+    per-row because rows are variable-length binary — the loop body is
+    all C/numpy)."""
+
+    TARGET_DBFS = -20.0
+    CLIP_LEVEL = 0.999
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        dbfs = np.full(n, -120.0)
+        peak = np.zeros(n, dtype=np.float64)
+        gain_db = np.zeros(n, dtype=np.float64)
+        clip_frac = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                pcm, _sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            if not len(pcm):
+                continue
+            r = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+            dbfs[i] = 20.0 * np.log10(r) if r > 0 else -120.0
+            peak[i] = float(np.abs(pcm).max())
+            gain_db[i] = self.TARGET_DBFS - dbfs[i]
+            clip_frac[i] = float(np.mean(np.abs(pcm) >= self.CLIP_LEVEL))
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "rms_dbfs": pa.array(np.round(dbfs, 4)),
+            "peak": pa.array(np.round(peak, 4)),
+            "gain_to_target_db": pa.array(np.round(gain_db, 4)),
+            "clip_frac": pa.array(np.round(clip_frac, 6)),
+        })
+
+
+def q_audio_loudness(sf_dir: str):
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(LoudnessStats, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")
+
+
+class SilenceTrim:
+    """Actor-pool silence-trim stage: per clip, the leading / trailing
+    span below ``REL_THRESH`` x peak (sample-exact, via the first/last
+    index where |x| exceeds the threshold) and the remaining active
+    duration — the corpus-hygiene trim that runs before fingerprinting so
+    padded silence can't dominate SimHash features."""
+
+    REL_THRESH = 0.05
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        lead_ms = np.zeros(n, dtype=np.int64)
+        trail_ms = np.zeros(n, dtype=np.int64)
+        active_ms = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            if not len(pcm) or sr <= 0:
+                continue
+            thresh = self.REL_THRESH * float(np.abs(pcm).max())
+            act = np.flatnonzero(np.abs(pcm) > thresh)
+            if len(act) == 0:
+                lead_ms[i] = int(len(pcm) * 1000 / sr)
+                continue
+            lead_ms[i] = int(act[0] * 1000 / sr)
+            trail_ms[i] = int((len(pcm) - 1 - act[-1]) * 1000 / sr)
+            active_ms[i] = int((act[-1] - act[0] + 1) * 1000 / sr)
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "lead_silence_ms": pa.array(lead_ms),
+            "trail_silence_ms": pa.array(trail_ms),
+            "active_ms": pa.array(active_ms),
+        })
+
+
+def q_audio_silence(sf_dir: str):
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(SilenceTrim, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")

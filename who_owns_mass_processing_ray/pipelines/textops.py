@@ -1170,3 +1170,217 @@ def containment_pairs_sql(gram: int = 4) -> str:
          AND contains(b.text, a.text)
         ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + repetition statistics — the two remaining
+# training-data hygiene ops a 100 TB corpus pipeline runs alongside dedup
+# (the reference has no equivalent; capability class = vocab-driven flags,
+# /root/reference/R/standardizers.R:1882-2101, generalized to n-gram
+# membership and word-frequency profiles).
+# ---------------------------------------------------------------------------
+
+DECON_GRAM_WORDS = 5     # word n-gram size for contamination checks
+DECON_BENCH_MOD = 97     # doc_id % MOD == 0 -> the held-out "benchmark" set
+
+
+def _word_grams(t: pa.Table, n: int):
+    """All word ``n``-grams of ``t['text']``, fully vectorized.
+
+    Returns ``(doc_idx, grams)``: a numpy int array mapping each gram to its
+    row in ``t`` and a StringArray of space-joined grams.  Tokenization is
+    whitespace splitting with empty tokens dropped (matches the DuckDB
+    oracle's ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')``).
+    Gram strings are built with ONE ``pc.binary_join_element_wise`` over
+    ``n`` shifted views of the flattened token array — no per-row loop.
+    """
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+    parent = pc.list_parent_indices(la).to_numpy()
+    flat = la.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    M = len(flat)
+    if M < n:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    parts = [flat.slice(j, M - n + 1) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = parent[: M - n + 1] == parent[n - 1:]
+    return parent[: M - n + 1][valid], grams.filter(pa.array(valid))
+
+
+def _word_counts(t: pa.Table):
+    """Per-(row, word) counts, vectorized: returns ``(doc_idx_of_unique,
+    counts_of_unique, words_per_row)``."""
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+    parent = pc.list_parent_indices(la).to_numpy()
+    flat = la.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    n_rows = len(t)
+    n_words = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64) if len(enc) else \
+        np.empty(0, np.int64)
+    K = len(enc.dictionary) if len(enc) else 1
+    key = parent * K + codes
+    ukey, counts = np.unique(key, return_counts=True)
+    return (ukey // K), counts.astype(np.int64), n_words
+
+
+class Decontaminate:
+    """Actor: the distinct benchmark-gram set (broadcast once via
+    ``ray.put``) held in ``__init__``; per batch, one ``pc.is_in`` C kernel
+    over all grams + a numpy distinct-hit count per doc.  The benchmark
+    side is bounded by benchmark-suite size (MBs at 100 TB corpus scale),
+    so a broadcast set — not a shuffle join — is the right shape."""
+
+    def __init__(self, grams_ref):
+        import ray
+
+        self.value_set = pa.array(sorted(ray.get(grams_ref)), pa.string())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_idx, grams = _word_grams(t, DECON_GRAM_WORDS)
+        n_hits = np.zeros(len(t), np.int64)
+        if len(grams):
+            hit = pc.is_in(grams, value_set=self.value_set)
+            hnp = hit.to_numpy(zero_copy_only=False)
+            if hnp.any():
+                hg = grams.filter(hit)
+                hd = doc_idx[hnp]
+                enc = pc.dictionary_encode(hg)
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.combine_chunks()
+                codes = enc.indices.to_numpy().astype(np.int64)
+                K = max(len(enc.dictionary), 1)
+                upair = np.unique(hd * K + codes)   # distinct (doc, gram)
+                np.add.at(n_hits, upair // K, 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_hits": pa.array(n_hits),
+            "contaminated": pa.array(n_hits > 0),
+        })
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing any word 5-gram with
+    the held-out benchmark split (doc_id % 97 == 0).  The benchmark gram
+    set is gathered once (small side by construction) and broadcast; the
+    corpus side streams."""
+    import ray
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    def _split(t: pa.Table, bench_side: bool) -> pa.Table:
+        mod = t["doc_id"].to_numpy() % DECON_BENCH_MOD == 0
+        return t.filter(pa.array(mod if bench_side else ~mod))
+
+    def emit(t: pa.Table) -> pa.Table:
+        _, grams = _word_grams(_split(t, True), DECON_GRAM_WORDS)
+        return pa.table({"gram": pc.unique(grams)})
+
+    gram_rows = _docs(sf_dir).map_batches(
+        emit, batch_format="pyarrow").take_all()
+    grams_ref = ray.put({r["gram"] for r in gram_rows})
+
+    corpus = _docs(sf_dir).map_batches(
+        lambda t: _split(t, False), batch_format="pyarrow")
+    return corpus.map_batches(
+        Decontaminate, fn_constructor_kwargs={"grams_ref": grams_ref},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=pool_bounds(4),
+    ).sort("doc_id")
+
+
+def decontaminate_sql() -> str:
+    n, mod = DECON_GRAM_WORDS, DECON_BENCH_MOD
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + {n - 1}), ' ')
+                 )) AS gram
+          FROM tok
+        ),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {mod} = 0),
+        hits AS (
+          SELECT dg.doc_id, count(*) AS n_hits
+          FROM (SELECT DISTINCT doc_id, gram FROM g
+                WHERE doc_id % {mod} <> 0) dg
+          JOIN bg USING (gram)
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {mod} <> 0
+        ORDER BY d.doc_id
+    """
+
+
+def q_word_repetition(sf_dir: str):
+    """Per-doc repetition statistics (the Gopher-style repetition filters):
+    word count, distinct-word count, duplicate-word fraction, and the
+    top word's frequency share.  One dictionary-encode + numpy unique per
+    batch — no per-row loop, no shuffle (per-doc stats are embarrassingly
+    parallel)."""
+    ds = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        doc_u, counts, n_words = _word_counts(t)
+        n_rows = len(t)
+        n_distinct = np.bincount(doc_u, minlength=n_rows).astype(np.int64)
+        top = np.zeros(n_rows, np.int64)
+        np.maximum.at(top, doc_u, counts)
+        safe = np.maximum(n_words, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_distinct": pa.array(n_distinct),
+            "dup_frac": round_half_away(
+                pa.array(1.0 - n_distinct / safe), 4),
+            "top_frac": round_half_away(pa.array(top / safe), 4),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def word_repetition_sql() -> str:
+    return """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        u AS (SELECT doc_id, unnest(w) AS word FROM tok),
+        c AS (SELECT doc_id, word, count(*) AS cnt FROM u GROUP BY 1, 2),
+        s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(cnt) AS BIGINT) AS top_cnt
+              FROM c GROUP BY 1)
+        SELECT doc_id, n_words, n_distinct,
+               round(1.0 - n_distinct * 1.0 / greatest(n_words, 1), 4)
+                 AS dup_frac,
+               round(top_cnt * 1.0 / greatest(n_words, 1), 4) AS top_frac
+        FROM s
+        ORDER BY doc_id
+    """
