@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": vectors.q_embed_near_dup,
         "embed_near_dup_ivf": vectors.q_embed_near_dup_ivf,
         "knn_ivf": vectors.q_knn_ivf,
+        "semantic_dedup": vectors.q_semantic_dedup,
         # --- flagship dedup DAG + multimodal plumbing -----------------------
         "dedup_clusters": multimodal.q_dedup_clusters,
         "dedup_assignment": multimodal.q_dedup_assignment,

@@ -366,3 +366,35 @@ def test_audio_loudness_silence_vs_direct_decode(ray_session):
                 int((len(pcm) - 1 - act[-1]) * 1000 / dsr)
             assert int(sil.loc[cid, "active_ms"]) == \
                 int((act[-1] - act[0] + 1) * 1000 / dsr)
+
+
+def test_semantic_dedup_vs_bruteforce(ray_session):
+    """q_semantic_dedup vs a pure-numpy recompute with the SAME
+    deterministic centroids: identical assignment and keep decisions."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    got = vectors.q_semantic_dedup(SF_DIR).to_pandas().set_index("vec_id")
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).combine_chunks()
+    ids, m = vectors._batch_matrix(t)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    n_rows = len(ids)
+    n_lists = max(2, min(16, n_rows // 32))
+    sample_ref = ray.put((ids[:2048], m[:2048]))
+    index = vectors.IVFIndex(sample_ref, n_lists)
+    assign = index.assign(m, 1)[:, 0]
+    keep = np.ones(n_rows, dtype=bool)
+    for c in np.unique(assign):
+        mem = np.flatnonzero(assign == c)       # ids sorted -> mem sorted
+        sims = m[mem] @ m[mem].T
+        tri = np.triu(sims >= 0.35, k=1)
+        keep[mem] = ~tri.any(axis=0)
+    assert len(got) == n_rows
+    assert (got.loc[ids, "cluster"].to_numpy() == assign).all()
+    assert (got.loc[ids, "keep"].to_numpy() == keep).all()
+    assert 0 < keep.sum() < n_rows   # the op actually drops something

@@ -372,3 +372,66 @@ def q_embed_near_dup_ivf(sf_dir: str, thresh: float = 0.45,
     out = pairs.groupby(["left_id", "right_id"]).aggregate(
         Max("cosine", alias_name="cosine"))
     return out.sort(["left_id", "right_id"])
+
+
+def q_semantic_dedup(sf_dir: str, eps: float = 0.35, n_lists: int = 16):
+    """SemDeDup-style semantic deduplication: cluster embeddings with the
+    deterministic IVF centroids, then within each cluster drop any vector
+    whose cosine to a LOWER-vec_id cluster member is >= ``eps`` (keep the
+    smallest id of each semantic-duplicate set — deterministic, order-free).
+
+    The cluster pass is one actor-pool assign + one groupby shuffle of
+    (id, embedding); per-cluster work is a single matmul + a triangular
+    any-reduce.  This is the 100 TB shape SemDeDup prescribes: no global
+    pairwise pass, memory per task O(cluster size x d).  Rows-only for the
+    driver (k-means centroids are not SQL-expressible); exactness vs a
+    brute-force recompute with the same centroids is gated in
+    tests/test_independent_oracles.py."""
+    import ray
+
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    n_lists = max(2, min(n_lists, n_rows // 32))
+    s_ids, SM = _batch_matrix(_smallest_ids_table(ds, min(2048, n_rows)))
+    sample_ref = ray.put((s_ids, SM))
+
+    class AssignOne:
+        def __init__(self):
+            self.index = IVFIndex(sample_ref, n_lists)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(t)
+            emb = t["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            lists = (self.index.assign(m, 1)[:, 0] if len(ids)
+                     else np.empty(0, np.int64))
+            return pa.table({
+                "list_id": pa.array(lists.astype(np.int32)),
+                "vec_id": t["vec_id"],
+                "embedding": emb,
+            })
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(g)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            sims = m @ m.T
+            tri = np.triu(sims >= eps, k=1)      # [i, j]: i < j, near-dup
+            keep = ~tri.any(axis=0)
+        lid = g["list_id"][0].as_py() if n else -1
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(np.full(n, lid, np.int32)),
+            "keep": pa.array(keep),
+        })
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    assigned = ds.map_batches(AssignOne, batch_format="pyarrow",
+                              concurrency=pool_bounds(4))
+    return assigned.groupby("list_id").map_groups(
+        dedup_cluster, batch_format="pyarrow").sort("vec_id")
