@@ -90,6 +90,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.q_quality_score,
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_doc_fingerprint,
+        "ngram_topk": textops.q_ngram_topk,
+        "tfidf_terms": textops.q_tfidf_terms,
+        # --- event-stream ops (sessionization / windows / JSON parse) -------
+        "sessionize": relational.q_sessionize,
+        "rolling_agg": relational.q_rolling_agg,
+        "json_extract": relational.q_json_extract,
         # --- similarity search (embeddings table) ---------------------------
         "knn_brute": vectors.q_knn_brute,
         "embed_near_dup": vectors.q_embed_near_dup,
@@ -103,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames": multimodal.q_audio_frames,
         "audio_loudness": multimodal.q_audio_loudness,
         "audio_silence": multimodal.q_audio_silence,
+        "audio_resample": multimodal.q_audio_resample,
+        "audio_spectral": multimodal.q_audio_spectral,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
 
@@ -354,6 +362,11 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs_sa": textops.containment_pairs_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "word_repetition": textops.word_repetition_sql(),
+        "ngram_topk": textops.ngram_topk_sql(),
+        "tfidf_terms": textops.tfidf_terms_sql(),
+        "sessionize": relational.sessionize_sql(),
+        "rolling_agg": relational.rolling_agg_sql(),
+        "json_extract": relational.json_extract_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

@@ -398,3 +398,39 @@ def test_semantic_dedup_vs_bruteforce(ray_session):
     assert (got.loc[ids, "cluster"].to_numpy() == assign).all()
     assert (got.loc[ids, "keep"].to_numpy() == keep).all()
     assert 0 < keep.sum() < n_rows   # the op actually drops something
+
+
+def test_audio_resample_spectral_vs_direct_decode(ray_session):
+    """q_audio_resample and q_audio_spectral vs direct per-row recompute
+    — exact equality (same numpy ops, independent driver-side path)."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    rs = multimodal.q_audio_resample(SF_DIR).to_pandas().set_index("clip_id")
+    sp = multimodal.q_audio_spectral(SF_DIR).to_pandas().set_index("clip_id")
+    t = _docs_table()
+    for i in t["doc_id"].to_pylist()[:100]:
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
+        pcm, dsr = audio.decode(buf, codec)
+        cid = f"clip-{int(i):012d}"
+        # resample recompute
+        m = int(round(len(pcm) * 8000 / dsr))
+        y = np.interp(np.arange(m, dtype=np.float64) / 8000,
+                      np.arange(len(pcm), dtype=np.float64) / dsr,
+                      pcm.astype(np.float64))
+        assert int(rs.loc[cid, "n_out"]) == m
+        assert int(rs.loc[cid, "sr_out"]) == 8000
+        assert int(rs.loc[cid, "dur_out_ms"]) == int(m * 1000 / 8000)
+        assert abs(rs.loc[cid, "rms_out"]
+                   - round(float(np.sqrt(np.mean(y ** 2))), 4)) <= 1e-12
+        # spectral recompute
+        x = pcm.astype(np.float64)
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        mag = np.abs(np.fft.rfft(x))
+        cen = float((np.fft.rfftfreq(len(x), 1.0 / dsr) * mag).sum()
+                    / mag.sum()) if mag.sum() > 0 else 0.0
+        assert abs(sp.loc[cid, "zcr"] - round(zcr, 6)) <= 1e-12
+        assert abs(sp.loc[cid, "centroid_hz"] - round(cen, 2)) <= 1e-12

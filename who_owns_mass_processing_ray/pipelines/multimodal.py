@@ -314,3 +314,102 @@ def q_audio_silence(sf_dir: str):
     return clips.map_batches(SilenceTrim, batch_format="pyarrow",
                              batch_size=64, concurrency=pool_bounds(8),
                              num_cpus=1).sort("clip_id")
+
+
+class Resampler:
+    """Actor-pool resample stage (the sample-rate normalization a training
+    corpus runs so every clip hits the model at one rate): decoded PCM →
+    linear-interpolation resample to ``TARGET_SR``.  Codec table is actor
+    state; the per-clip body is ``np.interp`` over vectorized sample grids
+    (rows are variable-length binary, so the loop is per-row but its body
+    is all C)."""
+
+    TARGET_SR = 8000
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        n_out = np.zeros(n, dtype=np.int64)
+        rms_out = np.zeros(n, dtype=np.float64)
+        dur_out_ms = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            if not len(pcm) or sr <= 0:
+                continue
+            m = int(round(len(pcm) * self.TARGET_SR / sr))
+            if m <= 0:
+                continue
+            src_t = np.arange(len(pcm), dtype=np.float64) / sr
+            dst_t = np.arange(m, dtype=np.float64) / self.TARGET_SR
+            y = np.interp(dst_t, src_t, pcm.astype(np.float64))
+            n_out[i] = m
+            rms_out[i] = float(np.sqrt(np.mean(y ** 2)))
+            dur_out_ms[i] = int(m * 1000 / self.TARGET_SR)
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "sr_out": pa.array(np.full(n, self.TARGET_SR, np.int32)),
+            "n_out": pa.array(n_out),
+            "dur_out_ms": pa.array(dur_out_ms),
+            "rms_out": pa.array(np.round(rms_out, 4)),
+        })
+
+
+def q_audio_resample(sf_dir: str):
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(Resampler, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")
+
+
+class SpectralStats:
+    """Actor-pool spectral-feature stage: per clip zero-crossing rate and
+    spectral centroid (rfft magnitude-weighted mean frequency) — the cheap
+    audio features a corpus pipeline extracts for quality filtering and
+    bucketing before any model runs."""
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        zcr = np.zeros(n, dtype=np.float64)
+        centroid_hz = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            if len(pcm) < 2 or sr <= 0:
+                continue
+            x = pcm.astype(np.float64)
+            zcr[i] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            mag = np.abs(np.fft.rfft(x))
+            tot = mag.sum()
+            if tot > 0:
+                freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+                centroid_hz[i] = float((freqs * mag).sum() / tot)
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "zcr": pa.array(np.round(zcr, 6)),
+            "centroid_hz": pa.array(np.round(centroid_hz, 2)),
+        })
+
+
+def q_audio_spectral(sf_dir: str):
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(SpectralStats, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")

@@ -1173,3 +1173,189 @@ def luc_flags_sql() -> str:
         FROM d LEFT JOIN c ON d.parcel_id = c.parcel_id
         ORDER BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators: sessionization, rolling windows, JSON parsing
+# (streaming capability classes a training-data ingest pipeline needs;
+# the reference's closest analog is its per-group ordered mutate chains,
+# /root/reference/R/standardizers.R:1672-1692)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+_SESS_PARTS = 32
+
+
+def _event_parts(t: pa.Table, cols: list[str]) -> pa.Table:
+    """Attach the coarse user-hash partition key (groups never split)."""
+    part = (t["user_id"].to_numpy() % _SESS_PARTS).astype(np.int32)
+    return pa.table({c: t[c] for c in cols} | {"part": pa.array(part)})
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``SESSION_GAP_MIN`` minutes.  Coarse hash
+    partition on user_id, then ONE vectorized numpy pass per partition
+    (sort, break detection, ``np.add.reduceat`` segment aggregation) —
+    no per-session Python.  Sessions never span partitions because a
+    user's rows land in exactly one partition."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def sess(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+        val = g["value"].to_numpy().astype(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_seq": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "t_start": pa.array([], pa.timestamp("us")),
+                "t_end": pa.array([], pa.timestamp("us")),
+                "value_sum": pa.array([], pa.float64()),
+            })
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        brk = new_user | np.concatenate(([True], (ts[1:] - ts[:-1]) > gap_us))
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, n))
+        # session_seq = 1-based session index within the user
+        sess_idx = np.cumsum(brk) - 1
+        user_starts = np.flatnonzero(new_user)
+        user_sizes = np.diff(np.append(user_starts, n))
+        first_sess = np.repeat(sess_idx[user_starts], user_sizes)
+        seq = (sess_idx - first_sess + 1)[starts]
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "session_seq": pa.array(seq.astype(np.int64)),
+            "n_events": pa.array(sizes.astype(np.int64)),
+            "t_start": pa.array(ts[starts].astype("datetime64[us]")),
+            "t_end": pa.array(ts[ends].astype("datetime64[us]")),
+            "value_sum": pa.array(
+                round_half_away(np.add.reduceat(val, starts), 2)),
+        })
+
+    out = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(lambda t: _event_parts(
+            t, ["event_id", "user_id", "ts", "value"]),
+            batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: sess(g.drop_columns(["part"])), batch_format="pyarrow")
+    return out.sort(["user_id", "session_seq"])
+
+
+def sessionize_sql() -> str:
+    return f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        s AS (
+          SELECT *, CASE WHEN prev IS NULL
+                          OR ts - prev > INTERVAL {SESSION_GAP_MIN} MINUTE
+                     THEN 1 ELSE 0 END AS brk
+          FROM o
+        ),
+        c AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM s
+        )
+        SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+               count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end,
+               round(sum(value), 2) AS value_sum
+        FROM c GROUP BY user_id, sess
+        ORDER BY user_id, session_seq
+    """
+
+
+def q_rolling_agg(sf_dir: str):
+    """Per-user running windows over the ordered event stream: cumulative
+    value sum + trailing 3-event moving average.  Same coarse user-hash
+    partitioning as q_sessionize; the window math is a padded-cumsum
+    trick (one numpy pass), never per-row Python."""
+
+    def roll(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        val = g["value"].to_numpy().astype(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "cum_sum": pa.array([], pa.float64()),
+                "ma3": pa.array([], pa.float64()),
+            })
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        user_starts = np.flatnonzero(new_user)
+        user_sizes = np.diff(np.append(user_starts, n))
+        start_of = np.repeat(user_starts, user_sizes)
+        cs0 = np.concatenate(([0.0], np.cumsum(val)))
+        idx = np.arange(n)
+        cum = cs0[idx + 1] - cs0[start_of]
+        w_start = np.maximum(idx - 2, start_of)
+        wsum = cs0[idx + 1] - cs0[w_start]
+        wcnt = (idx - w_start + 1).astype(np.float64)
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "cum_sum": pa.array(round_half_away(cum, 2)),
+            "ma3": pa.array(round_half_away(wsum / wcnt, 4)),
+        })
+
+    out = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(lambda t: _event_parts(
+            t, ["event_id", "user_id", "ts", "value"]),
+            batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: roll(g.drop_columns(["part"])), batch_format="pyarrow")
+    return out.select_columns(["event_id", "user_id", "cum_sum", "ma3"]) \
+        .sort("event_id")
+
+
+def rolling_agg_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               round(sum(value) OVER w_all, 2) AS cum_sum,
+               round(avg(value) OVER w_3, 4) AS ma3
+        FROM events
+        WINDOW w_all AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING),
+               w_3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """
+
+
+def q_json_extract(sf_dir: str):
+    """Typed field extraction from a JSON-string column (``events.props``)
+    — the semi-structured-source parse every ingest pipeline needs.  One
+    ``pc.extract_regex`` C kernel per batch; no Python row loop.  The
+    DuckDB oracle uses the real ``json_extract`` so the regex path is
+    checked against an independent JSON parser."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": k,
+                         "has_k": pc.is_valid(k)})
+
+    return ds.map_batches(ext, batch_format="pyarrow").sort("event_id")
+
+
+def json_extract_sql() -> str:
+    return """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               json_extract_string(props, '$.k') IS NOT NULL AS has_k
+        FROM events
+        ORDER BY event_id
+    """

@@ -1384,3 +1384,181 @@ def word_repetition_sql() -> str:
         FROM s
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: global n-gram top-k + per-doc TF-IDF keyword terms
+# (the corpus-analysis pass a training-data pipeline runs before filtering;
+# capability class ≙ the reference's vocabulary/frequency summaries,
+# /root/reference/R/summarizers.R — re-expressed as partial-aggregate
+# shuffles, never a driver-side token table)
+# ---------------------------------------------------------------------------
+
+NGRAM_TOPK_N = 3
+NGRAM_TOPK_K = 100
+TFIDF_TOP_RK = 3
+_TFIDF_PARTS = 32
+
+
+def q_ngram_topk(sf_dir: str, n: int = NGRAM_TOPK_N, k: int = NGRAM_TOPK_K):
+    """Global top-``k`` word ``n``-grams by occurrence count.  Counting is
+    PARTIAL per batch (dictionary-encode + unique inside map_batches), so
+    only (gram, count) combiner rows — bounded by distinct-gram cardinality
+    per batch, not token volume — reach the groupby shuffle; the final sort
+    ranks the tiny aggregated table.  Total order (count desc, gram asc)
+    makes the LIMIT deterministic on both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, grams = _word_grams(t, n)
+        if not len(grams):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(grams)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        counts = np.bincount(enc.indices.to_numpy(),
+                             minlength=len(enc.dictionary))
+        return pa.table({"gram": enc.dictionary,
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("n", alias_name="n_total")) \
+        .sort(["n_total", "gram"], descending=[True, False]).limit(k)
+
+
+def ngram_topk_sql() -> str:
+    n, k = NGRAM_TOPK_N, NGRAM_TOPK_K
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + {n - 1}), ' ')
+                 )) AS gram
+          FROM tok
+        )
+        SELECT gram, count(*) AS n_total FROM g GROUP BY gram
+        ORDER BY n_total DESC, gram LIMIT {k}
+    """
+
+
+def _term_tf(t: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows for every distinct word of every doc —
+    one dictionary-encode + one ``np.unique`` per batch."""
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+    parent = pc.list_parent_indices(la).to_numpy()
+    flat = la.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    if not len(flat):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    K = len(enc.dictionary)
+    ukey, counts = np.unique(parent * K + codes, return_counts=True)
+    doc_ids = t["doc_id"].to_numpy()[ukey // K]
+    return pa.table({
+        "doc_id": pa.array(doc_ids),
+        "term": enc.dictionary.take(pa.array(ukey % K)),
+        "tf": pa.array(counts.astype(np.int64)),
+    })
+
+
+def q_tfidf_terms(sf_dir: str, top: int = TFIDF_TOP_RK):
+    """Per-doc top-``top`` TF-IDF terms (keyword extraction).  Distributed
+    shape: (doc, term, tf) rows stream out of one vectorized pass; the
+    document-frequency side is a distinct-term aggregate (vocabulary-sized
+    — attached via the adaptive broadcast/shuffle join); ranking is a
+    per-doc-partition C sort + vectorized rank filter.  idf = ln(N/df)."""
+    from ray.data.aggregate import Count
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    docs = _docs(sf_dir)
+    # N = docs with non-null text (matches the oracle's WHERE) — streamed
+    # partial counts, not a driver pull
+    n_docs = docs.map_batches(
+        lambda t: pa.table({"n": pa.array([len(t) - t["text"].null_count],
+                                          pa.int64())}),
+        batch_format="pyarrow").sum("n")
+
+    tf_rows = docs.map_batches(_term_tf, batch_format="pyarrow")
+    df_tbl = tf_rows.groupby("term").aggregate(Count(alias_name="df"))
+    with_df = joins.attach_columns(tf_rows, df_tbl, "term", "term",
+                                   {"df": "df"}, _TFIDF_PARTS, how="inner")
+
+    def weigh(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy().astype(np.float64)
+        df = t["df"].to_numpy().astype(np.float64)
+        w = tf * np.log(float(n_docs) / df)
+        part = (t["doc_id"].to_numpy() % _TFIDF_PARTS).astype(np.int32)
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "w": pa.array(w), "part": pa.array(part)})
+
+    def rank(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending"), ("w", "descending"),
+                       ("term", "ascending")])
+        ids = g["doc_id"].to_numpy()
+        n = len(ids)
+        new_doc = np.concatenate(([True], ids[1:] != ids[:-1]))
+        starts = np.flatnonzero(new_doc)
+        sizes = np.diff(np.append(starts, n))
+        rk = np.arange(n) - np.repeat(starts, sizes) + 1
+        keep = rk <= top
+        out = g.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "term": out["term"],
+            "tfidf": pa.array(round_half_away(
+                out["w"].to_numpy().astype(np.float64), 4)),
+            "rk": pa.array(rk[keep].astype(np.int64)),
+        })
+
+    out = with_df.map_batches(weigh, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: rank(g.drop_columns(["part"])), batch_format="pyarrow")
+    return out.sort(["doc_id", "rk"])
+
+
+def tfidf_terms_sql() -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (SELECT doc_id, unnest(w) AS term FROM tok),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        s AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(n.n / CAST(df.df AS DOUBLE)) AS w
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY w DESC, term) AS rk
+          FROM s
+        )
+        SELECT doc_id, term, round(w, 4) AS tfidf, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= {TFIDF_TOP_RK}
+        ORDER BY doc_id, rk
+    """
