@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.q_doc_fingerprint,
         "ngram_topk": textops.q_ngram_topk,
         "tfidf_terms": textops.q_tfidf_terms,
+        "sample_stratified": textops.q_sample_stratified,
+        "chunk_text": textops.q_chunk_text,
         # --- event-stream ops (sessionization / windows / JSON parse) -------
         "sessionize": relational.q_sessionize,
         "rolling_agg": relational.q_rolling_agg,
@@ -364,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
         "word_repetition": textops.word_repetition_sql(),
         "ngram_topk": textops.ngram_topk_sql(),
         "tfidf_terms": textops.tfidf_terms_sql(),
+        "sample_stratified": textops.sample_stratified_sql(),
+        "chunk_text": textops.chunk_text_sql(),
         "sessionize": relational.sessionize_sql(),
         "rolling_agg": relational.rolling_agg_sql(),
         "json_extract": relational.json_extract_sql(),

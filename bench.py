@@ -36,6 +36,8 @@ HEADLINE = [
     "join_agg",            # broadcast join + aggregate
     "quality_score",       # text analysis
     "cascade_norm",        # rule-cascade normalizer (r2)
+    "sessionize",          # event-stream sessionization (r3)
+    "tfidf_terms",         # corpus-stats TF-IDF ranking (r3)
 ]
 
 

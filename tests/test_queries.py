@@ -22,7 +22,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "addr_match_cascade", "bounded_near_dup", "addr_to_range",
           "luc_flags", "containment_pairs", "containment_pairs_sa",
           "decontaminate", "word_repetition", "sessionize", "rolling_agg",
-          "json_extract", "ngram_topk", "tfidf_terms"]
+          "json_extract", "ngram_topk", "tfidf_terms", "sample_stratified",
+          "chunk_text"]
 
 
 @pytest.fixture(scope="module")

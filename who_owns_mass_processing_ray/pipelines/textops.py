@@ -1562,3 +1562,172 @@ def tfidf_terms_sql() -> str:
         FROM r WHERE rk <= {TFIDF_TOP_RK}
         ORDER BY doc_id, rk
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: deterministic sampling / split assignment + sliding-window
+# chunking (the dataset-construction stage downstream of dedup+filtering)
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_SOURCE = 50
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 16
+
+
+def q_sample_stratified(sf_dir: str, k: int = SAMPLE_PER_SOURCE):
+    """Deterministic stratified sampling + train/val/test split assignment.
+    The sampling key is an arithmetic Knuth hash of doc_id — identical
+    integer math on both engines, so the sample is reproducible across
+    runs, partitionings AND engines (no RNG state anywhere).  Per-source
+    rank is a per-partition C sort + vectorized rank (sources never split
+    across partitions)."""
+    ds = _docs(sf_dir, columns=("doc_id", "source"))
+    P = 32
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        h = (ids * _KNUTH) % 4294967296
+        split_code = h % 10
+        split = pa.array(np.where(split_code < 8, "train",
+                                  np.where(split_code == 8, "val", "test")))
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "h": pa.array(h), "split": split})
+
+    def parts(t: pa.Table) -> pa.Table:
+        # stable source partition: sum of byte values mod P (vectorized via
+        # dictionary encode — the distinct-source set per batch is tiny)
+        enc = pc.dictionary_encode(t["source"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dict_vals = enc.dictionary.to_pylist()  # distinct sources only (~10)
+        pmap = np.array([sum(s.encode()) % P for s in dict_vals], np.int32)
+        part = pmap[enc.indices.to_numpy()]
+        return t.append_column("part", pa.array(part))
+
+    def rank(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("source", "ascending"), ("h", "ascending"),
+                       ("doc_id", "ascending")])
+        src = g["source"].to_numpy(zero_copy_only=False)
+        n = len(src)
+        new_src = np.concatenate(([True], src[1:] != src[:-1]))
+        starts = np.flatnonzero(new_src)
+        sizes = np.diff(np.append(starts, n))
+        rk = np.arange(n) - np.repeat(starts, sizes) + 1
+        keep = rk <= k
+        out = g.filter(pa.array(keep))
+        return pa.table({"doc_id": out["doc_id"], "source": out["source"],
+                         "split": out["split"],
+                         "rk": pa.array(rk[keep].astype(np.int64))})
+
+    out = ds.map_batches(hashed, batch_format="pyarrow") \
+        .map_batches(parts, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: rank(g.drop_columns(["part"])), batch_format="pyarrow")
+    return out.sort(["source", "rk"])
+
+
+def sample_stratified_sql() -> str:
+    return f"""
+        WITH h AS (
+          SELECT doc_id, source,
+                 (doc_id * {_KNUTH}) % 4294967296 AS hv
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source, hv,
+                 CASE WHEN hv % 10 < 8 THEN 'train'
+                      WHEN hv % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hv, doc_id) AS rk
+          FROM h
+        )
+        SELECT doc_id, source, split, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= {SAMPLE_PER_SOURCE}
+        ORDER BY source, rk
+    """
+
+
+def q_chunk_text(sf_dir: str, width: int = CHUNK_WORDS,
+                 stride: int = CHUNK_STRIDE):
+    """Sliding-window word chunking (width {W}, stride {S}) — the
+    context-window packing step that turns filtered documents into training
+    sequences.  Fully vectorized: one split per batch, then numpy
+    repeat/arange index construction + one ListArray rebuild + one
+    ``pc.binary_join`` — no per-doc Python."""
+
+    def chunks(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+        parent = pc.list_parent_indices(la).to_numpy()
+        flat = la.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "n_words": pa.array([], pa.int64()),
+                          "chunk": pa.array([], pa.string())})
+        if not len(flat):
+            return empty
+        # tokens per doc (docs with 0 tokens drop out, same as the oracle)
+        docs, ntok = np.unique(parent, return_counts=True)
+        doc_start = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+        # chunks per doc: starts 0, stride, ... while start < ntok
+        nch = (ntok + stride - 1) // stride
+        total = int(nch.sum())
+        if total == 0:
+            return empty
+        ch_doc = np.repeat(np.arange(len(docs)), nch)       # chunk -> doc pos
+        ch_idx = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(nch)[:-1])), nch)
+        ch_start = ch_idx * stride                          # within-doc offset
+        ch_len = np.minimum(ntok[ch_doc] - ch_start, width)
+        # gather indices into flat tokens: for each chunk, start..start+len
+        tok_off = np.concatenate(([0], np.cumsum(ch_len)[:-1]))
+        gather = (np.arange(int(ch_len.sum())) -
+                  np.repeat(tok_off, ch_len) +
+                  np.repeat(doc_start[ch_doc] + ch_start, ch_len))
+        chunk_tokens = flat.take(pa.array(gather))
+        offsets = pa.array(np.concatenate(([0], np.cumsum(ch_len))),
+                           pa.int32())
+        chunk_list = pa.ListArray.from_arrays(offsets, chunk_tokens)
+        joined = pc.binary_join(chunk_list, " ")
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy()[docs[ch_doc]]),
+            "chunk_idx": pa.array(ch_idx.astype(np.int64)),
+            "n_words": pa.array(ch_len.astype(np.int64)),
+            "chunk": joined,
+        })
+
+    return _docs(sf_dir).map_batches(chunks, batch_format="pyarrow") \
+        .sort(["doc_id", "chunk_idx"])
+
+
+def chunk_text_sql() -> str:
+    w, s = CHUNK_WORDS, CHUNK_STRIDE
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT doc_id, w,
+                 unnest(range(0, CAST(ceil(len(w) * 1.0 / {s}) AS BIGINT)))
+                     AS chunk_idx
+          FROM tok WHERE len(w) > 0
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(list_slice(w, chunk_idx * {s} + 1,
+                                   chunk_idx * {s} + {w})) AS BIGINT)
+                   AS n_words,
+               array_to_string(list_slice(w, chunk_idx * {s} + 1,
+                                          chunk_idx * {s} + {w}), ' ')
+                   AS chunk
+        FROM c
+        ORDER BY doc_id, chunk_idx
+    """
