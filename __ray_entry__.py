@@ -94,10 +94,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": textops.q_tfidf_terms,
         "sample_stratified": textops.q_sample_stratified,
         "chunk_text": textops.q_chunk_text,
+        "para_dedup": textops.q_para_dedup,
+        "near_dup_keep_best": textops.q_near_dup_keep_best,
+        "pack_sequences": textops.q_pack_sequences,
         # --- event-stream ops (sessionization / windows / JSON parse) -------
         "sessionize": relational.q_sessionize,
         "rolling_agg": relational.q_rolling_agg,
         "json_extract": relational.q_json_extract,
+        "regex_redact": relational.q_regex_redact,
         # --- similarity search (embeddings table) ---------------------------
         "knn_brute": vectors.q_knn_brute,
         "embed_near_dup": vectors.q_embed_near_dup,
@@ -368,6 +372,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": textops.tfidf_terms_sql(),
         "sample_stratified": textops.sample_stratified_sql(),
         "chunk_text": textops.chunk_text_sql(),
+        "para_dedup": textops.para_dedup_sql(),
+        "pack_sequences": textops.pack_sequences_sql(),
+        "regex_redact": relational.regex_redact_sql(),
         "sessionize": relational.sessionize_sql(),
         "rolling_agg": relational.rolling_agg_sql(),
         "json_extract": relational.json_extract_sql(),
@@ -391,6 +398,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS group_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        # retention policy on top of the same component reduce: keep the
+        # longest member (tiebreak min doc_id) of every near-dup group
+        "near_dup_keep_best": f"""
+            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace('ORDER BY 1, 2', '')}),
+            sym(a, b) AS (
+                SELECT left_id, right_id FROM base
+                UNION ALL
+                SELECT right_id, left_id FROM base
+            ),
+            reach(id, r) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+            ),
+            grp AS (
+                SELECT id AS doc_id, min(r) AS group_id
+                FROM reach GROUP BY id
+            ),
+            sel AS (
+                SELECT g.group_id, g.doc_id, d.n_chars,
+                       row_number() OVER (PARTITION BY g.group_id
+                           ORDER BY d.n_chars DESC, g.doc_id) AS rn,
+                       count(*) OVER (PARTITION BY g.group_id) AS n_members
+                FROM grp g JOIN documents d USING (doc_id)
+            )
+            SELECT group_id, doc_id AS kept_doc_id,
+                   CAST(n_members AS BIGINT) AS n_members,
+                   n_chars AS n_chars_kept
+            FROM sel WHERE rn = 1 ORDER BY group_id
         """,
         "quantile_filter": """
             WITH qv AS (

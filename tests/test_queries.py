@@ -23,7 +23,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "luc_flags", "containment_pairs", "containment_pairs_sa",
           "decontaminate", "word_repetition", "sessionize", "rolling_agg",
           "json_extract", "ngram_topk", "tfidf_terms", "sample_stratified",
-          "chunk_text"]
+          "chunk_text", "para_dedup", "pack_sequences", "regex_redact",
+          "near_dup_keep_best"]
 
 
 @pytest.fixture(scope="module")

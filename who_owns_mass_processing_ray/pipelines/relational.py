@@ -1359,3 +1359,35 @@ def json_extract_sql() -> str:
         FROM events
         ORDER BY event_id
     """
+
+
+def q_regex_redact(sf_dir: str):
+    """PII-style masking over the semi-structured events payload: every
+    digit run in ``props`` is replaced with '#' and counted — the redaction
+    pass a training-data pipeline runs on identifiers before export.  Two
+    RE2 C kernels per batch (``pc.replace_substring_regex`` +
+    ``pc.count_substring_regex``); no Python row loop.  The oracle uses
+    DuckDB's independent regexp engine on the same pattern."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def red(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "props_redacted": pc.replace_substring_regex(
+                t["props"], r"[0-9]+", "#"),
+            "n_masked": pc.count_substring_regex(
+                t["props"], r"[0-9]+").cast(pa.int64()),
+        })
+
+    return ds.map_batches(red, batch_format="pyarrow").sort("event_id")
+
+
+def regex_redact_sql() -> str:
+    return """
+        SELECT event_id,
+               regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+               CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+                   AS n_masked
+        FROM events
+        ORDER BY event_id
+    """

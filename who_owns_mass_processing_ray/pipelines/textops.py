@@ -1648,62 +1648,66 @@ def sample_stratified_sql() -> str:
     """
 
 
+def chunk_batch(t: pa.Table, width: int, stride: int) -> pa.Table:
+    """Vectorized word-window chunker over one Arrow batch: one split per
+    batch, then numpy repeat/arange index construction + one ListArray
+    rebuild + one ``pc.binary_join`` — no per-doc Python.  Shared by
+    ``q_chunk_text`` (sliding windows) and ``q_para_dedup``
+    (non-overlapping paragraphs, stride == width)."""
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+    parent = pc.list_parent_indices(la).to_numpy()
+    flat = la.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_idx": pa.array([], pa.int64()),
+                      "n_words": pa.array([], pa.int64()),
+                      "chunk": pa.array([], pa.string())})
+    if not len(flat):
+        return empty
+    # tokens per doc (docs with 0 tokens drop out, same as the oracle)
+    docs, ntok = np.unique(parent, return_counts=True)
+    doc_start = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+    # chunks per doc: starts 0, stride, ... while start < ntok
+    nch = (ntok + stride - 1) // stride
+    total = int(nch.sum())
+    if total == 0:
+        return empty
+    ch_doc = np.repeat(np.arange(len(docs)), nch)       # chunk -> doc pos
+    ch_idx = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(nch)[:-1])), nch)
+    ch_start = ch_idx * stride                          # within-doc offset
+    ch_len = np.minimum(ntok[ch_doc] - ch_start, width)
+    # gather indices into flat tokens: for each chunk, start..start+len
+    tok_off = np.concatenate(([0], np.cumsum(ch_len)[:-1]))
+    gather = (np.arange(int(ch_len.sum())) -
+              np.repeat(tok_off, ch_len) +
+              np.repeat(doc_start[ch_doc] + ch_start, ch_len))
+    chunk_tokens = flat.take(pa.array(gather))
+    offsets = pa.array(np.concatenate(([0], np.cumsum(ch_len))),
+                       pa.int32())
+    chunk_list = pa.ListArray.from_arrays(offsets, chunk_tokens)
+    joined = pc.binary_join(chunk_list, " ")
+    return pa.table({
+        "doc_id": pa.array(t["doc_id"].to_numpy()[docs[ch_doc]]),
+        "chunk_idx": pa.array(ch_idx.astype(np.int64)),
+        "n_words": pa.array(ch_len.astype(np.int64)),
+        "chunk": joined,
+    })
+
+
 def q_chunk_text(sf_dir: str, width: int = CHUNK_WORDS,
                  stride: int = CHUNK_STRIDE):
     """Sliding-window word chunking (width {W}, stride {S}) — the
-    context-window packing step that turns filtered documents into training
-    sequences.  Fully vectorized: one split per batch, then numpy
-    repeat/arange index construction + one ListArray rebuild + one
-    ``pc.binary_join`` — no per-doc Python."""
-
-    def chunks(t: pa.Table) -> pa.Table:
-        txt = t["text"]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
-        parent = pc.list_parent_indices(la).to_numpy()
-        flat = la.flatten()
-        keep = pc.greater(pc.utf8_length(flat), 0)
-        flat = flat.filter(keep)
-        parent = parent[keep.to_numpy(zero_copy_only=False)]
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "chunk_idx": pa.array([], pa.int64()),
-                          "n_words": pa.array([], pa.int64()),
-                          "chunk": pa.array([], pa.string())})
-        if not len(flat):
-            return empty
-        # tokens per doc (docs with 0 tokens drop out, same as the oracle)
-        docs, ntok = np.unique(parent, return_counts=True)
-        doc_start = np.concatenate(([0], np.cumsum(ntok)[:-1]))
-        # chunks per doc: starts 0, stride, ... while start < ntok
-        nch = (ntok + stride - 1) // stride
-        total = int(nch.sum())
-        if total == 0:
-            return empty
-        ch_doc = np.repeat(np.arange(len(docs)), nch)       # chunk -> doc pos
-        ch_idx = np.arange(total) - np.repeat(
-            np.concatenate(([0], np.cumsum(nch)[:-1])), nch)
-        ch_start = ch_idx * stride                          # within-doc offset
-        ch_len = np.minimum(ntok[ch_doc] - ch_start, width)
-        # gather indices into flat tokens: for each chunk, start..start+len
-        tok_off = np.concatenate(([0], np.cumsum(ch_len)[:-1]))
-        gather = (np.arange(int(ch_len.sum())) -
-                  np.repeat(tok_off, ch_len) +
-                  np.repeat(doc_start[ch_doc] + ch_start, ch_len))
-        chunk_tokens = flat.take(pa.array(gather))
-        offsets = pa.array(np.concatenate(([0], np.cumsum(ch_len))),
-                           pa.int32())
-        chunk_list = pa.ListArray.from_arrays(offsets, chunk_tokens)
-        joined = pc.binary_join(chunk_list, " ")
-        return pa.table({
-            "doc_id": pa.array(t["doc_id"].to_numpy()[docs[ch_doc]]),
-            "chunk_idx": pa.array(ch_idx.astype(np.int64)),
-            "n_words": pa.array(ch_len.astype(np.int64)),
-            "chunk": joined,
-        })
-
-    return _docs(sf_dir).map_batches(chunks, batch_format="pyarrow") \
-        .sort(["doc_id", "chunk_idx"])
+    context-window slicing step that turns filtered documents into training
+    sequences.  Per-batch work is the fully vectorized ``chunk_batch``."""
+    return _docs(sf_dir).map_batches(
+        lambda t: chunk_batch(t, width, stride),
+        batch_format="pyarrow").sort(["doc_id", "chunk_idx"])
 
 
 def chunk_text_sql() -> str:
@@ -1730,4 +1734,246 @@ def chunk_text_sql() -> str:
                    AS chunk
         FROM c
         ORDER BY doc_id, chunk_idx
+    """
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level (chunk) dedup — the CCNet-style repeated-span removal a
+# pretraining corpus runs BEFORE document-level near-dup: split every doc
+# into non-overlapping word windows, keep only the globally FIRST occurrence
+# of each window's content, and reassemble the surviving text per doc.
+# Capability class ≙ the reference's duplicate-row collapse applied one
+# level below the row (dedupe_naive, /root/reference/R/deduplicaters.R:208-223
+# — here the "row" is a chunk occurrence keyed by content).
+#
+# Scale shape: two shuffles on the two natural keys — occurrences hash-
+# partitioned by CHUNK CONTENT (so every occurrence of a span meets its
+# twins in one partition; winner = lexicographic-min (doc_id, chunk_idx),
+# one dictionary_encode + lexsort per group, no per-row Python), then the
+# flagged occurrences hash-partitioned by DOC (one sort + segment pass to
+# rebuild each doc's surviving text with a ListArray + binary_join).  Only
+# (hash-partition key, ids, chunk strings) cross the exchanges; nothing is
+# gathered to the driver.
+# ---------------------------------------------------------------------------
+
+PARA_WORDS = 16          # non-overlapping window width
+_PARA_PARTS = 32         # fixed partition count -> deterministic plan
+
+
+def q_para_dedup(sf_dir: str, width: int = PARA_WORDS):
+    """doc_id, n_chunks, n_kept, kept_text after global keep-first chunk
+    dedup.  Docs whose every chunk is a repeat stay in the output with
+    kept_text = '' (they are exactly the docs a corpus build drops)."""
+    ds = _docs(sf_dir)
+    P = _PARA_PARTS
+
+    def chunked(t: pa.Table) -> pa.Table:
+        c = chunk_batch(t, width, width)
+        h = hx.hash_strings(c["chunk"])
+        return c.append_column(
+            "part", pa.array((h % P).astype(np.int32)))
+
+    def flag(g: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(g["chunk"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy()
+        ids = g["doc_id"].to_numpy()
+        idx = g["chunk_idx"].to_numpy()
+        order = np.lexsort((idx, ids, codes))      # content, then (doc, pos)
+        first = np.concatenate(([True], codes[order][1:] != codes[order][:-1]))
+        keep = np.zeros(len(g), dtype=bool)
+        keep[order] = first
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "chunk_idx": g["chunk_idx"],
+            "chunk": g["chunk"],
+            "keep": pa.array(keep),
+            "dpart": pa.array((ids % P).astype(np.int32)),
+        })
+
+    def assemble(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+        ids = g["doc_id"].to_numpy()
+        keep = g["keep"].to_numpy(zero_copy_only=False)
+        new_doc = np.concatenate(([True], ids[1:] != ids[:-1]))
+        starts = np.flatnonzero(new_doc)
+        n = len(ids)
+        sizes = np.diff(np.append(starts, n))
+        # per-doc kept counts via segmented sum of the keep mask
+        kept_cum = np.concatenate(([0], np.cumsum(keep)))
+        bounds = np.append(starts, n)
+        n_kept = np.diff(kept_cum[bounds])
+        kept_chunks = g["chunk"].filter(g["keep"])
+        if isinstance(kept_chunks, pa.ChunkedArray):
+            kept_chunks = kept_chunks.combine_chunks()
+        offsets = pa.array(np.concatenate(
+            ([0], np.cumsum(n_kept))).astype(np.int32))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, kept_chunks), " ")
+        return pa.table({
+            "doc_id": pa.array(ids[starts]),
+            "n_chunks": pa.array(sizes.astype(np.int64)),
+            "n_kept": pa.array(n_kept.astype(np.int64)),
+            "kept_text": joined,
+        })
+
+    out = ds.map_batches(chunked, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: flag(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("dpart").map_groups(
+            lambda g: assemble(g.drop_columns(["dpart"])),
+            batch_format="pyarrow")
+    return out.sort("doc_id")
+
+
+def para_dedup_sql() -> str:
+    w = PARA_WORDS
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT doc_id, w,
+                 unnest(range(0, CAST(ceil(len(w) * 1.0 / {w}) AS BIGINT)))
+                     AS chunk_idx
+          FROM tok WHERE len(w) > 0
+        ),
+        ch AS (
+          SELECT doc_id, chunk_idx,
+                 array_to_string(list_slice(w, chunk_idx * {w} + 1,
+                                            chunk_idx * {w} + {w}), ' ')
+                     AS chunk
+          FROM c
+        ),
+        r AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM ch
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+               coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                            FILTER (rn = 1), '') AS kept_text
+        FROM r GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup retention policy — keep the "best" member of every near-dup
+# cluster (the decision step after clustering: which copy enters the
+# training set).  Quality key = n_chars desc, tiebreak doc_id asc.
+# ≙ the reference's canonical-record election over dedup groups
+# (metacorp naming, /root/reference/R/deduplicaters.R:684-710) applied to
+# the documents corpus, with the whole chain — LSH pairs → exact-Jaccard
+# verify → connected components → per-group argmax — hash-checked against
+# a DuckDB recursive-CTE + window-rank oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_near_dup_keep_best(sf_dir: str):
+    """group_id, kept_doc_id, n_members, n_chars_kept per multi-doc
+    near-dup group."""
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    groups = q_near_dup_groups(sf_dir)               # doc_id, group_id
+    meta = _docs(sf_dir, columns=("doc_id", "n_chars"))
+    joined = attach_columns(groups, meta, "doc_id", "doc_id",
+                            {"n_chars": "n_chars"}, num_partitions=8)
+
+    def pick(g: pa.Table) -> pa.Table:
+        nc = g["n_chars"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        best = np.lexsort((ids, -nc))[0]
+        return pa.table({
+            "group_id": g["group_id"].slice(best, 1),
+            "kept_doc_id": g["doc_id"].slice(best, 1),
+            "n_members": pa.array([len(g)], pa.int64()),
+            "n_chars_kept": g["n_chars"].slice(best, 1),
+        })
+
+    return joined.groupby("group_id").map_groups(
+        pick, batch_format="pyarrow").sort("group_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing — assign documents to fixed token-budget packs
+# (the step that turns a filtered corpus into context-window training
+# batches).  Deterministic across engines, runs and parallelism: docs are
+# hash-partitioned by a Knuth multiplicative hash into a FIXED number of
+# streams, ordered by doc_id within each stream, and packed by exclusive
+# running token count — pure integer math, so the DuckDB window-SUM oracle
+# reproduces it bit-for-bit.  No RNG, no driver state; one groupby shuffle.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256        # words per pack
+
+
+def q_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
+    """part, doc_id, n_words, pack_id, pack_off for every non-null doc."""
+    ds = _docs(sf_dir)
+    P = _PARA_PARTS
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+        flat = la.flatten()
+        parent = pc.list_parent_indices(la).to_numpy()
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        n_words = np.bincount(parent[nonempty], minlength=len(t)) \
+            .astype(np.int64)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        part = (ids * _KNUTH) % 4294967296 % P
+        return pa.table({"part": pa.array(part),
+                         "doc_id": t["doc_id"],
+                         "n_words": pa.array(n_words)})
+
+    def pack(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        n = g["n_words"].to_numpy()
+        prev = np.cumsum(n) - n                      # exclusive running sum
+        pack_id = prev // budget
+        return pa.table({
+            "part": g["part"],
+            "doc_id": g["doc_id"],
+            "n_words": g["n_words"],
+            "pack_id": pa.array(pack_id.astype(np.int64)),
+            "pack_off": pa.array((prev - pack_id * budget).astype(np.int64)),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack, batch_format="pyarrow") \
+        .sort(["part", "doc_id"])
+
+
+def pack_sequences_sql() -> str:
+    return f"""
+        WITH t AS (
+          SELECT CAST((doc_id * {_KNUTH}) % 4294967296 % {_PARA_PARTS}
+                      AS BIGINT) AS part,
+                 doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_words
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT *,
+                 sum(n_words) OVER (PARTITION BY part ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_words AS prev
+          FROM t
+        )
+        SELECT part, doc_id, n_words,
+               prev // {PACK_BUDGET} AS pack_id,
+               prev - (prev // {PACK_BUDGET}) * {PACK_BUDGET} AS pack_off
+        FROM c ORDER BY part, doc_id
     """
