@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_silence": multimodal.q_audio_silence,
         "audio_resample": multimodal.q_audio_resample,
         "audio_spectral": multimodal.q_audio_spectral,
+        "audio_shingle_near_dup": multimodal.q_audio_shingle_near_dup,
+        "audio_gain_normalize": multimodal.q_audio_gain_normalize,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
 

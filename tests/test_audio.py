@@ -101,3 +101,103 @@ class TestHamming:
         got = audio.hamming64(a, b)
         want = [bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b)]
         np.testing.assert_array_equal(got, want)
+
+
+def _sig_of(pcm: np.ndarray, sr: int) -> np.ndarray:
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+    toks = mm._frame_tokens(pcm, sr)
+    offs = np.array([0, len(toks)], np.int64)
+    vals, o = hx.token_shingle_hashes(toks, offs, mm.AMH_K, seed=mm.AMH_SEED)
+    return hx.minhash_signatures(vals, o, mm.AMH_PERM, mm.AMH_SEED)[0]
+
+
+class TestAudioShingleMinHash:
+    """Shift/gain-invariant audio near-dup tokens (pipelines/multimodal.py)."""
+
+    def test_gain_invariant(self):
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        pcm = _tone(8000, 3.0, freqs=(440.0, 1333.0), seed=3)
+        a = mm._frame_tokens(pcm, 8000)
+        b = mm._frame_tokens(pcm * 0.43, 8000)
+        np.testing.assert_array_equal(a, b)
+
+    def test_hop_shift_high_agreement(self):
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        pcm = _tone(8000, 4.0, freqs=(523.0, 1888.0), seed=7)
+        sa = _sig_of(pcm, 8000)
+        sb = _sig_of(pcm[4 * mm.AMH_HOP:] * 0.7, 8000)   # trim + gain
+        est = float((sa == sb).mean())
+        assert est >= mm.AMH_THRESH, f"shifted dup est {est}"
+
+    def test_unrelated_low_agreement(self):
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        sa = _sig_of(_tone(8000, 3.0, freqs=(440.0, 1333.0), seed=3), 8000)
+        sc = _sig_of(_tone(8000, 3.0, freqs=(612.0, 2471.0), seed=9), 8000)
+        est = float((sa == sc).mean())
+        assert est < mm.AMH_THRESH, f"unrelated est {est}"
+
+    def test_resample_tolerant(self):
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        freqs = (700.0, 2100.0)
+        sa = _sig_of(_tone(8000, 3.0, freqs=freqs, seed=5), 8000)
+        sb = _sig_of(_tone(16000, 3.0, freqs=freqs, seed=5), 16000)
+        est = float((sa == sb).mean())
+        assert est >= mm.AMH_THRESH, f"resampled dup est {est}"
+
+    def test_sig_stage_deterministic(self):
+        import pyarrow as pa
+
+        from who_owns_mass_processing_ray import audio as au
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        pcm = _tone(8000, 2.0, freqs=(800.0,), seed=1)
+        t = pa.table({
+            "clip_id": pa.array(["a", "b"]),
+            "bytes": pa.array([au.encode(pcm, 8000, "pcm_s16le")] * 2,
+                              pa.large_binary()),
+            "sr_hz": pa.array([8000, 8000], pa.int32()),
+            "dur_ms": pa.array([2000, 2000], pa.int32()),
+            "codec": pa.array(["pcm_s16le", "pcm_s16le"]),
+            "transcript": pa.array(["x", "x"]),
+        })
+        stage = mm.AudioShingleSig()
+        r1, r2 = stage(t), stage(t)
+        assert r1.equals(r2)
+        assert r1["sig"][0].as_py() == r1["sig"][1].as_py()
+        m = mm._sig_matrix(r1["sig"])
+        assert m.shape == (2, mm.AMH_PERM)
+        np.testing.assert_array_equal(m[0], m[1])
+
+
+class TestGainNormalize:
+    def test_matches_direct_recompute(self):
+        import pyarrow as pa
+
+        from who_owns_mass_processing_ray import audio as au
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        pcm = _tone(8000, 1.0, freqs=(440.0,), seed=2) * 0.31
+        t = pa.table({
+            "clip_id": pa.array(["a"]),
+            "bytes": pa.array([au.encode(pcm, 8000, "pcm_s16le")],
+                              pa.large_binary()),
+            "sr_hz": pa.array([8000], pa.int32()),
+            "dur_ms": pa.array([1000], pa.int32()),
+            "codec": pa.array(["pcm_s16le"]),
+            "transcript": pa.array(["x"]),
+        })
+        out = mm.GainNormalize()(t)
+        dec, _ = au.decode(au.encode(pcm, 8000, "pcm_s16le"), "pcm_s16le")
+        peak = float(np.max(np.abs(dec)))
+        g = min(0.9 / peak, 100.0)
+        assert out["peak_before"][0].as_py() == pytest.approx(peak, abs=1e-4)
+        assert out["gain_db"][0].as_py() == pytest.approx(
+            20 * np.log10(g), abs=0.01)
+        assert out["rms_after"][0].as_py() == pytest.approx(
+            float(np.sqrt(np.mean((dec * g) ** 2))), abs=1e-4)

