@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_spectral": multimodal.q_audio_spectral,
         "audio_shingle_near_dup": multimodal.q_audio_shingle_near_dup,
         "audio_gain_normalize": multimodal.q_audio_gain_normalize,
+        "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
 

@@ -186,3 +186,80 @@ class TestTokenShingleHashes:
         v, o = hx.token_shingle_hashes(toks, offs, 3)
         assert list(np.diff(o)) == [1, 1, 0, 3]
         assert v[o[0]] == v[o[1]]          # identical short segments
+
+
+class TestCdcChunks:
+    """Content-defined chunking (functions/cdc.py)."""
+
+    def test_vectorized_matches_reference_loop(self):
+        import numpy as np
+
+        from who_owns_mass_processing_ray.functions import cdc
+
+        rng = np.random.default_rng(7)
+        blobs = [rng.integers(0, 256, size=s).astype(np.uint8).tobytes()
+                 for s in (9000, 300, 0, 5000, 64, 63)]
+        data = np.frombuffer(b"".join(blobs), np.uint8)
+        offsets = np.array(np.cumsum([0] + [len(b) for b in blobs]))
+        bi, st, ln, hv = cdc.cdc_chunks(data, offsets)
+        for k, blob in enumerate(blobs):
+            ref = cdc.cdc_chunks_reference(blob)
+            sel = bi == k
+            got = list(zip(st[sel].tolist(), ln[sel].tolist(),
+                           [int(x) for x in hv[sel]]))
+            assert got == ref, f"blob {k}"
+
+    def test_batch_independence(self):
+        import numpy as np
+
+        from who_owns_mass_processing_ray.functions import cdc
+
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 256, size=7000).astype(np.uint8)
+        b = rng.integers(0, 256, size=4000).astype(np.uint8)
+        _, _, _, h_joint = cdc.cdc_chunks(
+            np.concatenate([a, b]), np.array([0, 7000, 11000]))
+        _, _, _, h_a = cdc.cdc_chunks(a, np.array([0, 7000]))
+        _, _, _, h_b = cdc.cdc_chunks(b, np.array([0, 4000]))
+        np.testing.assert_array_equal(h_joint,
+                                      np.concatenate([h_a, h_b]))
+
+    def test_shifted_content_shares_chunks(self):
+        import numpy as np
+
+        from who_owns_mass_processing_ray.functions import cdc
+
+        rng = np.random.default_rng(5)
+        core = rng.integers(0, 256, size=20000).astype(np.uint8)
+        prefix = rng.integers(0, 256, size=137).astype(np.uint8)
+        _, _, _, h1 = cdc.cdc_chunks(core, np.array([0, len(core)]))
+        shifted = np.concatenate([prefix, core])
+        _, _, _, h2 = cdc.cdc_chunks(shifted, np.array([0, len(shifted)]))
+        shared = len(set(int(x) for x in h1) & set(int(x) for x in h2))
+        assert shared >= len(h1) - 2, f"{shared} of {len(h1)} shared"
+
+
+class TestCdcChunkerStage:
+    def test_identical_blobs_dedup(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        rng = np.random.default_rng(11)
+        core = rng.integers(0, 256, size=15000).astype(np.uint8).tobytes()
+        other = rng.integers(0, 256, size=9000).astype(np.uint8).tobytes()
+        t = pa.table({
+            "clip_id": pa.array(["clip-a", "clip-b", "clip-c"]),
+            "bytes": pa.array([core, core, other], pa.large_binary()),
+        })
+        out = mm.CdcChunker()(t)
+        hashes = {}
+        for cid, h in zip(out["clip_id"].to_pylist(),
+                          out["chunk_hash"].to_pylist()):
+            hashes.setdefault(cid, []).append(h)
+        assert hashes["clip-a"] == hashes["clip-b"]
+        assert not set(hashes["clip-a"]) & set(hashes["clip-c"])
+        # chunk_idx sequential per clip
+        idx = out.filter(pa.compute.equal(out["clip_id"], "clip-a"))
+        assert idx["chunk_idx"].to_pylist() == list(range(len(hashes["clip-a"])))

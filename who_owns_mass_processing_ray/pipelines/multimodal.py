@@ -18,9 +18,11 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from who_owns_mass_processing_ray import audio, synth
 from who_owns_mass_processing_ray.config import DedupConfig
+from who_owns_mass_processing_ray.functions import hashing as hx
 
 MM_CFG = DedupConfig()  # num_parts auto = 4x CPUs
 
@@ -656,3 +658,125 @@ def q_audio_gain_normalize(sf_dir: str):
     return clips.map_batches(GainNormalize, batch_format="pyarrow",
                              batch_size=64, concurrency=pool_bounds(8),
                              num_cpus=1).sort("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Storage-tier dedup: content-defined chunking over the raw audio bytes.
+# Identical byte runs chunk identically regardless of offset (gear-hash CDC,
+# functions/cdc.py), so clips sharing payload segments dedup at chunk
+# granularity — the tier BELOW record-level dedup in a lakehouse ingest.
+# Scale shape = para_dedup's: chunk rows hash-partitioned by CHUNK CONTENT
+# (keep-first winner per chunk hash), then re-partitioned by CLIP for the
+# per-clip rollup; only (hash, ids, lengths) cross the shuffles — the chunk
+# BYTES never leave the chunking stage.
+# ---------------------------------------------------------------------------
+
+CDC_PARTS = 32
+
+
+class CdcChunker:
+    """Actor-pool chunking stage: one vectorized gear pass over the batch's
+    concatenated byte buffer (functions/cdc.py) — no per-clip Python."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from who_owns_mass_processing_ray.functions import cdc
+
+        col = t["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off_t = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        vo = np.frombuffer(col.buffers()[1], off_t)[
+            col.offset: col.offset + len(col) + 1].astype(np.int64)
+        va = np.frombuffer(col.buffers()[2], np.uint8)
+        data = va[vo[0]: vo[-1]]
+        blob_idx, starts, lens, hashes = cdc.cdc_chunks(data, vo - vo[0])
+        # chunk_idx within clip
+        n_chunks = np.bincount(blob_idx, minlength=len(t))
+        first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_idx = np.arange(len(blob_idx)) - first[blob_idx]
+        ids_arr = t["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        return pa.table({
+            "clip_id": ids_arr.take(pa.array(blob_idx)),
+            "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
+            "chunk_hash": pa.array(hashes.view(np.int64)),  # bit-cast
+            "n_bytes": pa.array(lens.astype(np.int64)),
+            "part": pa.array((hashes % np.uint64(CDC_PARTS))
+                             .astype(np.int32)),
+        })
+
+
+def q_cdc_chunk_dedup(sf_dir: str):
+    """Per-clip CDC dedup stats: clip_id, n_chunks, n_unique (chunks whose
+    globally-FIRST occurrence is in this clip), bytes_total, bytes_unique.
+    Winner order = lexicographic (clip_id, chunk_idx) — deterministic
+    across parallelism."""
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    clips = clips_from_documents(sf_dir)
+    chunks = clips.map_batches(CdcChunker, batch_format="pyarrow",
+                               batch_size=64, concurrency=pool_bounds(8),
+                               num_cpus=1)
+
+    def flag(g: pa.Table) -> pa.Table:
+        h = g["chunk_hash"].to_numpy()
+        ids_arr = g["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        # string ids: dictionary-encode for a sortable integer key whose
+        # order matches the string order (clip ids are zero-padded)
+        enc = pc.dictionary_encode(ids_arr)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        rank = np.argsort(np.argsort(
+            np.asarray(enc.dictionary.to_pylist(), dtype=object)))
+        id_key = rank[enc.indices.to_numpy()]
+        idx = g["chunk_idx"].to_numpy()
+        order = np.lexsort((idx, id_key, h))
+        first = np.concatenate(([True], h[order][1:] != h[order][:-1]))
+        keep = np.zeros(len(g), dtype=bool)
+        keep[order] = first
+        return pa.table({
+            "clip_id": ids_arr,
+            "n_bytes": g["n_bytes"],
+            "keep": pa.array(keep),
+        })
+
+    def rollup(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("clip_id", "ascending")])
+        ids_arr = g["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        enc = pc.dictionary_encode(ids_arr)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy()
+        nb = g["n_bytes"].to_numpy()
+        keep = g["keep"].to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        return pa.table({
+            "clip_id": enc.dictionary,
+            "n_chunks": pa.array(np.bincount(codes, minlength=k)
+                                 .astype(np.int64)),
+            "n_unique": pa.array(np.bincount(codes, weights=keep,
+                                             minlength=k).astype(np.int64)),
+            "bytes_total": pa.array(np.bincount(codes, weights=nb,
+                                                minlength=k)
+                                    .astype(np.int64)),
+            "bytes_unique": pa.array(np.bincount(codes, weights=nb * keep,
+                                                 minlength=k)
+                                     .astype(np.int64)),
+        })
+
+    flagged = chunks.groupby("part").map_groups(
+        lambda g: flag(g.drop_columns(["part"])), batch_format="pyarrow")
+    withpart = flagged.map_batches(
+        lambda t: t.append_column(
+            "cpart",
+            pa.array((hx.hash_strings(t["clip_id"]) % CDC_PARTS)
+                     .astype(np.int32))),
+        batch_format="pyarrow")
+    out = withpart.groupby("cpart").map_groups(
+        lambda g: rollup(g.drop_columns(["cpart"])), batch_format="pyarrow")
+    return out.sort("clip_id")
