@@ -96,12 +96,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": textops.q_chunk_text,
         "para_dedup": textops.q_para_dedup,
         "near_dup_keep_best": textops.q_near_dup_keep_best,
+        "near_dup_survivors": textops.q_near_dup_survivors,
         "pack_sequences": textops.q_pack_sequences,
         # --- event-stream ops (sessionization / windows / JSON parse) -------
         "sessionize": relational.q_sessionize,
         "rolling_agg": relational.q_rolling_agg,
         "json_extract": relational.q_json_extract,
         "regex_redact": relational.q_regex_redact,
+        "anti_join": relational.q_anti_join,
+        "event_type_pivot": relational.q_event_type_pivot,
         # --- similarity search (embeddings table) ---------------------------
         "knn_brute": vectors.q_knn_brute,
         "embed_near_dup": vectors.q_embed_near_dup,
@@ -120,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_shingle_near_dup": multimodal.q_audio_shingle_near_dup,
         "audio_gain_normalize": multimodal.q_audio_gain_normalize,
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,
+        "audio_segment_rows": multimodal.q_audio_segment_rows,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
 
@@ -378,6 +382,8 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup": textops.para_dedup_sql(),
         "pack_sequences": textops.pack_sequences_sql(),
         "regex_redact": relational.regex_redact_sql(),
+        "anti_join": relational.anti_join_sql(),
+        "event_type_pivot": relational.event_type_pivot_sql(),
         "sessionize": relational.sessionize_sql(),
         "rolling_agg": relational.rolling_agg_sql(),
         "json_extract": relational.json_extract_sql(),
@@ -431,6 +437,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_members AS BIGINT) AS n_members,
                    n_chars AS n_chars_kept
             FROM sel WHERE rn = 1 ORDER BY group_id
+        """,
+        # the corpus AFTER dedup: singletons + per-group best member
+        "near_dup_survivors": f"""
+            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace('ORDER BY 1, 2', '')}),
+            sym(a, b) AS (
+                SELECT left_id, right_id FROM base
+                UNION ALL
+                SELECT right_id, left_id FROM base
+            ),
+            reach(id, r) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+            ),
+            grp AS (
+                SELECT id AS doc_id, min(r) AS group_id
+                FROM reach GROUP BY id
+            ),
+            sel AS (
+                SELECT g.group_id, g.doc_id,
+                       row_number() OVER (PARTITION BY g.group_id
+                           ORDER BY d.n_chars DESC, g.doc_id) AS rn
+                FROM grp g JOIN documents d USING (doc_id)
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN s.rn = 1 THEN s.group_id
+                             ELSE -1 END AS BIGINT) AS group_id,
+                   CASE WHEN s.rn = 1 THEN 'group_best'
+                        ELSE 'singleton' END AS kept_reason
+            FROM documents d LEFT JOIN sel s USING (doc_id)
+            WHERE s.doc_id IS NULL OR s.rn = 1
+            ORDER BY d.doc_id
         """,
         "quantile_filter": """
             WITH qv AS (

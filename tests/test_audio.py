@@ -201,3 +201,34 @@ class TestGainNormalize:
             20 * np.log10(g), abs=0.01)
         assert out["rms_after"][0].as_py() == pytest.approx(
             float(np.sqrt(np.mean((dec * g) ** 2))), abs=1e-4)
+
+
+class TestSegmentRows:
+    def test_matches_direct_recompute(self):
+        import pyarrow as pa
+
+        from who_owns_mass_processing_ray import audio as au
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        pcm = _tone(8000, 1.05, freqs=(440.0, 950.0), seed=4)
+        buf = au.encode(pcm, 8000, "pcm_s16le")
+        t = pa.table({
+            "clip_id": pa.array(["a"]),
+            "bytes": pa.array([buf], pa.large_binary()),
+            "sr_hz": pa.array([8000], pa.int32()),
+            "dur_ms": pa.array([1050], pa.int32()),
+            "codec": pa.array(["pcm_s16le"]),
+            "transcript": pa.array(["x"]),
+        })
+        out = mm.SegmentRows()(t)
+        dec, sr = au.decode(buf, "pcm_s16le")
+        w, hop = int(sr * mm.SEG_MS / 1000), int(sr * mm.SEG_HOP_MS / 1000)
+        n_expect = (len(dec) - w) // hop + 1
+        assert len(out) == n_expect
+        for j in range(n_expect):
+            seg = dec[j * hop: j * hop + w].astype("float64")
+            assert out["rms"][j].as_py() == pytest.approx(
+                float((seg ** 2).mean() ** 0.5), abs=1e-4)
+            assert out["peak"][j].as_py() == pytest.approx(
+                float(abs(seg).max()), abs=1e-4)
+            assert out["start_ms"][j].as_py() == j * hop * 1000 // sr

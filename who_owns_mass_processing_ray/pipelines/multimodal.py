@@ -780,3 +780,80 @@ def q_cdc_chunk_dedup(sf_dir: str):
     out = withpart.groupby("cpart").map_groups(
         lambda g: rollup(g.drop_columns(["cpart"])), batch_format="pyarrow")
     return out.sort("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# 1→N audio segmentation: fixed overlapping windows per clip (the audio
+# analog of q_chunk_text — what turns filtered clips into training windows).
+# Row-splitter capability ≙ std_separate_and_label's 1→N explode
+# (/root/reference/R/standardizers.R:2054-2101) on the media axis.
+# ---------------------------------------------------------------------------
+
+SEG_MS = 200
+SEG_HOP_MS = 100
+
+
+class SegmentRows:
+    """Actor-pool segmenting stage: decode once, emit one row per window
+    with per-window RMS/peak (cumulative-sum window math — no per-window
+    Python; the clip loop is the codec boundary, as in DecodeStats)."""
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        ids, segi, st_ms, dur_ms, rms, peak = [], [], [], [], [], []
+        cid_col = t["clip_id"].to_pylist()
+        for i in range(len(t)):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            w = int(sr * SEG_MS / 1000)
+            hop = int(sr * SEG_HOP_MS / 1000)
+            if len(pcm) < w or w == 0:
+                continue
+            x = pcm.astype(np.float64)
+            starts = np.arange(0, len(x) - w + 1, hop)
+            c2 = np.concatenate(([0.0], np.cumsum(x ** 2)))
+            seg_rms = np.sqrt((c2[starts + w] - c2[starts]) / w)
+            # per-window peak via a strided |x| view and one max reduction
+            frames = np.lib.stride_tricks.as_strided(
+                x, shape=(len(starts), w),
+                strides=(x.strides[0] * hop, x.strides[0]))
+            seg_peak = np.abs(frames).max(axis=1)
+            k = len(starts)
+            ids.append(np.repeat(np.array([cid_col[i]], object), k))
+            segi.append(np.arange(k, dtype=np.int64))
+            st_ms.append((starts * 1000 // sr).astype(np.int64))
+            dur_ms.append(np.full(k, SEG_MS, np.int64))
+            rms.append(np.round(seg_rms, 4))
+            peak.append(np.round(seg_peak, 4))
+        if not ids:
+            return pa.table({
+                "clip_id": pa.array([], pa.string()),
+                "seg_idx": pa.array([], pa.int64()),
+                "start_ms": pa.array([], pa.int64()),
+                "dur_ms": pa.array([], pa.int64()),
+                "rms": pa.array([], pa.float64()),
+                "peak": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "clip_id": pa.array(np.concatenate(ids), pa.string()),
+            "seg_idx": pa.array(np.concatenate(segi)),
+            "start_ms": pa.array(np.concatenate(st_ms)),
+            "dur_ms": pa.array(np.concatenate(dur_ms)),
+            "rms": pa.array(np.concatenate(rms)),
+            "peak": pa.array(np.concatenate(peak)),
+        })
+
+
+def q_audio_segment_rows(sf_dir: str):
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(SegmentRows, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort(["clip_id", "seg_idx"])

@@ -1391,3 +1391,95 @@ def regex_redact_sql() -> str:
         FROM events
         ORDER BY event_id
     """
+
+
+def q_anti_join(sf_dir: str):
+    """Anti join — the complement of ``q_semi_join`` and the reference's
+    negative-filter idiom (filter(!(id %in% matched)),
+    /root/reference/R/deduplicaters.R:56-64): customers with NO
+    fulfilled ('F') order, counted per market segment.  Broadcast
+    key-set + inverted ``pc.is_in`` inside map_batches — no shuffle on the
+    big side."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+    key_tables = ray.get(orders.to_arrow_refs())
+    key_set = pa.concat_tables([t for t in key_tables if t.num_rows]) \
+        .column("o_custkey").combine_chunks()
+    key_ref = ray.put(key_set)
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
+        return t.filter(mask)
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = customer.map_batches(probe, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n_no_orders"))
+    return out.sort("c_mktsegment")
+
+
+def anti_join_sql() -> str:
+    return """
+        SELECT c_mktsegment, count(*) AS n_no_orders
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup"]  # "error" -> other
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Long→wide pivot: per-user event counts, one column per event type
+    (≙ the reference's kind pivot in the metacorp rollup,
+    /root/reference/R/deduplicaters.R:684-710, generalized).  The partial
+    pivot happens INSIDE map_batches (one dictionary_encode + bincount per
+    batch — combiner rows bounded by users-per-batch, not events), then a
+    tiny groupby-SUM merges partials; unknown types land in ``other``."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    tmap = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+    k = len(_PIVOT_TYPES)
+
+    def partial(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["event_type"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        col_of = np.array([tmap.get(v, k) for v in
+                           enc.dictionary.to_pylist()], np.int64)
+        cols = col_of[enc.indices.to_numpy()]
+        uids = t["user_id"].to_numpy()
+        uniq, inv = np.unique(uids, return_inverse=True)
+        flat = np.bincount(inv * (k + 1) + cols,
+                           minlength=len(uniq) * (k + 1)) \
+            .reshape(len(uniq), k + 1)
+        out = {"user_id": pa.array(uniq)}
+        for i, name in enumerate(_PIVOT_TYPES + ["other"]):
+            out[f"n_{name}"] = pa.array(flat[:, i].astype(np.int64))
+        return pa.table(out)
+
+    aggs = [Sum(f"n_{name}", alias_name=f"n_{name}")
+            for name in _PIVOT_TYPES + ["other"]]
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(*aggs).sort("user_id")
+
+
+def event_type_pivot_sql() -> str:
+    cols = ",\n               ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES)
+    types = ", ".join(f"'{t}'" for t in _PIVOT_TYPES)
+    return f"""
+        SELECT user_id,
+               {cols},
+               CAST(count(*) FILTER (event_type NOT IN ({types}))
+                    AS BIGINT) AS n_other
+        FROM events GROUP BY user_id ORDER BY user_id
+    """

@@ -1977,3 +1977,68 @@ def pack_sequences_sql() -> str:
                prev - (prev // {PACK_BUDGET}) * {PACK_BUDGET} AS pack_off
         FROM c ORDER BY part, doc_id
     """
+
+
+def q_near_dup_survivors(sf_dir: str):
+    """The corpus AFTER near-dup dedup — what actually ships to training:
+    every singleton doc plus the best member (n_chars desc, doc_id asc) of
+    every near-dup group, tagged with why it survived.  The group table is
+    small by construction (near-dup groups ≪ corpus), so it broadcasts;
+    the corpus side STREAMS through one filter — the 100 TB shape.
+    ≙ dedupe_all's final keep set (/root/reference/R/deduplicaters.R:616-682)."""
+    import ray
+    import ray.data as rd
+
+    groups_ds = q_near_dup_groups(sf_dir)        # doc_id, group_id (small)
+    g = pa.concat_tables(
+        [t for t in ray.get(groups_ds.to_arrow_refs()) if t.num_rows])
+    gid = g["doc_id"].to_numpy() if g.num_rows else np.empty(0, np.int64)
+    ggrp = g["group_id"].to_numpy() if g.num_rows else np.empty(0, np.int64)
+
+    # n_chars of grouped docs only — a second small gather, filtered at read
+    meta = _docs(sf_dir, columns=("doc_id", "n_chars"))
+    gid_ref = ray.put(pa.array(gid))
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(gid_ref)))
+
+    m = pa.concat_tables([t for t in ray.get(
+        meta.map_batches(grab, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows])
+    m = m.sort_by([("doc_id", "ascending")])
+    nch = (m["n_chars"].to_numpy()[
+        np.searchsorted(m["doc_id"].to_numpy(), gid)]
+        if m.num_rows else np.zeros(0, np.int64))
+    # winner per group: max n_chars, tiebreak min doc_id (tiny, driver-side)
+    o = np.lexsort((gid, -nch, ggrp))
+    grp_sorted = ggrp[o]
+    first = (np.concatenate(([True], grp_sorted[1:] != grp_sorted[:-1]))
+             if len(grp_sorted) else np.zeros(0, bool))
+    winners = gid[o][first]
+    win_grp = grp_sorted[first]
+    ws = np.argsort(winners)                 # id order for searchsorted probes
+    winners, win_grp = winners[ws], win_grp[ws]
+    winners_ref = ray.put(pa.array(winners))
+    wgrp_ref = ray.put(pa.array(win_grp))
+
+    def survive(t: pa.Table) -> pa.Table:
+        grouped = pc.is_in(t["doc_id"], value_set=ray.get(gid_ref))
+        is_win = pc.is_in(t["doc_id"], value_set=ray.get(winners_ref))
+        keep = pc.or_(pc.invert(grouped), is_win)
+        out = t.filter(keep)
+        w = ray.get(winners_ref).to_numpy()
+        wg = ray.get(wgrp_ref).to_numpy()
+        ids = out["doc_id"].to_numpy()
+        pos = np.searchsorted(w, ids)
+        pos = np.clip(pos, 0, max(len(w) - 1, 0))
+        hit = (w[pos] == ids) if len(w) else np.zeros(len(ids), bool)
+        gcol = np.where(hit, wg[pos] if len(w) else -1, -1)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "group_id": pa.array(gcol.astype(np.int64)),
+            "kept_reason": pa.array(
+                np.where(hit, "group_best", "singleton")),
+        })
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    return docs.map_batches(survive, batch_format="pyarrow").sort("doc_id")
