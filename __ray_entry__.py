@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_groups": textops.q_near_dup_groups,
         "containment_pairs": textops.q_containment_pairs,
         "containment_pairs_sa": textops.q_containment_pairs_sa,
+        "shared_span_pairs": textops.q_shared_span_pairs,
+        "delta_dedup": textops.q_delta_dedup,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "simhash_near_dup": textops.q_simhash_near_dup,
         "token_stats": textops.q_token_stats,
@@ -124,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_gain_normalize": multimodal.q_audio_gain_normalize,
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,
         "audio_segment_rows": multimodal.q_audio_segment_rows,
+        "speech_rate": multimodal.q_speech_rate,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
 
@@ -205,6 +208,7 @@ def _luc_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from who_owns_mass_processing_ray.pipelines import (
+        multimodal,
         normalize,
         relational,
         textops,
@@ -373,6 +377,8 @@ def oracle_sql() -> dict[str, str]:
         "bounded_near_dup": textops.bounded_near_dup_sql(),
         "containment_pairs": textops.containment_pairs_sql(),
         "containment_pairs_sa": textops.containment_pairs_sql(),
+        "shared_span_pairs": textops.shared_span_pairs_sql(),
+        "delta_dedup": textops.delta_dedup_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "word_repetition": textops.word_repetition_sql(),
         "ngram_topk": textops.ngram_topk_sql(),
@@ -383,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": textops.pack_sequences_sql(),
         "regex_redact": relational.regex_redact_sql(),
         "anti_join": relational.anti_join_sql(),
+        "speech_rate": multimodal.speech_rate_sql(),
         "event_type_pivot": relational.event_type_pivot_sql(),
         "sessionize": relational.sessionize_sql(),
         "rolling_agg": relational.rolling_agg_sql(),

@@ -25,7 +25,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "json_extract", "ngram_topk", "tfidf_terms", "sample_stratified",
           "chunk_text", "para_dedup", "pack_sequences", "regex_redact",
           "near_dup_keep_best", "near_dup_survivors", "anti_join",
-          "event_type_pivot"]
+          "event_type_pivot", "shared_span_pairs", "delta_dedup",
+          "speech_rate"]
 
 
 @pytest.fixture(scope="module")

@@ -857,3 +857,60 @@ def q_audio_segment_rows(sf_dir: str):
     return clips.map_batches(SegmentRows, batch_format="pyarrow",
                              batch_size=64, concurrency=pool_bounds(8),
                              num_cpus=1).sort(["clip_id", "seg_idx"])
+
+
+# ---------------------------------------------------------------------------
+# Speech-rate (chars-per-second) curation filter — the standard ASR-corpus
+# hygiene op (clips whose transcript length is implausible for their audio
+# duration are mis-aligned or mis-transcribed and get dropped before
+# training).  Pure metadata math over the clip contract (dur_ms +
+# transcript), so it runs BEFORE any decode — the cheap-first ordering a
+# 100 TB pipeline needs.  Integer arithmetic throughout (chars/sec x 1000
+# as int64) so the result is bit-stable across engines.
+# ---------------------------------------------------------------------------
+
+CPS_MILLI_SLOW = 100_000     # < 100 chars/sec  -> "slow" (likely truncated audio)
+CPS_MILLI_FAST = 1_000_000   # > 1000 chars/sec -> "fast" (likely wrong clip)
+
+
+def q_speech_rate(sf_dir: str):
+    """clip_id, transcript length, chars-per-second x1000, and the
+    slow/ok/fast curation flag — vectorized Arrow kernels, no decode."""
+    clips = clips_from_documents(sf_dir)
+
+    def rate(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(
+            pc.fill_null(pc.utf8_length(t["transcript"]), 0), pa.int64())
+        dur = pc.cast(t["dur_ms"], pa.int64())
+        cps_milli = pc.divide(pc.multiply(n_chars, 1_000_000), dur)
+        flag = pc.if_else(
+            pc.less(cps_milli, CPS_MILLI_SLOW), "slow",
+            pc.if_else(pc.greater(cps_milli, CPS_MILLI_FAST), "fast", "ok"))
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "n_chars": n_chars,
+            "cps_milli": cps_milli,
+            "rate_flag": flag,
+        })
+
+    return clips.map_batches(rate, batch_format="pyarrow").sort("clip_id")
+
+
+def speech_rate_sql() -> str:
+    # clips are a pure function of documents (clips_from_documents):
+    # dur_ms = 400 + (doc_id % 7) * 150, transcript = text.
+    return f"""
+        SELECT 'clip-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS clip_id,
+               COALESCE(length(text), 0) AS n_chars,
+               (COALESCE(length(text), 0) * 1000000)
+                   // (400 + (doc_id % 7) * 150) AS cps_milli,
+               CASE WHEN (COALESCE(length(text), 0) * 1000000)
+                         // (400 + (doc_id % 7) * 150) < {CPS_MILLI_SLOW}
+                    THEN 'slow'
+                    WHEN (COALESCE(length(text), 0) * 1000000)
+                         // (400 + (doc_id % 7) * 150) > {CPS_MILLI_FAST}
+                    THEN 'fast'
+                    ELSE 'ok' END AS rate_flag
+        FROM documents
+        ORDER BY clip_id
+    """

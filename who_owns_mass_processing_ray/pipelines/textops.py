@@ -2042,3 +2042,231 @@ def q_near_dup_survivors(sf_dir: str):
 
     docs = _docs(sf_dir, columns=("doc_id",))
     return docs.map_batches(survive, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span detection — the Lee et al. 2022
+# (arXiv:2107.06499, "Deduplicating Training Data Makes Language Models
+# Better") substring-dedup primitive: find every pair of documents sharing
+# at least one exact span of >= SPAN_CHARS characters, with the count of
+# distinct shared spans.  Generalizes q_containment_pairs (full-string
+# containment) to partial overlap — the op that catches boilerplate,
+# quoted passages and template reuse that whole-doc MinHash misses.
+# Capability class in the reference: the winnowing/containment extraction
+# (/root/reference/R/standardizers.R:1148-1182), widened to symmetric spans.
+# ---------------------------------------------------------------------------
+
+SPAN_CHARS = 30          # minimum shared-span length (characters)
+
+
+def q_shared_span_pairs(sf_dir: str, span: int = SPAN_CHARS,
+                        num_parts: int = 32, max_bucket: int = 4096):
+    """Doc pairs sharing >= 1 exact ``span``-char substring + the count of
+    distinct shared spans (``n_shared_grams``).
+
+    Blocking is COMPLETE and stride-1: every document emits ALL of its
+    distinct char-``span``-gram rolling hashes (two independent 64-bit
+    seeds = a 128-bit key, the same birthday discipline as
+    stages/exact.py — collision-safe past 10^12 grams), so any shared
+    span of length >= ``span`` shares an aligned gram by construction.
+    Shape: one vectorized rolling-hash pass per batch -> narrow
+    (h1, h2, doc_id) rows -> coarse hash-partition groupby -> in-partition
+    run-length pair expansion (stages/pairs._triangular_pairs) with partial
+    per-pair counts -> tiny global sum over verified pairs.  Nothing
+    all-pairs, nothing driver-side; gram rows are ~bytes-of-corpus narrow
+    rows, the same volume discipline as the suffix-array literature's
+    (doc, gram) table.  Hot spans (> ``max_bucket`` docs sharing one gram
+    — boilerplate at corpus scale) are salted + counted via ``dropped``,
+    never silent; at test scale no bucket approaches the cap, so the
+    result is oracle-exact.
+    """
+    from who_owns_mass_processing_ray.stages import pairs as pr
+
+    docs = _docs(sf_dir)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        keep = pc.fill_null(
+            pc.greater_equal(pc.utf8_length(txt), span), False)
+        t2 = t.filter(keep)
+        col = t2["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t2["doc_id"].to_numpy()
+        v1, offs = hx.shingle_hashes(col, span, seed=17)
+        v2, _ = hx.shingle_hashes(col, span, seed=9176)
+        doc_of = np.repeat(np.arange(len(t2)), np.diff(offs))
+        # per-doc distinct (h1, h2) — mirrors the oracle's DISTINCT gram
+        order = np.lexsort((v2, v1, doc_of))
+        d, a, b = doc_of[order], v1[order], v2[order]
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            first[1:] = ((d[1:] != d[:-1]) | (a[1:] != a[:-1])
+                         | (b[1:] != b[:-1]))
+        a, b, d = a[first], b[first], d[first]
+        part = (a % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({
+            # int64 bit-cast: uint64 must not cross Ray shuffles/aggregates
+            "h1": pa.array(a.view(np.int64)),
+            "h2": pa.array(b.view(np.int64)),
+            "doc_id": pa.array(ids[d]),
+            "part": pa.array(part),
+        })
+
+    rows = docs.map_batches(gram_rows, batch_format="pyarrow")
+
+    def expand(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "dropped": pa.array([], pa.int64())})
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, idss = h1[order], h2[order], ids[order]
+        change = np.flatnonzero((h1s[1:] != h1s[:-1])
+                                | (h2s[1:] != h2s[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(h1s)])))
+        seg_of_pair, li, lj, dropped = pr._triangular_pairs(sizes, max_bucket)
+        base = starts[seg_of_pair]
+        x, y = idss[base + li], idss[base + lj]
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        # partial per-pair counts within this partition (one row per
+        # distinct shared gram -> run-length count after a pair sort)
+        o = np.lexsort((hi, lo))
+        lo_s, hi_s = lo[o], hi[o]
+        f = np.ones(len(o), dtype=bool)
+        if len(o) > 1:
+            f[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
+        st = np.flatnonzero(f)
+        cnt = np.diff(np.concatenate((st, [len(o)])))
+        return pa.table({
+            "a_id": pa.array(lo_s[st]),
+            "b_id": pa.array(hi_s[st]),
+            "n": pa.array(cnt.astype(np.int64)),
+            "dropped": pa.array(np.full(len(st), dropped, np.int64)),
+        })
+
+    cand = rows.groupby("part").map_groups(expand, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    agg = cand.groupby(["a_id", "b_id"]).aggregate(
+        Sum("n", alias_name="n_shared_grams"))
+    return agg.select_columns(["a_id", "b_id", "n_shared_grams"]) \
+        .sort(["a_id", "b_id"])
+
+
+def shared_span_pairs_sql(span: int = SPAN_CHARS) -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE text IS NOT NULL AND length(text) >= {span}),
+        pos AS (SELECT doc_id, text,
+                       UNNEST(range(1, length(text) - {span} + 2)) AS i
+                FROM d),
+        g AS (SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INT), {span}) AS gram
+              FROM pos)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               COUNT(*) AS n_shared_grams
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) dedup — ingest a new batch against an existing corpus
+# snapshot.  The daily-ingestion shape every 100 TB training pipeline runs:
+# the snapshot's key set is itself TB-scale, so the anti-join is a
+# hash-partition SHUFFLE where each partition sees both sides' keys — the
+# snapshot is never broadcast and never driver-materialized.
+# Capability class in the reference: the route-reunite negative filters
+# (/root/reference/R/deduplicaters.R:56-64), lifted to two-table streaming.
+# ---------------------------------------------------------------------------
+
+DELTA_SNAPSHOT_MOD = 5   # doc_id % MOD == 0 -> the "already ingested" side
+
+
+def q_delta_dedup(sf_dir: str, mod: int = DELTA_SNAPSHOT_MOD,
+                  num_parts: int = 32):
+    """New docs that survive ingestion against a corpus snapshot:
+    drop any incoming doc whose text already exists in the snapshot
+    (exact, 128-bit key), dedup the incoming batch itself (keep min
+    doc_id), and report ``n_dup_incoming`` — how many incoming rows
+    collapsed into each survivor."""
+    docs = _docs(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t2 = t.filter(pc.is_valid(txt))
+        col = t2["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t2["doc_id"].to_numpy()
+        h1 = hx.hash_strings(col, seed=3)
+        h2 = hx.hash_strings(col, seed=77)
+        part = (h1 % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "doc_id": pa.array(ids),
+            "is_snap": pa.array(ids % mod == 0),
+            "part": pa.array(part),
+        })
+
+    rows = docs.map_batches(keyed, batch_format="pyarrow")
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_dup_incoming": pa.array([], pa.int64())})
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        snap = g["is_snap"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        idss, snaps = ids[order], snap[order]
+        change = np.flatnonzero((h1s[1:] != h1s[:-1])
+                                | (h2s[1:] != h2s[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        n_seg = len(starts)
+        seg_of = np.repeat(np.arange(n_seg),
+                           np.diff(np.concatenate((starts, [len(h1s)]))))
+        has_snap = np.zeros(n_seg, dtype=bool)
+        np.logical_or.at(has_snap, seg_of, snaps)
+        inc = ~snaps
+        n_inc = np.zeros(n_seg, dtype=np.int64)
+        np.add.at(n_inc, seg_of, inc.astype(np.int64))
+        min_inc = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(min_inc, seg_of[inc], idss[inc])
+        keep = (~has_snap) & (n_inc > 0)
+        return pa.table({
+            "doc_id": pa.array(min_inc[keep]),
+            "n_dup_incoming": pa.array(n_inc[keep]),
+        })
+
+    out = rows.groupby("part").map_groups(resolve, batch_format="pyarrow")
+    return out.sort("doc_id")
+
+
+def delta_dedup_sql(mod: int = DELTA_SNAPSHOT_MOD) -> str:
+    return f"""
+        WITH snap AS (SELECT DISTINCT text FROM documents
+                      WHERE doc_id % {mod} = 0 AND text IS NOT NULL),
+        inc AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % {mod} <> 0 AND text IS NOT NULL)
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dup_incoming
+        FROM inc
+        WHERE text NOT IN (SELECT text FROM snap)
+        GROUP BY text
+        ORDER BY doc_id
+    """
