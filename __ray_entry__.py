@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs_sa": textops.q_containment_pairs_sa,
         "shared_span_pairs": textops.q_shared_span_pairs,
         "delta_dedup": textops.q_delta_dedup,
+        "group_quantile_trim": textops.q_group_quantile_trim,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "simhash_near_dup": textops.q_simhash_near_dup,
         "token_stats": textops.q_token_stats,
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,
         "audio_segment_rows": multimodal.q_audio_segment_rows,
         "speech_rate": multimodal.q_speech_rate,
+        "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
 
@@ -379,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs_sa": textops.containment_pairs_sql(),
         "shared_span_pairs": textops.shared_span_pairs_sql(),
         "delta_dedup": textops.delta_dedup_sql(),
+        "group_quantile_trim": textops.group_quantile_trim_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "word_repetition": textops.word_repetition_sql(),
         "ngram_topk": textops.ngram_topk_sql(),

@@ -434,3 +434,25 @@ def test_audio_resample_spectral_vs_direct_decode(ray_session):
                     / mag.sum()) if mag.sum() > 0 else 0.0
         assert abs(sp.loc[cid, "zcr"] - round(zcr, 6)) <= 1e-12
         assert abs(sp.loc[cid, "centroid_hz"] - round(cen, 2)) <= 1e-12
+
+
+def test_dedup_report_vs_clusters_table(ray_session):
+    """The one-row report must equal a pandas recompute over the SAME
+    clusters table the flagship emits."""
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    qs = m.queries()
+    rep = qs["dedup_report"](sf)
+    cl = qs["dedup_clusters"](sf).to_pandas()
+    assert int(rep["n_clusters"].iloc[0]) == len(cl)
+    assert int(rep["n_clips"].iloc[0]) == int(cl["size"].sum())
+    dup = cl[cl["size"] > 1]
+    assert int(rep["n_dup_clusters"].iloc[0]) == len(dup)
+    assert int(rep["n_removable_clips"].iloc[0]) == int((dup["size"] - 1).sum())
+    assert int(rep["dur_ms_total"].iloc[0]) == int(cl["total_dur_ms"].sum())
+    for kind in ("exact", "near", "containment", "audio"):
+        assert int(rep[f"{kind}_edges"].iloc[0]) == int(cl[f"{kind}_ct"].sum())
+    want_pct = round(100.0 * (dup["size"] - 1).sum()
+                     / max(int(cl["size"].sum()), 1), 2)
+    assert float(rep["dup_ratio_pct"].iloc[0]) == want_pct

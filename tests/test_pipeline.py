@@ -78,6 +78,60 @@ class TestComponentsEquivalence:
         a2 = r2["clip_to_cluster"].to_pandas().set_index("clip_id")["cluster_id"]
         assert (a1.sort_index() == a2.sort_index()).all()
 
+    def test_starcontract_random_graphs(self, ray_session):
+        """Star contraction == python DSU on adversarial topologies: long
+        chains (worst case for propagation), cliques, random sparse."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from who_owns_mass_processing_ray.config import DedupConfig
+        from who_owns_mass_processing_ray.stages import components
+
+        rng = np.random.default_rng(5)
+        edges = []
+        # 3 chains of length 120 (diameter stress)
+        for c in range(3):
+            base = c * 1000
+            edges += [(f"n{base + i:05d}", f"n{base + i + 1:05d}")
+                      for i in range(120)]
+        # 2 cliques of 15
+        for c in range(2):
+            base = 5000 + c * 100
+            ids = [f"n{base + i:05d}" for i in range(15)]
+            edges += [(a, b) for i, a in enumerate(ids)
+                      for b in ids[i + 1:]]
+        # random sparse over 400 nodes
+        for _ in range(300):
+            a, b = rng.integers(8000, 8400, 2)
+            if a != b:
+                edges.append((f"n{a:05d}", f"n{b:05d}"))
+        ds = rd.from_arrow(pa.table({
+            "left_id": pa.array([e[0] for e in edges]),
+            "right_id": pa.array([e[1] for e in edges]),
+        }))
+        got = components.components_labelprop(ds, DedupConfig(), 16) \
+            .to_pandas().set_index("clip_id")["root_id"]
+
+        # reference: python union-find with min-root convention
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        want = {n: find(n) for n in parent}
+        assert len(got) == len(want)
+        for n, r in want.items():
+            assert got[n] == r, (n, got[n], r)
+
 
 class TestDeterminism:
     def test_rerun_identical(self, small_corpus):

@@ -914,3 +914,50 @@ def speech_rate_sql() -> str:
         FROM documents
         ORDER BY clip_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Flagship run report — the one-row operational summary every dedup run
+# ships with (≙ the reference's end-of-run summary tables,
+# /root/reference/R/deduplicaters.R:663-682, reduced to corpus metrics):
+# cluster/dup counts, removable-duplicate volume, and per-kind edge totals.
+# Pure partial aggregation over the clusters table — one tiny reduce.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_report(sf_dir: str):
+    """One-row corpus dedup summary from the flagship clusters table."""
+    from who_owns_mass_processing_ray.pipelines import dedup
+
+    clips = clips_from_documents(sf_dir)
+    res = dedup.dedup_pipeline_from_dataset(clips, MM_CFG)
+
+    def partial(t: pa.Table) -> pa.Table:
+        size = t["size"].to_numpy()
+        dup = size > 1
+        return pa.table({
+            "n_clusters": pa.array([len(t)], pa.int64()),
+            "n_clips": pa.array([int(size.sum())], pa.int64()),
+            "n_dup_clusters": pa.array([int(dup.sum())], pa.int64()),
+            "n_removable_clips": pa.array([int((size[dup] - 1).sum())],
+                                          pa.int64()),
+            "dur_ms_total": pa.array([int(t["total_dur_ms"].to_numpy().sum())],
+                                     pa.int64()),
+            "exact_edges": pa.array([int(t["exact_ct"].to_numpy().sum())],
+                                    pa.int64()),
+            "near_edges": pa.array([int(t["near_ct"].to_numpy().sum())],
+                                   pa.int64()),
+            "containment_edges": pa.array(
+                [int(t["containment_ct"].to_numpy().sum())], pa.int64()),
+            "audio_edges": pa.array([int(t["audio_ct"].to_numpy().sum())],
+                                    pa.int64()),
+        })
+
+    parts = res["clusters"].map_batches(partial, batch_format="pyarrow")
+    import pandas as pd
+
+    df = parts.to_pandas().sum(axis=0).to_frame().T
+    df["dup_ratio_pct"] = round(
+        100.0 * df["n_removable_clips"].iloc[0]
+        / max(int(df["n_clips"].iloc[0]), 1), 2)
+    return df

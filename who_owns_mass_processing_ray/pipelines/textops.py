@@ -2270,3 +2270,61 @@ def delta_dedup_sql(mod: int = DELTA_SNAPSHOT_MOD) -> str:
         GROUP BY text
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-source length winsorize — the grouped generalization of the
+# reference's 0.95-quantile unit-count gate (/root/reference/R/loaders.R:1153):
+# each corpus source has its own length distribution, so curation trims
+# per-source tails, not global ones.  Thresholds come from
+# functions/quantile.exact_group_quantiles — per-group exact quantile_cont
+# via SHARED streaming histogram passes (one scan per level serves every
+# (group, q) slot; the column is never sorted or driver-pulled); the trim
+# itself is one broadcast-threshold filter pass.
+# ---------------------------------------------------------------------------
+
+TRIM_Q_LO = 0.05
+TRIM_Q_HI = 0.95
+
+
+def q_group_quantile_trim(sf_dir: str, q_lo: float = TRIM_Q_LO,
+                          q_hi: float = TRIM_Q_HI):
+    """Docs whose n_chars lies within [quantile(q_lo), quantile(q_hi)] of
+    their OWN source group."""
+    from who_owns_mass_processing_ray.functions.quantile import (
+        exact_group_quantiles,
+    )
+
+    ds = _docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+    th = exact_group_quantiles(ds, "source", "n_chars", [q_lo, q_hi])
+    groups = sorted(th)
+    src_arr = pa.array(groups, pa.string())
+    lo_arr = np.array([th[g][q_lo] for g in groups], np.float64)
+    hi_arr = np.array([th[g][q_hi] for g in groups], np.float64)
+
+    def trim(t: pa.Table) -> pa.Table:
+        pos_a = pc.index_in(t["source"], value_set=src_arr)
+        pos = pc.fill_null(pos_a, -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = t["n_chars"].to_numpy().astype(np.float64)
+        ok = pos >= 0          # index_in miss (unseen source) -> drop
+        pos_f = np.where(ok, pos, 0)
+        keep = ok & (x >= lo_arr[pos_f]) & (x <= hi_arr[pos_f])
+        return t.filter(pa.array(keep)).select(
+            ["doc_id", "source", "n_chars"])
+
+    return ds.map_batches(trim, batch_format="pyarrow").sort("doc_id")
+
+
+def group_quantile_trim_sql(q_lo: float = TRIM_Q_LO,
+                            q_hi: float = TRIM_Q_HI) -> str:
+    return f"""
+        WITH t AS (SELECT source,
+                          quantile_cont(n_chars, {q_lo}) AS lo,
+                          quantile_cont(n_chars, {q_hi}) AS hi
+                   FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN t USING (source)
+        WHERE d.n_chars >= t.lo AND d.n_chars <= t.hi
+        ORDER BY d.doc_id
+    """

@@ -17,11 +17,13 @@ Two implementations with identical output:
   numpy min-label propagation with pointer jumping (O(E·log D) work, no
   per-edge Python); root = lexicographic min clip_id of the component, so
   cluster identity is deterministic under any parallelism.
-- **distributed min-label propagation** (``method="labelprop"``, the 100 TB
-  path when edges exceed ``cfg.dsu_edge_limit``): iterate
-  label(v) <- min(label(v), min label over neighbors) via
-  join + groupby-min until fixpoint; converges in <= diameter iterations,
-  each one shuffle of the (node,label) table.  Tested equal to DSU.
+- **distributed alternating star contraction** (``method="labelprop"``, the
+  100 TB path when edges exceed ``cfg.dsu_edge_limit``): Kiveris et al.
+  2014 large-star/small-star rounds, one hash-partition groupby shuffle per
+  half-round with vectorized segment-min inside partitions, until the edge
+  multiset fixpoint (per-component stars rooted at the min node) — the star
+  edges are the assignment directly.  Tested equal to DSU on the flagship
+  corpus and on adversarial chain/clique/random graphs.
 
 ``method="auto"`` counts edges once and picks.
 """
@@ -101,76 +103,161 @@ def components_dsu(edges_ds):
 
 
 def components_labelprop(edges_ds, cfg: DedupConfig, num_partitions: int):
-    """Distributed min-label propagation. Returns a Dataset
-    (clip_id, root_id) for every clip touched by an edge.
+    """Distributed connected components by ALTERNATING STAR CONTRACTION
+    (large-star / small-star, Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the 100 TB path when the edge set exceeds
+    ``cfg.dsu_edge_limit``.  Returns a Dataset (clip_id, root_id) for every
+    clip touched by an edge.
 
-    Each iteration: labels join onto edge sources, groupby(dst).min, merge
-    with current labels, count changes; stop at fixpoint or
-    ``cfg.label_prop_max_iters``.  Converges in <= component-diameter
-    iterations; dup clusters are star-shaped (exact stars, verified pair
-    cliques), so the expected round count is small.  Iteration count is a
-    documented scale knob (cfg.label_prop_max_iters).
+    Each half-round is ONE hash-partition groupby shuffle of the canonical
+    edge list; inside a partition every node's neighborhood is processed in
+    one vectorized pass (ordinal string codes -> lexsort -> segment mins).
+    large-star points every neighbor v > u at m = min(N(u) ∪ {u});
+    small-star points every neighbor v < u (and u itself) at the min of the
+    smaller neighborhood.  The edge multiset converges to per-component
+    stars rooted at the component minimum in O(log² n) rounds (2–5 in
+    practice on dup-cluster graphs), at which point the star edges ARE the
+    assignment — no label joins, no mapping composition.  (The earlier
+    design — min-label propagation with per-round ``Dataset.join`` —
+    measured 1065 s over 21 rounds on the 80k corpus, ~50 s/round of pure
+    hash-shuffle-join setup; the contraction replaces 4 join/groupby
+    shuffles per round with one groupby per half-round.)
+
+    Convergence detection compares (count, two independent 64-bit hash
+    sums) of successive canonical edge multisets — two distinct multisets
+    would have to agree on both sums (~2⁻¹²⁸), the same birthday
+    discipline as stages/exact.py.  Raises after
+    ``cfg.label_prop_max_iters`` rounds (bound is O(log² n); never hit).
     """
-    import ray.data as rd
+    import logging
+
     from ray.data.aggregate import Min
 
-    def fwd(t: pa.Table) -> pa.Table:
-        return pa.table({"left_id": t["left_id"], "right_id": t["right_id"]})
+    from who_owns_mass_processing_ray.functions import hashing as hx
 
-    def rev(t: pa.Table) -> pa.Table:
-        return pa.table({"left_id": t["right_id"], "right_id": t["left_id"]})
+    log = logging.getLogger(__name__)
+    _U64 = np.uint64
 
-    sym = edges_ds.map_batches(fwd, batch_format="pyarrow").union(
-        edges_ds.map_batches(rev, batch_format="pyarrow")
-    ).materialize()
-    # initial labels: every node labels itself
-    labels = sym.groupby("left_id").aggregate(Min("right_id", alias_name="label"))
-    labels = labels.map_batches(
-        lambda t: pa.table({
-            "clip_id": t["left_id"],
-            "label": pa.compute.min_element_wise(t["label"], t["left_id"]),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
+    def canon(t: pa.Table) -> pa.Table:
+        lo = pa.compute.min_element_wise(t["left_id"], t["right_id"])
+        hi = pa.compute.max_element_wise(t["left_id"], t["right_id"])
+        tb = pa.table({"lo": lo, "hi": hi})
+        return tb.filter(pa.compute.not_equal(tb["lo"], tb["hi"]))
 
-    for it in range(cfg.label_prop_max_iters):
-        # neighbor labels: edge (u,v) proposes label(u) to v — plus pointer
-        # doubling: (label(u) , v) also proposes, via joining on source u
-        src_lab = sym.join(labels, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("left_id",), right_on=("clip_id",))
-        proposals = src_lab.map_batches(
-            lambda t: pa.table({"clip_id": t["right_id"], "cand": t["label"]}),
-            batch_format="pyarrow",
-        )
-        # include own label so nodes never lose theirs
-        own = labels.map_batches(
-            lambda t: pa.table({"clip_id": t["clip_id"], "cand": t["label"]}),
-            batch_format="pyarrow",
-        )
-        new_labels = proposals.union(own).groupby("clip_id").aggregate(
-            Min("cand", alias_name="label")
-        ).materialize()
-        # convergence: join old/new, count differing labels
-        merged = new_labels.join(labels, join_type="inner",
-                                 num_partitions=num_partitions,
-                                 on=("clip_id",), right_on=("clip_id",),
-                                 left_suffix="_new", right_suffix="_old")
-        cols = merged.schema().names
-        new_col = "label_new" if "label_new" in cols else "label"
-        old_col = "label_old" if "label_old" in cols else [c for c in cols if c.startswith("label") and c != new_col][0]
-        changed = merged.map_batches(
-            lambda t: pa.table({"c": pa.compute.cast(
-                pa.compute.not_equal(t[new_col], t[old_col]), pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("c")
-        labels = new_labels
-        if not changed:
+    edges = edges_ds.map_batches(canon, batch_format="pyarrow").materialize()
+    eff = int(max(8, min(num_partitions, edges.count() // 25_000 + 8)))
+
+    def _sig(ds) -> tuple[int, int, int]:
+        """(row count, two independent 64-bit edge-multiset hash sums)."""
+        def part(t: pa.Table) -> pa.Table:
+            lo, hi = t["lo"], t["hi"]
+            h1 = hx.hash_strings(lo, seed=101)
+            g1 = hx.hash_strings(hi, seed=103)
+            h2 = hx.hash_strings(lo, seed=107)
+            g2 = hx.hash_strings(hi, seed=109)
+            with np.errstate(over="ignore"):
+                s1 = (h1 * _U64(3) + g1).sum(dtype=_U64)
+                s2 = (h2 ^ (g2 * _U64(0x9E3779B97F4A7C15 | 1))).sum(dtype=_U64)
+            return pa.table({"n": pa.array([len(t)], pa.int64()),
+                             "s1": pa.array([int(s1)], pa.uint64()),
+                             "s2": pa.array([int(s2)], pa.uint64())})
+
+        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+        M = 1 << 64
+        return (sum(r["n"] for r in rows),
+                sum(int(r["s1"]) for r in rows) % M,
+                sum(int(r["s2"]) for r in rows) % M)
+
+    def _codes(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col
+
+    def star_round(edges_in, large: bool):
+        def sym_part(t: pa.Table) -> pa.Table:
+            lo, hi = _codes(t["lo"]), _codes(t["hi"])
+            src = pa.concat_arrays([lo, hi])
+            dst = pa.concat_arrays([hi, lo])
+            prt = (hx.hash_strings(src, seed=7) % _U64(eff)).astype(np.int32)
+            return pa.table({"src": src, "dst": dst,
+                             "part": pa.array(prt)})
+
+        def process(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"lo": pa.array([], pa.string()),
+                                 "hi": pa.array([], pa.string())})
+            src, dst = _codes(g["src"]), _codes(g["dst"])
+            both = pa.concat_arrays([src, dst])
+            uniq = pa.compute.unique(both)
+            ids_sorted = uniq.take(pa.compute.array_sort_indices(uniq))
+            sc = pa.compute.index_in(src, value_set=ids_sorted) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            dc = pa.compute.index_in(dst, value_set=ids_sorted) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((dc, sc))
+            scs, dcs = sc[order], dc[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(scs[1:] != scs[:-1]) + 1))
+            sizes = np.diff(np.concatenate((starts, [len(scs)])))
+            seg_src = scs[starts]
+            seg_first_dst = dcs[starts]        # dst asc in segment -> min
+            if large:
+                m = np.minimum(seg_first_dst, seg_src)   # min(N(u) ∪ {u})
+                m_row = np.repeat(m, sizes)
+                mask = dcs > scs
+                out_lo, out_hi = m_row[mask], dcs[mask]  # m <= u < v
+            else:
+                # min over smaller neighbors ∪ self
+                m = np.where(seg_first_dst < seg_src, seg_first_dst, seg_src)
+                m_row = np.repeat(m, sizes)
+                mask = dcs < scs
+                lo_v, hi_v = m_row[mask], dcs[mask]
+                keepv = hi_v != lo_v                     # v == m self-loop
+                keepu = seg_src != m
+                out_lo = np.concatenate((lo_v[keepv], m[keepu]))
+                out_hi = np.concatenate((hi_v[keepv], seg_src[keepu]))
+            # in-partition dedup of emitted canonical pairs
+            o = np.lexsort((out_hi, out_lo))
+            ls, hs = out_lo[o], out_hi[o]
+            f = np.ones(len(o), dtype=bool)
+            if len(o) > 1:
+                f[1:] = (ls[1:] != ls[:-1]) | (hs[1:] != hs[:-1])
+            return pa.table({
+                "lo": ids_sorted.take(pa.array(ls[f])),
+                "hi": ids_sorted.take(pa.array(hs[f])),
+            })
+
+        return edges_in.map_batches(sym_part, batch_format="pyarrow") \
+            .groupby("part").map_groups(process, batch_format="pyarrow") \
+            .materialize()
+
+    sig = _sig(edges)
+    converged = False
+    for rnd in range(cfg.label_prop_max_iters):
+        edges = star_round(edges, large=True)
+        edges = star_round(edges, large=False)
+        new_sig = _sig(edges)
+        log.info("starcontract round %d: %d canonical edges", rnd + 1,
+                 new_sig[0])
+        if new_sig == sig:
+            converged = True
             break
-    return labels.map_batches(
-        lambda t: pa.table({"clip_id": t["clip_id"], "root_id": t["label"]}),
-        batch_format="pyarrow",
-    )
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in "
+            f"{cfg.label_prop_max_iters} rounds (O(log^2 n) expected)")
+
+    # fixpoint edges are stars (lo = component min): members map to root,
+    # roots map to self; groupby-min dedups cross-partition duplicates
+    members = edges.map_batches(
+        lambda t: pa.table({"clip_id": t["hi"], "cand": t["lo"]}),
+        batch_format="pyarrow")
+    roots = edges.map_batches(
+        lambda t: pa.table({"clip_id": t["lo"], "cand": t["lo"]}),
+        batch_format="pyarrow")
+    return members.union(roots).groupby("clip_id").aggregate(
+        Min("cand", alias_name="root_id"))
 
 
 def assignment_dataset(features_ds, edges_ds, cfg: DedupConfig,
