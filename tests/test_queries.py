@@ -114,3 +114,30 @@ def test_lang_id_deterministic(ray_session):
     b = textops.q_lang_id(SF_DIR).to_pandas()
     assert a.equals(b)
     assert set(a["lang_pred"]) <= {"en", "es", "de", "fr", "zh"}
+
+
+def test_semi_anti_shuffle_fallback_matches_broadcast(ray_session):
+    """semi_anti_filter with broadcast_limit=0 (forced partitioned-join
+    path) must produce the same rows as the broadcast path — the 100 TB
+    shape where the key set exceeds the driver-safe limit."""
+    import ray.data as rd
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    big = rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    keys = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                           columns=["o_custkey", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'")
+
+    def run(anti, limit):
+        out = joins.semi_anti_filter(big, "c_custkey", keys, "o_custkey",
+                                     anti=anti, broadcast_limit=limit)
+        df = out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+        return df[["c_custkey", "c_nationkey"]]
+
+    for anti in (False, True):
+        bc = run(anti, 10_000_000)
+        sh = run(anti, 0)
+        pd.testing.assert_frame_equal(bc, sh)
+        assert len(bc) > 0

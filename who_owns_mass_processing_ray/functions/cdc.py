@@ -5,7 +5,9 @@ granularity (re-encodes that share an audio payload, copied file segments).
 
 Public-knowledge algorithm (gear-hash CDC as in FastCDC, Xia et al., USENIX
 ATC'16): a 64-byte rolling window hash ``h_i = sum_{j<64} G[b_{i-j}] << j``
-cuts wherever ``h & mask == 0`` (mask bits set the expected chunk size).
+cuts wherever the top ``mask_bits`` of ``h`` are zero (FastCDC masks high
+bits: the sum's low bits depend only on the newest few window bytes, while
+its high bits mix all 64 — the mask position sets the expected chunk size).
 Everything below is vectorized over the CONCATENATED byte buffer of a whole
 Arrow batch — the window recurrence unrolls into 64 shifted adds, cut
 eligibility is masked per blob so chunking is a pure function of each
@@ -23,10 +25,10 @@ from who_owns_mass_processing_ray.functions.hashing import (
 
 _U64 = np.uint64
 _WIN = 64                    # rolling window, bytes
-# plain uniform table — forcing odd values here would pin bit 0 of the
-# window sum to the parity of the window and kill the cut condition
-_GEAR = np.random.default_rng(0xCDC0DE).integers(
-    0, 1 << 64, size=256, dtype=np.uint64)
+# Deterministic gear table: splitmix64 over 0..255 with a fixed seed, NOT a
+# numpy Generator — persisted chunk boundaries/hashes must survive NumPy
+# upgrades (Generator bit-streams are only stable within a NumPy version).
+_GEAR = splitmix64(np.arange(256, dtype=_U64) ^ _U64(0xCDC0DE))
 _P = _U64(0x9E3779B97F4A7C15 | 1)
 DEFAULT_MASK_BITS = 11       # expected chunk ~2 KiB
 
@@ -56,10 +58,12 @@ def cdc_chunks(
         for j in range(_WIN):
             h[j:] += gb[: N - j] << _U64(j)
 
-    # --- cut positions: h & mask == 0, window fully inside the blob,
-    #     never on a blob's final byte (the blob end is already a boundary)
-    mask = _U64((1 << mask_bits) - 1)
-    cut = (h & mask) == 0
+    # --- cut positions: top ``mask_bits`` of h all zero (FastCDC masks the
+    #     HIGH bits — the gear sum's low bits depend only on the newest few
+    #     bytes, its high bits mix the whole 64-byte window), window fully
+    #     inside the blob, never on a blob's final byte (the blob end is
+    #     already a boundary)
+    cut = (h >> _U64(64 - mask_bits)) == 0
     if N:
         pos = np.arange(N, dtype=np.int64)
         rel = pos - np.repeat(offsets[:-1], lengths)
@@ -96,7 +100,6 @@ def cdc_chunks_reference(blob: bytes, mask_bits: int = DEFAULT_MASK_BITS,
     n = len(blob)
     if n == 0:
         return []
-    mask = (1 << mask_bits) - 1
     cuts = []
     h = 0
     window: list[int] = []
@@ -107,7 +110,7 @@ def cdc_chunks_reference(blob: bytes, mask_bits: int = DEFAULT_MASK_BITS,
         h = 0
         for j, g in enumerate(reversed(window)):
             h = (h + (g << j)) % (1 << 64)
-        if i >= _WIN - 1 and i != n - 1 and (h & mask) == 0:
+        if i >= _WIN - 1 and i != n - 1 and (h >> (64 - mask_bits)) == 0:
             cuts.append(i)
     starts = [0] + [c + 1 for c in cuts]
     ends = [c + 1 for c in cuts] + [n]

@@ -154,26 +154,18 @@ def q_join_agg(sf_dir: str):
 
 def q_semi_join(sf_dir: str):
     """Semi join ≙ officers⋉companies (/root/reference/R/loaders.R:1445):
-    customers having ≥1 open ('O') order, counted per nation — implemented
-    as a broadcast key-set filter inside ``map_batches`` (no shuffle)."""
-    import ray
-
+    customers having ≥1 open ('O') order, counted per nation — adaptive
+    key-set filter (broadcast when small, partitioned hash join when the
+    key set exceeds the driver-safe limit)."""
     from ray.data.aggregate import Count
 
+    from who_owns_mass_processing_ray.stages import joins
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-    keys_ds = orders.filter(expr="o_orderstatus == 'O'").select_columns(["o_custkey"])
-    key_tables = ray.get(keys_ds.to_arrow_refs())
-    key_set = pa.concat_tables([t for t in key_tables if t.num_rows]) \
-        .column("o_custkey").combine_chunks()
-    key_ref = ray.put(key_set)
-
-    def probe(t: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)
-        mask = pc.is_in(t["c_custkey"], value_set=keys)
-        return t.filter(mask)
-
+    keys_ds = orders.filter(expr="o_orderstatus == 'O'") \
+        .select_columns(["o_custkey"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    out = customer.map_batches(probe, batch_format="pyarrow") \
+    out = joins.semi_anti_filter(customer, "c_custkey", keys_ds, "o_custkey") \
         .groupby("c_nationkey").aggregate(Count(alias_name="n_customers"))
     return out.sort("c_nationkey")
 
@@ -1397,27 +1389,19 @@ def q_anti_join(sf_dir: str):
     """Anti join — the complement of ``q_semi_join`` and the reference's
     negative-filter idiom (filter(!(id %in% matched)),
     /root/reference/R/deduplicaters.R:56-64): customers with NO
-    fulfilled ('F') order, counted per market segment.  Broadcast
-    key-set + inverted ``pc.is_in`` inside map_batches — no shuffle on the
-    big side."""
-    import ray
-
+    fulfilled ('F') order, counted per market segment.  Adaptive key-set
+    filter: broadcast + inverted ``pc.is_in`` when the key set is small,
+    partitioned left-outer + null-marker filter when it is not — the big
+    side never collects on the driver either way."""
     from ray.data.aggregate import Count
+
+    from who_owns_mass_processing_ray.stages import joins
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]) \
         .filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
-    key_tables = ray.get(orders.to_arrow_refs())
-    key_set = pa.concat_tables([t for t in key_tables if t.num_rows]) \
-        .column("o_custkey").combine_chunks()
-    key_ref = ray.put(key_set)
-
-    def probe(t: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)
-        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
-        return t.filter(mask)
-
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    out = customer.map_batches(probe, batch_format="pyarrow") \
+    out = joins.semi_anti_filter(customer, "c_custkey", orders, "o_custkey",
+                                 anti=True) \
         .groupby("c_mktsegment").aggregate(Count(alias_name="n_no_orders"))
     return out.sort("c_mktsegment")
 
@@ -1449,7 +1433,11 @@ def q_event_type_pivot(sf_dir: str):
     k = len(_PIVOT_TYPES)
 
     def partial(t: pa.Table) -> pa.Table:
-        enc = pc.dictionary_encode(t["event_type"])
+        # NULL event_type lands deterministically in n_other (oracle uses
+        # the same COALESCE sentinel), and dictionary_encode never sees
+        # null indices.
+        et = pc.fill_null(t["event_type"], "\x00null")
+        enc = pc.dictionary_encode(et)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         col_of = np.array([tmap.get(v, k) for v in
@@ -1479,7 +1467,7 @@ def event_type_pivot_sql() -> str:
     return f"""
         SELECT user_id,
                {cols},
-               CAST(count(*) FILTER (event_type NOT IN ({types}))
+               CAST(count(*) FILTER (COALESCE(event_type, '') NOT IN ({types}))
                     AS BIGINT) AS n_other
         FROM events GROUP BY user_id ORDER BY user_id
     """

@@ -1237,34 +1237,42 @@ def _word_counts(t: pa.Table):
     return (ukey // K), counts.astype(np.int64), n_words
 
 
+DECON_HASH_SEED = 0x5EED  # 64-bit gram hashing (false-hit prob ~ m²/2⁶⁵)
+
+
 class Decontaminate:
-    """Actor: the distinct benchmark-gram set (broadcast once via
-    ``ray.put``) held in ``__init__``; per batch, one ``pc.is_in`` C kernel
-    over all grams + a numpy distinct-hit count per doc.  The benchmark
-    side is bounded by benchmark-suite size (MBs at 100 TB corpus scale),
-    so a broadcast set — not a shuffle join — is the right shape."""
+    """Actor: the distinct benchmark-gram HASH set (an Arrow int64 array —
+    8 B/gram, no Python-string overhead — broadcast once via ``ray.put``)
+    held in ``__init__``; per batch, hash the corpus grams with the same
+    64-bit seed and run one ``pc.is_in`` C kernel + a numpy distinct-hit
+    count per doc.  The benchmark side is bounded by benchmark-suite size
+    (MBs at 100 TB corpus scale), so a broadcast set — not a shuffle join
+    — is the right shape; 64-bit hashing keeps the false-hit probability
+    below 1e-6 even at 10⁸ grams."""
 
     def __init__(self, grams_ref):
         import ray
 
-        self.value_set = pa.array(sorted(ray.get(grams_ref)), pa.string())
+        self.value_set = ray.get(grams_ref)   # sorted Arrow int64 array
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_idx, grams = _word_grams(t, DECON_GRAM_WORDS)
         n_hits = np.zeros(len(t), np.int64)
         if len(grams):
-            hit = pc.is_in(grams, value_set=self.value_set)
+            gh = hx.hash_strings(grams, seed=DECON_HASH_SEED) \
+                .view(np.int64)
+            hit = pc.is_in(pa.array(gh), value_set=self.value_set)
             hnp = hit.to_numpy(zero_copy_only=False)
             if hnp.any():
-                hg = grams.filter(hit)
+                hgv = gh[hnp]
                 hd = doc_idx[hnp]
-                enc = pc.dictionary_encode(hg)
-                if isinstance(enc, pa.ChunkedArray):
-                    enc = enc.combine_chunks()
-                codes = enc.indices.to_numpy().astype(np.int64)
-                K = max(len(enc.dictionary), 1)
-                upair = np.unique(hd * K + codes)   # distinct (doc, gram)
-                np.add.at(n_hits, upair // K, 1)
+                order = np.lexsort((hgv, hd))      # distinct (doc, gram)
+                hd_s, hg_s = hd[order], hgv[order]
+                first = np.ones(len(order), dtype=bool)
+                if len(order) > 1:
+                    first[1:] = (hd_s[1:] != hd_s[:-1]) | \
+                        (hg_s[1:] != hg_s[:-1])
+                np.add.at(n_hits, hd_s[first], 1)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_hits": pa.array(n_hits),
@@ -1275,8 +1283,9 @@ class Decontaminate:
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any word 5-gram with
     the held-out benchmark split (doc_id % 97 == 0).  The benchmark gram
-    set is gathered once (small side by construction) and broadcast; the
-    corpus side streams."""
+    set is hashed to 64 bits inside map_batches (per-batch distinct),
+    concatenated as an Arrow int64 array — never a Python string set, no
+    ``take_all`` — and broadcast once; the corpus side streams."""
     import ray
 
     from who_owns_mass_processing_ray.stages import pool_bounds
@@ -1287,11 +1296,18 @@ def q_decontaminate(sf_dir: str):
 
     def emit(t: pa.Table) -> pa.Table:
         _, grams = _word_grams(_split(t, True), DECON_GRAM_WORDS)
-        return pa.table({"gram": pc.unique(grams)})
+        gh = hx.hash_strings(pc.unique(grams), seed=DECON_HASH_SEED)
+        return pa.table({"gh": pa.array(np.unique(gh).view(np.int64))})
 
-    gram_rows = _docs(sf_dir).map_batches(
-        emit, batch_format="pyarrow").take_all()
-    grams_ref = ray.put({r["gram"] for r in gram_rows})
+    gram_tables = ray.get(_docs(sf_dir).map_batches(
+        emit, batch_format="pyarrow").materialize().to_arrow_refs())
+    gram_tables = [t for t in gram_tables if t.num_rows]
+    if gram_tables:
+        gh_all = np.unique(np.concatenate(
+            [t["gh"].to_numpy() for t in gram_tables]))
+    else:
+        gh_all = np.empty(0, np.int64)
+    grams_ref = ray.put(pa.array(gh_all, pa.int64()))
 
     corpus = _docs(sf_dir).map_batches(
         lambda t: _split(t, False), batch_format="pyarrow")
@@ -1921,10 +1937,11 @@ def q_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
     P = _PARA_PARTS
 
     def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))     # match oracle: non-null only
         txt = t["text"]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
-        la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+        la = pc.utf8_split_whitespace(txt)
         flat = la.flatten()
         parent = pc.list_parent_indices(la).to_numpy()
         nonempty = pc.greater(pc.utf8_length(flat), 0) \
@@ -2154,11 +2171,15 @@ def q_shared_span_pairs(sf_dir: str, span: int = SPAN_CHARS,
 
     cand = rows.groupby("part").map_groups(expand, batch_format="pyarrow")
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
+    # ``dropped`` (pairs lost to the hot-bucket cap) rides along so the
+    # truncation is visible in the OUTPUT, not just the docstring; 0 at
+    # test scale, so the oracle carries a literal 0.
     agg = cand.groupby(["a_id", "b_id"]).aggregate(
-        Sum("n", alias_name="n_shared_grams"))
-    return agg.select_columns(["a_id", "b_id", "n_shared_grams"]) \
+        Sum("n", alias_name="n_shared_grams"),
+        Max("dropped", alias_name="dropped"))
+    return agg.select_columns(["a_id", "b_id", "n_shared_grams", "dropped"]) \
         .sort(["a_id", "b_id"])
 
 
@@ -2173,7 +2194,8 @@ def shared_span_pairs_sql(span: int = SPAN_CHARS) -> str:
                      substr(text, CAST(i AS INT), {span}) AS gram
               FROM pos)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               COUNT(*) AS n_shared_grams
+               COUNT(*) AS n_shared_grams,
+               CAST(0 AS BIGINT) AS dropped
         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         ORDER BY 1, 2

@@ -102,3 +102,71 @@ def attach_columns(
         lambda t: t.drop_columns(["__sidekey"]) if "__sidekey" in t.column_names else t,
         batch_format="pyarrow",
     )
+
+
+def semi_anti_filter(
+    ds,
+    key: str,
+    keys_ds,
+    side_key: str,
+    anti: bool = False,
+    num_partitions: int = 16,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+):
+    """Keep rows of ``ds`` whose ``key`` is (semi) / is NOT (anti) present in
+    ``keys_ds[side_key]`` — the filter(!(id %in% matched)) idiom
+    (/root/reference/R/deduplicaters.R:56-64) and officers⋉companies
+    (/root/reference/R/loaders.R:1445), made adaptive for scale:
+
+    - key set <= ``broadcast_limit``: collect it ONCE, ``ray.put``, probe
+      with ``pc.is_in`` inside map_batches — the big side never shuffles.
+    - bigger: distinct the keys with a groupby (partial counts combine
+      map-side), then a partitioned hash join — semi = inner join on the
+      distinct keys (each ``ds`` row survives exactly once), anti =
+      left-outer + filter on a null marker.  The key set is never
+      driver-materialized.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"__sidekey": t[side_key]})
+
+    proj = keys_ds.map_batches(project, batch_format="pyarrow").materialize()
+    if proj.count() <= broadcast_limit:
+        import ray
+
+        tables = [t for t in ray.get(proj.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return ds if anti else ds.limit(0)
+        key_set = pa.concat_tables(tables).column("__sidekey") \
+            .combine_chunks()
+        key_ref = ray.put(key_set)
+
+        def probe(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            mask = pc.is_in(t[key], value_set=_ray.get(key_ref))
+            return t.filter(pc.invert(mask) if anti else mask)
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    distinct_keys = proj.groupby("__sidekey") \
+        .aggregate(Count(alias_name="__kmark"))
+    if not anti:
+        joined = ds.join(distinct_keys, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=(key,), right_on=("__sidekey",))
+    else:
+        joined = ds.join(distinct_keys, join_type="left_outer",
+                         num_partitions=num_partitions,
+                         on=(key,), right_on=("__sidekey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if anti and "__kmark" in t.column_names:
+            t = t.filter(pc.is_null(t["__kmark"]))
+        return t.drop_columns(
+            [c for c in ("__sidekey", "__kmark") if c in t.column_names])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
