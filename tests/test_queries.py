@@ -26,7 +26,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "chunk_text", "para_dedup", "pack_sequences", "regex_redact",
           "near_dup_keep_best", "near_dup_survivors", "anti_join",
           "event_type_pivot", "shared_span_pairs", "delta_dedup",
-          "speech_rate", "group_quantile_trim"]
+          "speech_rate", "group_quantile_trim", "network_communities",
+          "metacorp_rollup"]
 
 
 @pytest.fixture(scope="module")

@@ -1471,3 +1471,312 @@ def event_type_pivot_sql() -> str:
                     AS BIGINT) AS n_other
         FROM events GROUP BY user_id ORDER BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Bipartite affiliation-network chain, END TO END ≙ the reference's second
+# clustering output (metacorps_network): dedupe_network over distinct
+# (company_group, officer_group) edges -> igraph communities -> network id
+# propagated to owners with a per-owner-group downup fill -> networks that
+# never meet a property record pruned via a group-filled match flag
+# (/root/reference/R/deduplicaters.R:882-1026, dedupe_network :248-288).
+#
+# Mapping onto the synthetic tables: affiliation edges are distinct
+# (l_partkey, l_suppkey) pairs from flagged lineitems (quantity = 1, line 1
+# — picked so the bipartite graph has ~83 nontrivial components at sf0.01,
+# not one giant blob); "companies" are orders (linked to edges via
+# l_orderkey), "owners" are orders grouped by o_custkey (the cosine group),
+# and "meets a property record" is o_orderstatus = 'F'.  The whole chain —
+# components included, via a recursive CTE — is DuckDB-expressible, so the
+# query is driver hash-matched end to end.
+#
+# Scale shape: the edge list is the DISTINCT affiliation-pair set (O(edges)
+# ≪ rows — the same bound the flagship's components stage documents via
+# cfg.dsu_edge_limit, with stages/components.components_labelprop as the
+# overflow path); per-batch distinct happens map-side before anything
+# leaves the scan, node labels attach back via the adaptive join, and both
+# fills are one groupby/aggregate each — never a driver-side loop.
+# ---------------------------------------------------------------------------
+
+def q_network_communities(sf_dir: str):
+    """Per-company network assignment after pruning: (company_id,
+    cosine_group, network_id) for every order whose (group-filled) network
+    contains at least one fulfilled order."""
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Max, Min
+
+    from who_owns_mass_processing_ray.stages import joins
+    from who_owns_mass_processing_ray.stages.components import (
+        min_label_components,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_linenumber"])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy()
+        ln = t["l_linenumber"].to_numpy()
+        m = (q == 1) & (ln == 1)
+        pk = t["l_partkey"].to_numpy()[m].astype(np.int64)
+        sk = t["l_suppkey"].to_numpy()[m].astype(np.int64)
+        # per-batch distinct: only unique narrow pairs leave the scan
+        key = pk * (1 << 32) + sk
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({"a": pa.array(2 * pk[idx]),
+                         "b": pa.array(2 * sk[idx] + 1)})
+
+    edges = li.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    tables = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"company_id": pa.array([], pa.int64()),
+                      "cosine_group": pa.array([], pa.int64()),
+                      "network_id": pa.array([], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    e = pa.concat_tables(tables).combine_chunks()
+    a, b = e["a"].to_numpy(), e["b"].to_numpy()
+    nodes = np.unique(np.concatenate((a, b)))
+    lab = min_label_components(np.searchsorted(nodes, a),
+                               np.searchsorted(nodes, b), len(nodes))
+    net_of = nodes[lab]                      # component label = min node code
+    pmask = nodes % 2 == 0                   # part-side nodes carry the label
+    part_map = rd.from_arrow(pa.table({
+        "pk": pa.array(nodes[pmask] // 2),
+        "net": pa.array(net_of[pmask]),
+    }))
+
+    # company (order) network: min component label over its flagged lines
+    def flagged(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["l_quantity"], 1),
+                    pc.equal(t["l_linenumber"], 1))
+        t2 = t.filter(m)
+        return pa.table({"l_orderkey": t2["l_orderkey"],
+                         "l_partkey": pc.cast(t2["l_partkey"], pa.int64())})
+
+    li_net = joins.attach_columns(
+        li.map_batches(flagged, batch_format="pyarrow"), part_map,
+        "l_partkey", "pk", {"net": "net"}, 16, how="inner")
+    cnet = li_net.groupby("l_orderkey").aggregate(Min("net", alias_name="net"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    own = joins.attach_columns(orders, cnet, "o_orderkey", "l_orderkey",
+                               {"net": "net"}, 16, how="left")
+
+    # group fill downup within the cosine group (deterministic: the fill
+    # value is the group MIN, ≙ tidyr::fill after arrange), then drop rows
+    # whose whole group has no network — the reference's un-networked tail
+    def fill(g: pa.Table) -> pa.Table:
+        net = pc.cast(g["net"], pa.int64())
+        fillv = pc.min(net).as_py()          # ignores nulls
+        t = pa.table({
+            "company_id": pc.cast(g["o_orderkey"], pa.int64()),
+            "cosine_group": pc.cast(g["o_custkey"], pa.int64()),
+            "network_id": net,
+            "is_f": pc.cast(pc.equal(g["o_orderstatus"], "F"), pa.int64()),
+        })
+        if fillv is None:
+            return t.slice(0, 0)
+        return t.set_column(2, "network_id",
+                            pc.fill_null(t["network_id"], fillv))
+
+    filled = own.groupby("o_custkey").map_groups(
+        fill, batch_format="pyarrow").materialize()
+
+    match = filled.groupby("network_id").aggregate(
+        Max("is_f", alias_name="m"))
+    out = joins.attach_columns(filled, match, "network_id", "network_id",
+                               {"m": "m"}, 16, how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["m"], 1))
+        return pa.table({
+            "company_id": t["company_id"],
+            "cosine_group": t["cosine_group"],
+            "network_id": t["network_id"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("company_id")
+
+
+def network_communities_sql() -> str:
+    return """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT 2 * l_partkey AS a, 2 * l_suppkey + 1 AS b
+          FROM lineitem WHERE l_quantity = 1 AND l_linenumber = 1
+        ),
+        sym(x, y) AS (
+          SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+        ),
+        reach(id, r) AS (
+          SELECT x, x FROM sym
+          UNION
+          SELECT s.y, reach.r FROM reach JOIN sym s ON s.x = reach.id
+        ),
+        lab AS (SELECT id, min(r) AS net FROM reach GROUP BY id),
+        cnet AS (
+          SELECT l.l_orderkey AS ok, min(lab.net) AS net
+          FROM lineitem l JOIN lab ON lab.id = 2 * l.l_partkey
+          WHERE l.l_quantity = 1 AND l.l_linenumber = 1
+          GROUP BY 1
+        ),
+        own AS (
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, c.net
+          FROM orders o LEFT JOIN cnet c ON c.ok = o.o_orderkey
+        ),
+        fill AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 coalesce(net, min(net) OVER (PARTITION BY o_custkey))
+                   AS network_id
+          FROM own
+        ),
+        mt AS (
+          SELECT network_id,
+                 max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS m
+          FROM fill WHERE network_id IS NOT NULL GROUP BY 1
+        )
+        SELECT f.o_orderkey AS company_id,
+               f.o_custkey AS cosine_group,
+               f.network_id
+        FROM fill f JOIN mt USING (network_id)
+        WHERE mt.m = 1
+        ORDER BY company_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Metacorp enrichment rollup ≙ the public results contract
+# (/root/reference/load_results.R:36-52): summ_sites_to_owners (link table
+# ⨝ owners ⨝ sites, per-site derived val/units) -> summ_site_group
+# (per-metacorp prop_count / unit_count / val sums + ratios,
+# /root/reference/R/summarizers.R:1-25) -> summ_metacorps_network_companies
+# (n_distinct companies per metacorp, :81-93).
+#
+# Mapping: sites ≙ orders (val = o_totalprice), units ≙ lineitem count per
+# order, owners ≙ customer, metacorp id ≙ c_nationkey, companies per
+# metacorp ≙ DISTINCT suppliers serving that metacorp's orders.  Shape: two
+# partial-aggregated groupbys + adaptive joins; the n_distinct uses
+# per-batch distinct (nation, supplier) pairs before the shuffle so only
+# unique narrow pairs move.
+# ---------------------------------------------------------------------------
+
+def q_metacorp_rollup(sf_dir: str):
+    """Per-metacorp rollup: prop_count, unit_count, val, units_per_prop,
+    val_per_prop, company_count — sorted by prop_count desc (tiebreak id),
+    the ``load_results`` summarize contract."""
+    from ray.data.aggregate import Count, Sum
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    # units per site (lineitems per order): partial count map-side
+    units = li.groupby("l_orderkey").aggregate(Count(alias_name="units"))
+    sites = joins.attach_columns(orders, units, "o_orderkey", "l_orderkey",
+                                 {"units": "units"}, 16, how="left")
+    sites = joins.attach_columns(sites, customer, "o_custkey", "c_custkey",
+                                 {"c_nationkey": "metacorp_id"}, 16,
+                                 how="inner")
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "metacorp_id": pc.cast(t["metacorp_id"], pa.int64()),
+            "units": pc.cast(pc.fill_null(t["units"], 0), pa.int64()),
+            "val": t["o_totalprice"],
+        })
+
+    roll = sites.map_batches(derive, batch_format="pyarrow") \
+        .groupby("metacorp_id").aggregate(
+            Count(alias_name="prop_count"),
+            Sum("units", alias_name="unit_count"),
+            Sum("val", alias_name="val"))
+
+    # n_distinct companies (suppliers) per metacorp: attach nation to the
+    # link table, per-batch distinct pairs, then count distinct per group
+    li_nat = joins.attach_columns(li, orders, "l_orderkey", "o_orderkey",
+                                  {"o_custkey": "o_custkey"}, 16, how="inner")
+    li_nat = joins.attach_columns(li_nat, customer, "o_custkey", "c_custkey",
+                                  {"c_nationkey": "metacorp_id"}, 16,
+                                  how="inner")
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        n = t["metacorp_id"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        key = n * (1 << 32) + s
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({"metacorp_id": pa.array(n[idx]),
+                         "l_suppkey": pa.array(s[idx])})
+
+    comp = li_nat.map_batches(pair_distinct, batch_format="pyarrow") \
+        .groupby(["metacorp_id", "l_suppkey"]).aggregate(
+            Count(alias_name="_dup")) \
+        .groupby("metacorp_id").aggregate(
+            Count(alias_name="company_count"))
+
+    out = joins.attach_columns(roll, comp, "metacorp_id", "metacorp_id",
+                               {"company_count": "company_count"}, 16,
+                               how="left")
+
+    def ratios(t: pa.Table) -> pa.Table:
+        prop = pc.cast(t["prop_count"], pa.float64())
+        val = pc.cast(t["val"], pa.float64())
+        tbl = pa.table({
+            "metacorp_id": t["metacorp_id"],
+            "prop_count": pc.cast(t["prop_count"], pa.int64()),
+            "unit_count": pc.cast(t["unit_count"], pa.int64()),
+            "val": val,
+            "units_per_prop": pc.divide(
+                pc.cast(t["unit_count"], pa.float64()), prop),
+            "val_per_prop": pc.divide(val, prop),
+            "company_count": pc.cast(
+                pc.fill_null(t["company_count"], 0), pa.int64()),
+        })
+        return round_col(round_col(round_col(
+            tbl, "val", 2), "units_per_prop", 6), "val_per_prop", 4)
+
+    return out.map_batches(ratios, batch_format="pyarrow") \
+        .sort(["prop_count", "metacorp_id"], descending=[True, False])
+
+
+def metacorp_rollup_sql() -> str:
+    return """
+        WITH units AS (
+          SELECT l_orderkey, count(*) AS units FROM lineitem GROUP BY 1
+        ),
+        sites AS (
+          SELECT c.c_nationkey AS metacorp_id,
+                 coalesce(u.units, 0) AS units,
+                 o.o_totalprice AS val
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          LEFT JOIN units u ON u.l_orderkey = o.o_orderkey
+        ),
+        roll AS (
+          SELECT metacorp_id,
+                 CAST(count(*) AS BIGINT) AS prop_count,
+                 CAST(sum(units) AS BIGINT) AS unit_count,
+                 round(sum(val), 2) AS val,
+                 round(sum(units) * 1.0 / count(*), 6) AS units_per_prop,
+                 round(sum(val) / count(*), 4) AS val_per_prop
+          FROM sites GROUP BY 1
+        ),
+        comp AS (
+          SELECT c.c_nationkey AS metacorp_id,
+                 CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                   AS company_count
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1
+        )
+        SELECT r.metacorp_id, r.prop_count, r.unit_count, r.val,
+               r.units_per_prop, r.val_per_prop,
+               coalesce(cp.company_count, 0) AS company_count
+        FROM roll r LEFT JOIN comp cp USING (metacorp_id)
+        ORDER BY r.prop_count DESC, r.metacorp_id
+    """

@@ -809,15 +809,33 @@ def _edit_distance_matrix(tokens: list[str], vocab: list[str],
     return out
 
 
+def _fuzzify_key(s: str) -> str:
+    """Anagram key ≙ ``std_fuzzify_string``
+    (/root/reference/R/standardizers.R:105-132): first and last characters
+    anchored, middle characters sorted — two strings share a key iff they
+    are anagrams sharing start/end characters (the exact-anagram core of
+    the reference's char-class regex; the regex additionally admits
+    non-anagram strings over the same alphabet within a ±1 length band)."""
+    if len(s) < 3:
+        return s
+    return s[0] + "".join(sorted(s[1:-1])) + s[-1]
+
+
 class FuzzyJoin:
-    """Actor: vocab held in state (≙ the reference's fuzzy
-    Damerau-Levenshtein places join, /root/reference/R/standardizers.R:
-    1564-1670, 'std_munis_by_places' 3rd pass) — per batch, match each
-    doc's FIRST token to the closest vocab word with edit distance <= 2,
-    ties by lexicographic min word."""
+    """Actor: vocab + precompiled fuzzified (anagram) keys held in state
+    (≙ the reference's places join, /root/reference/R/standardizers.R:
+    1564-1670, 'std_munis_by_places' 3rd pass with its ``name_fuzzy``
+    anagram regexes, /root/reference/R/loaders.R:1083) — per batch, two
+    passes per doc's FIRST token: (1) anagram-key equality against the
+    fuzzified vocab (≙ std_fuzzify_string), then (2) closest vocab word
+    with edit distance <= 2.  Ties by lexicographic min word; the winning
+    pass is reported in ``match_pass``."""
 
     def __init__(self):
         self.vocab = sorted(FUZZY_VOCAB)
+        self.fuzz_of: dict[str, str] = {}
+        for w in self.vocab:            # sorted -> first insert = lexic. min
+            self.fuzz_of.setdefault(_fuzzify_key(w), w)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         # no-match -> '' to mirror the DuckDB oracle's regexp_extract
@@ -825,19 +843,32 @@ class FuzzyJoin:
         first = pc.fill_null(pc.struct_field(
             pc.extract_regex(t["text"], r"^(?P<tok>\S+)"), "tok"), "")
         toks = first.to_pylist()
+        anag = [self.fuzz_of.get(_fuzzify_key(tok)) for tok in toks]
         d = _edit_distance_matrix(toks, self.vocab, match_thresh=2)
         best = d.argmin(axis=1)  # ties -> first (vocab sorted -> lexic. min)
         bestd = d[np.arange(len(toks)), best]
         ok = bestd <= 2
-        out = pa.table({
+        matched, dist, mpass = [], [], []
+        for i, a in enumerate(anag):
+            if a is not None:
+                matched.append(a)
+                dist.append(None)
+                mpass.append("anagram")
+            elif ok[i]:
+                matched.append(self.vocab[best[i]])
+                dist.append(int(bestd[i]))
+                mpass.append("edit")
+            else:
+                matched.append(None)
+                dist.append(-1)
+                mpass.append(None)
+        return pa.table({
             "doc_id": t["doc_id"],
             "first_token": first,
-            "matched_word": pa.array(
-                [self.vocab[b] if k else None
-                 for b, k in zip(best, ok)], pa.string()),
-            "edit_dist": pa.array(np.where(ok, bestd, -1).astype(np.int64)),
+            "matched_word": pa.array(matched, pa.string()),
+            "edit_dist": pa.array(dist, pa.int64()),
+            "match_pass": pa.array(mpass, pa.string()),
         })
-        return out
 
 
 def q_fuzzy_join(sf_dir: str):
