@@ -48,7 +48,16 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def run_bench(flagship_only: bool = False) -> dict:
+def run_bench(flagship_only: bool = False, repeat: int = 1) -> dict:
+    """One Ray session; each headline query executed ``repeat`` times
+    (full re-execution — Datasets are lazy, nothing is cached between
+    passes).  With repeat>1 the reported per-query number is the MEDIAN
+    and a ``spread`` map carries (min, max) so host-noise swings are
+    visible in the record instead of being argued about after the fact
+    (round-3 verdict: the +24% r2->r3 headline delta was unattributable
+    because every bench was a single shot)."""
+    import statistics
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -62,18 +71,21 @@ def run_bench(flagship_only: bool = False) -> dict:
 
     qs = entrymod.queries()
     names = ["dedup_clusters"] if flagship_only else HEADLINE
-    times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in names}
     n_clips = 0
-    for name in names:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        # consume the stream (count() for datasets, len for tables)
-        n = res.count() if hasattr(res, "count") else len(res)
-        times[name] = round(time.time() - t0, 3)
-        if name == "dedup_clusters":
-            import pyarrow.parquet as pq
+    for _ in range(max(1, repeat)):
+        for name in names:
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            # consume the stream (count() for datasets, len for tables)
+            n = res.count() if hasattr(res, "count") else len(res)
+            samples[name].append(round(time.time() - t0, 3))
+            if name == "dedup_clusters" and not n_clips:
+                import pyarrow.parquet as pq
 
-            n_clips = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+                n_clips = pq.read_metadata(
+                    f"{SF_DIR}/documents.parquet").num_rows
+    times = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_pipelines_total_sec",
@@ -83,6 +95,9 @@ def run_bench(flagship_only: bool = False) -> dict:
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
     }
+    if repeat > 1:
+        out["repeat"] = repeat
+        out["spread"] = {n: [min(v), max(v)] for n, v in samples.items()}
     if "dedup_clusters" in times and times["dedup_clusters"] > 0:
         out["clips_per_sec"] = round(n_clips / times["dedup_clusters"], 2)
     ray.shutdown()
@@ -96,7 +111,13 @@ def run_bench(flagship_only: bool = False) -> dict:
 # of fixed per-run orchestration — 160k measured a WORSE 8→32 ratio
 # (0.60–0.67) than 80k (0.77–0.96 across host epochs) on identical code.
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "80000"))
-SCALING_DIR = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
+# "zipf" (original, adversarial head) or "natural" (Zipf-Mandelbrot word
+# frequencies — linear candidate growth; see synth._style_tables)
+SCALING_STYLE = os.environ.get("GRAFT_SCALING_STYLE", "zipf")
+SCALING_DIR = os.environ.get(
+    "GRAFT_SCALING_DIR",
+    "/tmp/graft_scaling_corpus" + ("" if SCALING_STYLE == "zipf"
+                                   else f"_{SCALING_STYLE}"))
 
 
 def run_scaling_worker(cpus: int) -> dict:
@@ -112,7 +133,8 @@ def run_scaling_worker(cpus: int) -> dict:
     from who_owns_mass_processing_ray import synth
     from who_owns_mass_processing_ray.pipelines import dedup
 
-    synth.generate_clips_parquet(SCALING_DIR, SCALING_ROWS, seed=42)
+    synth.generate_clips_parquet(SCALING_DIR, SCALING_ROWS, seed=42,
+                                 style=SCALING_STYLE)
     # Untimed page-cache warm-up: the two legs run back-to-back in one
     # process pair, and the first leg's object-store spill traffic evicts
     # the corpus from the page cache — the second leg would then pay
@@ -127,11 +149,14 @@ def run_scaling_worker(cpus: int) -> dict:
                 pass
     t0 = time.time()
     res = dedup.dedup_pipeline(f"{SCALING_DIR}/clips")
+    t1 = time.time()
     n_clusters = res["clusters"].count()
     dt = time.time() - t0
+    timing = dict(res.get("timing", {}))
+    timing["clusters_consume"] = round(time.time() - t1, 3)
     ray.shutdown()
     return {"cpus": cpus, "sec": round(dt, 3), "rows": SCALING_ROWS,
-            "clusters": n_clusters,
+            "clusters": n_clusters, "stage_timing": timing,
             "clips_per_sec": round(SCALING_ROWS / dt, 2)}
 
 
@@ -173,18 +198,24 @@ def run_scaling() -> dict:
         "throughput_clips_per_sec": {"8": thr8, "32": thr32},
         "speedup": round(thr32 / thr8, 3),
         "rows": SCALING_ROWS,
+        "style": SCALING_STYLE,
         "clusters": [results[8]["clusters"], results[32]["clusters"]],
+        "stage_timing": {str(c): results[c].get("stage_timing", {})
+                         for c in (8, 32)},
         "num_cpus": [8, 32],
     }
 
 
 if __name__ == "__main__":
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     if "--scaling-worker" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
         print(json.dumps(run_scaling_worker(cpus)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--flagship-json" in sys.argv:
-        print(json.dumps(run_bench(flagship_only=True)))
+        print(json.dumps(run_bench(flagship_only=True, repeat=repeat)))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench(repeat=repeat)))

@@ -83,6 +83,22 @@ def dedup_pipeline_from_dataset(
 ):
     """Same DAG over an already-constructed clips Dataset (any source that
     matches the clip contract).  ``input_tag`` keys the checkpoint lineage."""
+    import os
+    import sys
+    import time
+
+    timing: dict[str, float] = {}
+    _trace = bool(os.environ.get("GRAFT_STAGE_TIMING"))
+
+    def _timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timing[name] = round(time.time() - t0, 3)
+        if _trace:
+            print(f"[stage-timing] {name}: {timing[name]}s",
+                  file=sys.stderr, flush=True)
+        return out
+
     num_parts = cfg.num_parts or _auto_parts()
     num_partitions = max(8, num_parts // 4)
     cache = checkpoint.StageCache(checkpoint_dir)
@@ -118,10 +134,10 @@ def dedup_pipeline_from_dataset(
     if checkpoint_dir and clips_path:
         feats = checkpoint.partitioned_features(clips_path, cfg, cache, cfg_fp)
     else:
-        feats = _pin(cache.run(
+        feats = _timed("features", lambda: _pin(cache.run(
             "features", cfg_fp,
             lambda: features_mod.extract_features(clips_ds, cfg),
-        ))
+        )))
     feats = _coalesce(feats)
 
     # Scheduling: the four edge stages all read `feats`.  Each one
@@ -140,16 +156,16 @@ def dedup_pipeline_from_dataset(
             return ds.materialize()
         return ds
 
-    e_exact = _stage(cache.run(
-        "edges_exact", cfg_fp, lambda: exact.exact_edges(feats, cfg, num_parts)))
-    e_near = _stage(cache.run(
+    e_exact = _timed("edges_exact", lambda: _stage(cache.run(
+        "edges_exact", cfg_fp, lambda: exact.exact_edges(feats, cfg, num_parts))))
+    e_near = _timed("edges_near", lambda: _stage(cache.run(
         "edges_near", cfg_fp,
-        lambda: lsh.near_edges(feats, cfg, num_parts, num_partitions)))
-    e_audio = _stage(cache.run(
-        "edges_audio", cfg_fp, lambda: audio_fp.audio_edges(feats, cfg, num_parts)))
-    e_contain = _stage(cache.run(
+        lambda: lsh.near_edges(feats, cfg, num_parts, num_partitions))))
+    e_audio = _timed("edges_audio", lambda: _stage(cache.run(
+        "edges_audio", cfg_fp, lambda: audio_fp.audio_edges(feats, cfg, num_parts))))
+    e_contain = _timed("edges_containment", lambda: _stage(cache.run(
         "edges_containment", cfg_fp,
-        lambda: containment.containment_edges(feats, cfg, num_parts, num_partitions)))
+        lambda: containment.containment_edges(feats, cfg, num_parts, num_partitions))))
 
     if cfg.compound_bound:
         # ≙ dedupe_cosine_bounded (/root/reference/R/deduplicaters.R:446-539):
@@ -161,16 +177,17 @@ def dedup_pipeline_from_dataset(
         from who_owns_mass_processing_ray.stages import pairs as pr
 
         e_near_bound = pr.pair_intersect(e_near, e_audio, num_partitions)
-        edges = _coalesce(_pin(e_exact.union(e_near_bound).union(e_contain)))
+        edges = _timed("edges_union", lambda: _coalesce(
+            _pin(e_exact.union(e_near_bound).union(e_contain))))
     else:
-        edges = _coalesce(_pin(
-            e_exact.union(e_near).union(e_audio).union(e_contain)))
+        edges = _timed("edges_union", lambda: _coalesce(_pin(
+            e_exact.union(e_near).union(e_audio).union(e_contain))))
 
-    assignment = _coalesce(_pin(cache.run(
+    assignment = _timed("assignment", lambda: _coalesce(_pin(cache.run(
         "assignment", cfg_fp,
         lambda: components.assignment_dataset(
             feats, edges, cfg, num_partitions, method=components_method),
-    )))
+    ))))
 
     c2c = cache.run(
         "clip_to_cluster", cfg_fp,
@@ -184,6 +201,7 @@ def dedup_pipeline_from_dataset(
         "edges": edges,
         "clip_to_cluster": c2c,
         "clusters": clusters,
+        "timing": timing,
     }
 
 

@@ -78,7 +78,6 @@ def q_knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5):
     whole table (self excluded).  Broadcast the query matrix with ray.put
     ONCE; each batch contributes its local top-k rows; a final per-query
     group reduce keeps the global top-k.  Ties break by vec_id ascending."""
-    import pandas as pd
     import ray
 
     q_ids, Q = _query_matrix(sf_dir, n_queries)
@@ -110,12 +109,13 @@ def q_knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5):
             "cosine": pa.array(np.concatenate(out_s)),
         })
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        return g
+    def global_topk(g: pa.Table) -> pa.Table:
+        # group <= nq*k rows; Arrow sort+slice, no pandas conversion
+        return g.sort_by([("cosine", "descending"),
+                          ("vec_id", "ascending")]).slice(0, k)
 
     out = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(global_topk, batch_format="pandas")
+        .groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
 
     def rnd(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -205,7 +205,6 @@ def q_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
     because the synthetic test embeddings are near-uniform on the sphere —
     the worst case for IVF; clustered real corpora allow much lower nprobe
     at the same recall."""
-    import pandas as pd
     import ray
 
     ds = _emb(sf_dir)
@@ -269,9 +268,10 @@ def q_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
                                pa.float64()),
         })
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", "vec_id"],
-                             ascending=[False, True]).head(k)
+    def global_topk(g: pa.Table) -> pa.Table:
+        # group <= nprobe*k rows; Arrow sort+slice, no pandas conversion
+        return g.sort_by([("cosine", "descending"),
+                          ("vec_id", "ascending")]).slice(0, k)
 
     from who_owns_mass_processing_ray.stages import pool_bounds
 
@@ -279,7 +279,7 @@ def q_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
                                         concurrency=pool_bounds(4))
     out = assigned.groupby("list_id").map_groups(list_topk,
                                                  batch_format="pyarrow") \
-        .groupby("query_id").map_groups(global_topk, batch_format="pandas")
+        .groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
 
     def rnd(t: pa.Table) -> pa.Table:
         return pa.table({

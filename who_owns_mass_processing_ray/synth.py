@@ -76,6 +76,33 @@ def _make_vocab(seed: int, size: int = 5000) -> list[str]:
     return out
 
 
+def _style_tables(seed: int, style: str) -> tuple[list[str], np.ndarray | None]:
+    """(vocab, rank-probabilities) for a corpus style.
+
+    ``zipf`` (default, the original corpus): 5k vocab, ``np.random.zipf(1.3)``
+    draw folded mod vocab — a HEAVY head (few hundred words dominate), so
+    cross-document shingle collisions, and with them LSH candidate volume,
+    grow super-linearly with corpus size.  Deliberately adversarial; kept
+    as-is for continuity with the recorded 80k scaling runs.
+
+    ``natural``: 30k vocab with Zipf-Mandelbrot rank frequencies
+    p(r) ∝ 1/(r+2.7) — the published shape of natural-language word
+    frequencies (Zipf exponent ~1, Mandelbrot offset β≈2.7).  The flatter
+    head + 6× vocab makes unrelated-document shingle overlap rare, so
+    candidate pairs grow ~linearly with rows — the regime a real 100 TB
+    text corpus is in, and the one where doubling the corpus amortizes
+    fixed per-run costs instead of drowning them in quadratic verify work
+    (BASELINE.md: why 160k-zipf measured a WORSE 8→32 ratio than 80k)."""
+    if style == "zipf":
+        return _make_vocab(seed), None
+    if style == "natural":
+        vocab = _make_vocab(seed, size=30000)
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        p = 1.0 / (ranks + 2.7)
+        return vocab, np.cumsum(p / p.sum())  # CDF, inverse-transform ready
+    raise ValueError(f"unknown corpus style: {style!r}")
+
+
 def clip_id_str(i: int) -> str:
     return f"clip-{i:012d}"
 
@@ -121,11 +148,17 @@ def _waveform(params: dict, sr_hz: int, dur_ms: int) -> np.ndarray:
     return x.astype(np.float32)
 
 
-def _transcript(seed: int, i: int, vocab: list[str]) -> list[str]:
+def _transcript(seed: int, i: int, vocab: list[str],
+                probs: np.ndarray | None = None) -> list[str]:
     rng = _row_rng(seed, i, 2)
     n_words = int(rng.integers(5, 81))
-    # zipf-ish draw over the vocab for realistic token frequencies
-    idx = (rng.zipf(1.3, size=n_words) - 1) % len(vocab)
+    if probs is None:
+        # zipf-ish draw over the vocab for realistic token frequencies
+        idx = (rng.zipf(1.3, size=n_words) - 1) % len(vocab)
+    else:
+        # natural style: inverse-CDF over the Zipf-Mandelbrot rank CDF
+        idx = np.searchsorted(probs, rng.random(n_words))
+        idx = np.minimum(idx, len(vocab) - 1)
     return [vocab[j] for j in idx]
 
 
@@ -158,7 +191,8 @@ def _edit_transcript(words: list[str], rng: np.random.Generator, vocab: list[str
 
 
 def generate_batch(
-    indices: np.ndarray, n_rows: int, seed: int, vocab: list[str]
+    indices: np.ndarray, n_rows: int, seed: int, vocab: list[str],
+    probs: np.ndarray | None = None,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate clip rows (+ truth-pair rows for dup indices) for a batch of
     global indices.  Pure function of (seed, index) — safe to run on any
@@ -171,7 +205,7 @@ def generate_batch(
         i = int(i)
         if i < n_base:
             params = _base_params(seed, i)
-            words = _transcript(seed, i, vocab)
+            words = _transcript(seed, i, vocab, probs)
             sr, dur, codec = params["sr_hz"], params["dur_ms"], params["codec"]
             pcm = _waveform(params, sr, dur)
             blob = audio.encode(pcm, sr, codec)
@@ -182,7 +216,7 @@ def generate_batch(
             b = int(rng.integers(0, n_base))
             kind = _KINDS[int(rng.choice(len(_KINDS), p=_KIND_P))]
             params = _base_params(seed, b)
-            words = _transcript(seed, b, vocab)
+            words = _transcript(seed, b, vocab, probs)
             sr, dur, codec = params["sr_hz"], params["dur_ms"], params["codec"]
             if kind == "exact":
                 pcm = _waveform(params, sr, dur)
@@ -243,15 +277,17 @@ def generate_batch(
     return clips, truth
 
 
-def generate_clips_tables(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+def generate_clips_tables(n_rows: int, seed: int = 42,
+                          style: str = "zipf") -> tuple[pa.Table, pa.Table]:
     """Driver-side generation for tests / small scales."""
-    vocab = _make_vocab(seed)
-    clips, truth = generate_batch(np.arange(n_rows), n_rows, seed, vocab)
+    vocab, probs = _style_tables(seed, style)
+    clips, truth = generate_batch(np.arange(n_rows), n_rows, seed, vocab, probs)
     return clips, truth
 
 
 def generate_clips_parquet(out_dir: str, n_rows: int, seed: int = 42,
-                           use_ray: bool | None = None) -> str:
+                           use_ray: bool | None = None,
+                           style: str = "zipf") -> str:
     """Write clips.parquet + truth_pairs.parquet under ``out_dir``; cached —
     if the directory already has a matching manifest, generation is skipped.
 
@@ -266,6 +302,8 @@ def generate_clips_parquet(out_dir: str, n_rows: int, seed: int = 42,
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
     want = {"n_rows": n_rows, "seed": seed, "version": 3}
+    if style != "zipf":  # default-style manifests keep their cached shape
+        want["style"] = style
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == want:
@@ -285,23 +323,25 @@ def generate_clips_parquet(out_dir: str, n_rows: int, seed: int = 42,
     os.makedirs(clips_path, exist_ok=True)
     os.makedirs(truth_path, exist_ok=True)
     if not use_ray:
-        clips, truth = generate_clips_tables(n_rows, seed)
+        clips, truth = generate_clips_tables(n_rows, seed, style)
         pq.write_table(clips, os.path.join(clips_path, "part-0.parquet"))
         pq.write_table(truth, os.path.join(truth_path, "part-0.parquet"))
     else:
         import ray.data as rd
 
-        vocab = _make_vocab(seed)
+        vocab, probs = _style_tables(seed, style)
 
         class Gen:
             """Actor: vocab built once per worker, batches of indices in."""
 
             def __init__(self):
                 self.vocab = vocab
+                self.probs = probs
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 idx = batch["id"].to_numpy()
-                clips, truth = generate_batch(idx, n_rows, seed, self.vocab)
+                clips, truth = generate_batch(idx, n_rows, seed, self.vocab,
+                                              self.probs)
                 # carry truth pairs inline (empty strings for base rows)
                 nb = len(clips)
                 left = [""] * nb
