@@ -88,6 +88,14 @@ class DedupConfig:
     # hot docs across more pairs (measured 44.5s -> 32.5s for the 80k near
     # stage at 8192 vs 1024)
     verify_batch_size: int = 8192
+    # Cap candidate-pair block size before the attach+verify map: pair
+    # expansion emits one block per coarse partition, and a partition that
+    # holds a salted mega-bucket can carry millions of pairs — one straggler
+    # task then gates the whole stage (measured 22 s max vs 5.7 s mean task
+    # at 80k clips / 32 CPUs).  A streaming split of the NARROW pair stream
+    # (ids only, ~30 B/row) rebalances verify at any scale; 50k pairs
+    # ≈ 20 MB attached-transcript working set per task.
+    verify_rows_per_block: int = 50_000
     audio_batch_size: int = 64      # rows per batch for PCM decode (wide rows)
     minhash_concurrency: int = 0    # 0 = let Ray autoscale task pool
     # decode actor pool autoscales between (min, max); max is sized to a

@@ -181,6 +181,10 @@ def containment_edges(features_ds, cfg: DedupConfig, num_parts: int,
                             "right_id": t["contained_id"],
                             "dropped": t["dropped"]}),
         batch_format="pyarrow")
+    # rebalance narrow pairs before the verify map (straggler partitions —
+    # see config.verify_rows_per_block)
+    cand = cand.repartition(
+        target_num_rows_per_block=cfg.verify_rows_per_block)
     cand = pr.attach_pair_features(cand, features_ds, "transcript_norm",
                                    num_partitions, out_prefix="norm")
 

@@ -100,6 +100,10 @@ def near_edges(features_ds, cfg: DedupConfig, num_parts: int, num_partitions: in
     cand = pr.pairs_from_bucket_rows(
         band_rows, "bucket_key", "clip_id", cfg.max_bucket, num_parts
     )
+    # rebalance the narrow pair stream before the verify map: one partition
+    # can hold a salted mega-bucket's pairs (see config.verify_rows_per_block)
+    cand = cand.repartition(
+        target_num_rows_per_block=cfg.verify_rows_per_block)
     cand = pr.attach_pair_features(cand, features_ds, "transcript_norm",
                                    num_partitions, out_prefix="norm")
     verified = cand.map_batches(verify_jaccard, fn_kwargs={"cfg": cfg},
