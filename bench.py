@@ -160,18 +160,8 @@ def run_scaling_worker(cpus: int) -> dict:
             "clips_per_sec": round(SCALING_ROWS / dt, 2)}
 
 
-def run_scaling() -> dict:
-    """Same flagship job + same input, fresh processes at 8 and 32 CPUs —
-    the sandbox evidence for the north rule's N vs 4N cluster criterion.
-
-    Legs run 32 first, 8 second, with a sync + settle between: the 8-CPU
-    leg spills GBs to local disk (its memory-pressure signature) and the
-    writeback/unlink of those spill files after its exit measurably
-    contends with a FOLLOWING leg's reads (32-CPU leg measured 236–280 s
-    after an 8-CPU leg vs 181 s standalone on the identical corpus).  On a
-    real two-size-cluster comparison the runs don't share a disk at all;
-    ordering short-leg-first plus the settle removes most of the
-    shared-box artifact."""
+def _run_scaling_pair() -> dict:
+    """One 32-then-8 leg pair in fresh processes (sync + settle between)."""
     results = {}
     for cpus in (32, 8):
         subprocess.run(["sync"], check=False)
@@ -190,20 +180,55 @@ def run_scaling() -> dict:
     thr32 = results[32]["clips_per_sec"]
     eff = (thr32 / thr8) / 4.0
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 3),
-        "unit": "fraction",
         "queries": {"dedup_8cpu_sec": results[8]["sec"],
                     "dedup_32cpu_sec": results[32]["sec"]},
         "throughput_clips_per_sec": {"8": thr8, "32": thr32},
         "speedup": round(thr32 / thr8, 3),
-        "rows": SCALING_ROWS,
-        "style": SCALING_STYLE,
         "clusters": [results[8]["clusters"], results[32]["clusters"]],
         "stage_timing": {str(c): results[c].get("stage_timing", {})
                          for c in (8, 32)},
+    }
+
+
+def run_scaling(repeat: int = 1) -> dict:
+    """Same flagship job + same input, fresh processes at 8 and 32 CPUs —
+    the sandbox evidence for the north rule's N vs 4N cluster criterion.
+
+    Legs run 32 first, 8 second, with a sync + settle between: the 8-CPU
+    leg spills GBs to local disk (its memory-pressure signature) and the
+    writeback/unlink of those spill files after its exit measurably
+    contends with a FOLLOWING leg's reads (32-CPU leg measured 236–280 s
+    after an 8-CPU leg vs 181 s standalone on the identical corpus).  On a
+    real two-size-cluster comparison the runs don't share a disk at all;
+    ordering short-leg-first plus the settle removes most of the
+    shared-box artifact.
+
+    With ``--repeat N`` the pair runs N times and the headline value is
+    the MEDIAN efficiency, with every pair's figures kept in ``pairs`` —
+    shared-host load swings single-pair efficiencies by ±0.1–0.2 across
+    the day, so a one-shot number carries that error bar."""
+    import statistics
+
+    pairs = [_run_scaling_pair() for _ in range(max(1, repeat))]
+    med = sorted(pairs, key=lambda p: p["value"])[len(pairs) // 2]
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(statistics.median(p["value"] for p in pairs), 3),
+        "unit": "fraction",
+        **{k: med[k] for k in ("queries", "throughput_clips_per_sec",
+                               "speedup", "clusters", "stage_timing")},
+        "rows": SCALING_ROWS,
+        "style": SCALING_STYLE,
         "num_cpus": [8, 32],
     }
+    if repeat > 1:
+        out["repeat"] = repeat
+        out["pair_efficiencies"] = [p["value"] for p in pairs]
+        out["pairs"] = [{k: p[k] for k in ("value", "queries",
+                                           "throughput_clips_per_sec")}
+                        for p in pairs]
+    return out
 
 
 if __name__ == "__main__":
@@ -214,7 +239,7 @@ if __name__ == "__main__":
         cpus = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
         print(json.dumps(run_scaling_worker(cpus)))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(repeat=repeat)))
     elif "--flagship-json" in sys.argv:
         print(json.dumps(run_bench(flagship_only=True, repeat=repeat)))
     else:

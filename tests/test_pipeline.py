@@ -144,3 +144,21 @@ class TestDeterminism:
                 .sort_values("clip_id").reset_index(drop=True)
             runs.append(df[["clip_id", "cluster_id"]])
         assert runs[0].equals(runs[1])
+
+    def test_sequential_equals_overlapped(self, small_corpus):
+        """The edge-stage scheduling policy (sequential materialize vs
+        overlapped lazy union, gated on cfg.sequential_stage_rows) must not
+        change output — forcing the big-input sequential branch on the small
+        corpus yields the identical assignment."""
+        import dataclasses
+
+        from who_owns_mass_processing_ray.pipelines import dedup
+
+        dfs = []
+        for thresh in (10**9, 0):   # overlap branch, sequential branch
+            cfg = dataclasses.replace(CFG, sequential_stage_rows=thresh)
+            res = dedup.dedup_pipeline(f"{small_corpus}/clips", cfg)
+            dfs.append(res["clip_to_cluster"].to_pandas()
+                       .sort_values("clip_id").reset_index(drop=True)
+                       [["clip_id", "cluster_id"]])
+        assert dfs[0].equals(dfs[1])

@@ -96,6 +96,11 @@ class DedupConfig:
     # (ids only, ~30 B/row) rebalances verify at any scale; 50k pairs
     # ≈ 20 MB attached-transcript working set per task.
     verify_rows_per_block: int = 50_000
+    # Below this many input rows the four edge stages overlap inside one
+    # union materialize; at/above it each stage materializes alone (see the
+    # scheduling note in pipelines/dedup.py — sequential wins at 80k+ rows,
+    # but its ~4 barrier setups are pure fixed cost on small inputs).
+    sequential_stage_rows: int = 24_000
     audio_batch_size: int = 64      # rows per batch for PCM decode (wide rows)
     minhash_concurrency: int = 0    # 0 = let Ray autoscale task pool
     # decode actor pool autoscales between (min, max); max is sized to a

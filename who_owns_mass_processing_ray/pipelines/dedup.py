@@ -140,19 +140,28 @@ def dedup_pipeline_from_dataset(
         )))
     feats = _coalesce(feats)
 
-    # Scheduling: the four edge stages all read `feats`.  Each one
-    # materializes ALONE, getting the whole cluster in turn, instead of
+    # Scheduling: the four edge stages all read `feats`.  On BIG inputs each
+    # one materializes ALONE, getting the whole cluster in turn, instead of
     # overlapping inside one union materialize.  Measured on the identical
     # job: 8 CPUs / 80k clips 426 s overlapped vs 234 s sequential (the
     # stages' concurrent actor-pool minimums, pool_bounds lo = cpus/2
     # EACH, oversubscribe the node and shuffle tasks starve); 32 CPUs /
     # 160k clips 280 s overlapped vs ~165 s sequential (two candidate
     # streams with attached transcripts in flight at once saturate the
-    # object store and spill).  Sequential barriers cost a near-constant
-    # few seconds per stage and win at every measured scale; output is
-    # identical either way (determinism-under-parallelism tests).
+    # object store and spill).  Output is identical either way
+    # (determinism-under-parallelism tests).
+    #
+    # On SMALL inputs the trade inverts: each barrier costs a near-constant
+    # ~0.5–1 s of shuffle/pool setup that nothing amortizes (measured
+    # 19.4 s vs 15.8 s for the 5k-clip flagship, 4 barriers of pure fixed
+    # cost), so below ``cfg.sequential_stage_rows`` the stages stay lazy
+    # and overlap inside the union materialize.  `feats` is materialized
+    # at this point, so the row count is free metadata.
+    sequential = (checkpoint_dir is None
+                  and feats.count() >= cfg.sequential_stage_rows)
+
     def _stage(ds):
-        if checkpoint_dir is None:
+        if sequential:
             return ds.materialize()
         return ds
 
