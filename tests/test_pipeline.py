@@ -155,10 +155,16 @@ class TestDeterminism:
         from who_owns_mass_processing_ray.pipelines import dedup
 
         dfs = []
-        for thresh in (10**9, 0):   # overlap branch, sequential branch
-            cfg = dataclasses.replace(CFG, sequential_stage_rows=thresh)
+        for kw in (
+            {"sequential_stage_rows": 10**9},           # overlap branch
+            {"sequential_stage_rows": 0},               # sequential branch
+            {"sequential_stage_rows": 0,
+             "verify_rows_per_block": 500},             # many tiny verify blocks
+        ):
+            cfg = dataclasses.replace(CFG, **kw)
             res = dedup.dedup_pipeline(f"{small_corpus}/clips", cfg)
             dfs.append(res["clip_to_cluster"].to_pandas()
                        .sort_values("clip_id").reset_index(drop=True)
                        [["clip_id", "cluster_id"]])
         assert dfs[0].equals(dfs[1])
+        assert dfs[0].equals(dfs[2])

@@ -86,4 +86,4 @@ def audio_edges(features_ds, cfg: DedupConfig, num_parts: int):
 
     verified = cand.map_batches(verify, batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
-    return pr.distinct_edges(verified, "audio")
+    return pr.distinct_edges(verified, "audio", num_parts=num_parts)

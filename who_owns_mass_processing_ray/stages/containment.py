@@ -258,4 +258,4 @@ def containment_edges(features_ds, cfg: DedupConfig, num_parts: int,
 
     verified = cand.map_batches(verify, batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
-    return pr.distinct_edges(verified, "containment")
+    return pr.distinct_edges(verified, "containment", num_parts=num_parts)

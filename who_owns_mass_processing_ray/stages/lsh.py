@@ -109,4 +109,4 @@ def near_edges(features_ds, cfg: DedupConfig, num_parts: int, num_partitions: in
     verified = cand.map_batches(verify_jaccard, fn_kwargs={"cfg": cfg},
                                 batch_format="pyarrow",
                                 batch_size=cfg.verify_batch_size)
-    return pr.distinct_edges(verified, "near")
+    return pr.distinct_edges(verified, "near", num_parts=num_parts)
