@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_gain_normalize": multimodal.q_audio_gain_normalize,
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,
         "audio_segment_rows": multimodal.q_audio_segment_rows,
+        "audio_delta_dedup": multimodal.q_audio_delta_dedup,
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }

@@ -456,3 +456,37 @@ def test_dedup_report_vs_clusters_table(ray_session):
     want_pct = round(100.0 * (dup["size"] - 1).sum()
                      / max(int(cl["size"].sum()), 1), 2)
     assert float(rep["dup_ratio_pct"].iloc[0]) == want_pct
+
+
+def test_audio_delta_dedup_vs_brute(ray_session):
+    """q_audio_delta_dedup vs a single-process brute recompute: per-row
+    decode + fingerprint in a plain Python loop, all incoming x snapshot
+    hamming pairs — exact equality on counts, min match, and survival."""
+    from who_owns_mass_processing_ray import audio
+    from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+    got = mm.q_audio_delta_dedup(SF_DIR).to_pandas()
+    cfg = mm.MM_CFG
+    clips = mm.clips_from_documents(SF_DIR).to_pandas()
+    fps = {}
+    for row in clips.itertuples():
+        pcm, sr = audio.decode(row.bytes, row.codec)
+        fps[row.clip_id] = audio.audio_fingerprint(
+            pcm, sr, cfg.fp_num_bands, cfg.simhash_bits,
+            cfg.fp_fmin_hz, cfg.fp_fmax_hz, cfg.seed)
+    snap = sorted(c for c in fps
+                  if int(c.rsplit("-", 1)[1]) % mm.AUDIO_DELTA_MOD == 0)
+    incoming = sorted(c for c in fps if c not in set(snap))
+    assert sorted(got.clip_id) == incoming
+    idx = got.set_index("clip_id")
+    n_dups = 0
+    for c in incoming:
+        ms = [s for s in snap
+              if bin(fps[c] ^ fps[s]).count("1") <= cfg.hamming_thresh]
+        row = idx.loc[c]
+        assert row.n_snapshot_matches == len(ms), c
+        assert bool(row.survives) == (not ms), c
+        if ms:
+            assert row.min_snapshot_match == ms[0], c
+            n_dups += 1
+    assert n_dups > 0, "corpus should contain planted audio dups"

@@ -103,9 +103,6 @@ class DedupConfig:
     sequential_stage_rows: int = 24_000
     audio_batch_size: int = 64      # rows per batch for PCM decode (wide rows)
     minhash_concurrency: int = 0    # 0 = let Ray autoscale task pool
-    # decode actor pool autoscales between (min, max); max is sized to a
-    # whole node so the wide-row pass never starves on big machines
-    audio_concurrency: tuple = (2, 64)
 
     def __post_init__(self) -> None:
         if self.num_perm != self.lsh_bands * self.lsh_rows:

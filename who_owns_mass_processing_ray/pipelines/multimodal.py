@@ -961,3 +961,194 @@ def q_dedup_report(sf_dir: str):
         100.0 * df["n_removable_clips"].iloc[0]
         / max(int(df["n_clips"].iloc[0]), 1), 2)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) AUDIO dedup vs a corpus snapshot — the audio-axis
+# analog of textops.q_delta_dedup (and of the reference's route-reunite
+# idiom that matches new entities only against the already-standardized
+# side, /root/reference/R/deduplicaters.R:56-64): incoming clips are
+# screened against an existing fingerprint snapshot without ever
+# broadcasting the snapshot.  Blocking is COMPLETE at the verify radius
+# (multi-index parts, pigeonhole — same scheme as stages/audio_fp.py), and
+# the probe/anchor asymmetry means hot fingerprint buckets carry many
+# snapshot anchors but only the bucket's incoming probes expand.
+# ---------------------------------------------------------------------------
+
+AUDIO_DELTA_MOD = 5     # clip i is snapshot iff i % MOD == 0 (same split
+                        # convention as textops.DELTA_SNAPSHOT_MOD)
+
+
+def q_audio_delta_dedup(sf_dir: str, mod: int = AUDIO_DELTA_MOD):
+    """Per INCOMING clip: how many snapshot clips its spectral fingerprint
+    matches within the verify radius, the lexicographic-min matching
+    snapshot id, and the ``survives`` ingestion flag (no snapshot match).
+
+    -> (clip_id, n_snapshot_matches, min_snapshot_match, survives), sorted.
+    """
+    from who_owns_mass_processing_ray.pipelines.dedup import _auto_parts
+    from who_owns_mass_processing_ray.stages import features as fm
+    from who_owns_mass_processing_ray.stages import joins, pairs as pr
+
+    cfg = MM_CFG
+    num_parts = cfg.num_parts or _auto_parts()
+    clips = clips_from_documents(sf_dir)
+    feats = fm.extract_features(clips, cfg).materialize()   # narrow
+
+    # multi-index part widths — identical scheme to stages/audio_fp.py
+    n_bands = cfg.hamming_thresh + 1
+    base = cfg.simhash_bits // n_bands
+    widths = [base + (1 if i < cfg.simhash_bits % n_bands else 0)
+              for i in range(n_bands)]
+
+    def _clip_num(ids: pa.Array) -> np.ndarray:
+        return pc.cast(pc.struct_field(
+            pc.extract_regex(ids, r"-(?P<n>\d+)$"), "n"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy()
+        ok = t["decode_ok"].to_numpy(zero_copy_only=False)
+        ids_arr = t["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        ok_idx = np.flatnonzero(ok)
+        fp = fp[ok_idx]
+        snap = _clip_num(ids_arr)[ok_idx] % mod == 0
+        keys = []
+        shift = 0
+        for b, w in enumerate(widths):
+            mask = np.uint64((1 << w) - 1)
+            sl = (fp >> np.uint64(shift)) & mask
+            shift += w
+            keys.append(hx.splitmix64(sl ^ np.uint64(0xDE17A + b * 0x9E37)))
+        keys = (np.stack(keys, axis=1).reshape(-1) if len(fp)
+                else np.empty(0, np.uint64))
+        rep = pa.array(np.repeat(ok_idx, n_bands))
+        part = (keys % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({
+            "bucket_key": pa.array(keys),
+            "clip_id": ids_arr.take(rep),
+            "fp": pa.array(np.repeat(fp, n_bands).view(np.int64)),
+            "is_snap": pa.array(np.repeat(snap, n_bands)),
+            "part": pa.array(part),
+        })
+
+    _MATCH_SCHEMA = pa.schema([("left_id", pa.string()),
+                               ("right_id", pa.string()),
+                               ("dropped", pa.int64())])
+
+    def expand_verify(g: pa.Table) -> pa.Table:
+        """probe(incoming) x anchor(snapshot) within each bucket, verified
+        with exact hamming — the containment probe/anchor expansion shape,
+        vectorized across the whole partition."""
+        if g.num_rows == 0:
+            return _MATCH_SCHEMA.empty_table()
+        tbl = g.sort_by([("bucket_key", "ascending"),
+                         ("is_snap", "ascending"),      # probes first
+                         ("clip_id", "ascending")])
+        keys = tbl["bucket_key"].to_numpy()
+        snapm = tbl["is_snap"].to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(keys)]))
+        sizes = ends - starts
+        n_anchor = np.add.reduceat(snapm.astype(np.int64), starts)
+        n_probe = sizes - n_anchor
+        a_keep = np.minimum(n_anchor, cfg.max_bucket)
+        dropped = int((n_anchor - a_keep).sum())
+        P = n_probe * a_keep
+        tot = int(P.sum())
+        if tot == 0:
+            return _MATCH_SCHEMA.empty_table()
+        cum = np.zeros(len(P) + 1, dtype=np.int64)
+        np.cumsum(P, out=cum[1:])
+        seg = np.repeat(np.arange(len(P)), P)
+        r = np.arange(tot, dtype=np.int64) - cum[seg]
+        probe_idx = starts[seg] + r // a_keep[seg]
+        anchor_idx = starts[seg] + n_probe[seg] + r % a_keep[seg]
+        fps = tbl["fp"].to_numpy().astype(np.int64).view(np.uint64)
+        okm = audio.hamming64(fps[probe_idx],
+                              fps[anchor_idx]) <= cfg.hamming_thresh
+        probe_idx, anchor_idx = probe_idx[okm], anchor_idx[okm]
+        ids_arr = tbl["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        # in-partition dedup on (probe, anchor)
+        codes = pc.dictionary_encode(ids_arr).indices.to_numpy() \
+            .astype(np.int64)
+        pcode, acode = codes[probe_idx], codes[anchor_idx]
+        order = np.lexsort((acode, pcode))
+        ps, as_ = pcode[order], acode[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (ps[1:] != ps[:-1]) | (as_[1:] != as_[:-1])
+        keep = order[first]
+        return pa.table({
+            "left_id": ids_arr.take(pa.array(probe_idx[keep])),
+            "right_id": ids_arr.take(pa.array(anchor_idx[keep])),
+            "dropped": pa.array(np.full(len(keep), dropped, np.int64)),
+        }, schema=_MATCH_SCHEMA)
+
+    matches = feats.map_batches(band_rows, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: expand_verify(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    # global pair distinct (a pair can meet in several band parts)
+    matches = pr.distinct_edges(matches, "audio_delta", num_parts=num_parts)
+
+    _AGG_SCHEMA = pa.schema([("clip_id", pa.string()),
+                             ("n_snapshot_matches", pa.int64()),
+                             ("min_snapshot_match", pa.string())])
+
+    def per_probe(g: pa.Table) -> pa.Table:
+        """count + min(right) per left — sorted segments, no per-key agg."""
+        if g.num_rows == 0:
+            return _AGG_SCHEMA.empty_table()
+        t = g.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+        l = t["left_id"]
+        if isinstance(l, pa.ChunkedArray):
+            l = l.combine_chunks()
+        lc = pc.dictionary_encode(l).indices.to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, lc[1:] != lc[:-1]])
+        sizes = np.diff(np.concatenate((starts, [len(lc)])))
+        take = pa.array(starts)
+        return pa.table({
+            "clip_id": l.take(take),
+            "n_snapshot_matches": pa.array(sizes.astype(np.int64)),
+            "min_snapshot_match": t["right_id"].take(take),
+        }, schema=_AGG_SCHEMA)
+
+    def probe_part(t: pa.Table) -> pa.Table:
+        part = (hx.hash_strings(t["left_id"])
+                % np.uint64(num_parts)).astype(np.int32)
+        return t.append_column("part2", pa.array(part))
+
+    per_incoming = matches.map_batches(probe_part, batch_format="pyarrow") \
+        .groupby("part2").map_groups(
+            lambda g: per_probe(g.drop_columns(["part2"])),
+            batch_format="pyarrow")
+
+    def incoming_only(t: pa.Table) -> pa.Table:
+        ids_arr = t["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        inc = _clip_num(ids_arr) % mod != 0
+        return pa.table({"clip_id": ids_arr.filter(pa.array(inc))})
+
+    incoming = feats.map_batches(incoming_only, batch_format="pyarrow")
+    out = joins.attach_columns(
+        incoming, per_incoming, "clip_id", "clip_id",
+        {"n_snapshot_matches": "n_snapshot_matches",
+         "min_snapshot_match": "min_snapshot_match"},
+        max(8, num_parts // 4), how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t["n_snapshot_matches"].cast(pa.int64()), 0)
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "n_snapshot_matches": n,
+            "min_snapshot_match": t["min_snapshot_match"],
+            "survives": pc.equal(n, 0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("clip_id")
