@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,
         "audio_segment_rows": multimodal.q_audio_segment_rows,
         "audio_delta_dedup": multimodal.q_audio_delta_dedup,
+        "asof_join": relational.q_asof_join,
+        "ngram_logprob": textops.q_ngram_logprob,
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
@@ -434,6 +436,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.sessionize_sql(),
         "rolling_agg": relational.rolling_agg_sql(),
         "json_extract": relational.json_extract_sql(),
+        "asof_join": relational.asof_join_sql(),
+        "ngram_logprob": textops.ngram_logprob_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

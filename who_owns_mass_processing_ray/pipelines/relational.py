@@ -1780,3 +1780,97 @@ def metacorp_rollup_sql() -> str:
         FROM roll r LEFT JOIN comp cp USING (metacorp_id)
         ORDER BY r.prop_count DESC, r.metacorp_id
     """
+
+
+# ---------------------------------------------------------------------------
+# As-of join — the nearest-prior-event time-series join class Ray Data has
+# no native operator for (≙ the reference's first-match lookup discipline,
+# std_match_address_to_address /root/reference/R/standardizers.R:1210-1280,
+# transposed to the time axis).  Partitioning assumption (documented per the
+# custom-operator contract): both sides hash-partition on the equality key
+# (user_id), so a user's full history lands in one task and the as-of scan
+# is a single sorted pass — no windowed cross join, no per-row Python.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(sf_dir: str):
+    """Every 'click' event matched to the same user's most recent
+    'purchase' at or before it (inclusive).
+
+    -> (event_id, user_id, ts, prior_purchase_ts, gap_us), sorted by
+    event_id; prior/gap are NULL when the user has no earlier purchase.
+
+    One vectorized pass per user partition: lexsort (user, ts, side) with
+    purchases ordered before clicks at equal ts (inclusive semantics), a
+    running ``np.maximum.accumulate`` over purchase positions, and per-user
+    validity via segment starts.
+    """
+    _SCHEMA = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("prior_purchase_ts", pa.timestamp("us")),
+        ("gap_us", pa.int64()),
+    ])
+
+    def parts(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        part = (t["user_id"].to_numpy() % _SESS_PARTS).astype(np.int32)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"],
+            "is_click": pc.equal(t["event_type"], "click"),
+            "part": pa.array(part),
+        })
+
+    def asof(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SCHEMA.empty_table()
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("is_click", "ascending"),       # purchase first @ tie
+                       ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+        isc = g["is_click"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        pos = np.arange(n, dtype=np.int64)
+        last_p = np.maximum.accumulate(np.where(~isc, pos, -1))
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        user_starts = np.flatnonzero(new_user)
+        seg_start = np.repeat(user_starts,
+                              np.diff(np.append(user_starts, n)))
+        idx = np.flatnonzero(isc)
+        p_idx = last_p[idx]
+        valid = p_idx >= seg_start[idx]
+        prior = np.where(valid, ts[np.maximum(p_idx, 0)], 0)
+        gap = ts[idx] - prior
+        ev = g["event_id"].take(pa.array(idx))
+        return pa.table({
+            "event_id": ev,
+            "user_id": pa.array(uid[idx]),
+            "ts": pa.array(ts[idx].astype("datetime64[us]")),
+            "prior_purchase_ts": pa.array(
+                prior.astype("datetime64[us]"), mask=~valid),
+            "gap_us": pa.array(gap, pa.int64(), mask=~valid),
+        }, schema=_SCHEMA)
+
+    out = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(parts, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: asof(g.drop_columns(["part"])), batch_format="pyarrow")
+    return out.sort("event_id")
+
+
+def asof_join_sql() -> str:
+    return """
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, c.ts,
+               max(p.ts) AS prior_purchase_ts,
+               CAST(epoch_us(c.ts) - epoch_us(max(p.ts)) AS BIGINT) AS gap_us
+        FROM c LEFT JOIN p
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        GROUP BY c.event_id, c.user_id, c.ts
+        ORDER BY c.event_id
+    """

@@ -2381,3 +2381,109 @@ def group_quantile_trim_sql(q_lo: float = TRIM_Q_LO,
         WHERE d.n_chars >= t.lo AND d.n_chars <= t.hi
         ORDER BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model quality scoring — the model-scored curation filter
+# class (a corpus-trained probability model scores every document; low
+# average log-probability flags boilerplate/garbled text, high rare-token
+# mass flags OCR noise).  The "model" is the corpus's own unigram
+# distribution with Laplace smoothing — trained with one partial-aggregate
+# shuffle, attached back with the adaptive broadcast join, so the whole
+# operator is two narrow shuffles regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_LM_PARTS = 32
+
+
+def q_ngram_logprob(sf_dir: str):
+    """Per non-empty doc: token count, mean token log2-probability under the
+    corpus unigram model (Laplace +1 smoothing), and the fraction of tokens
+    whose corpus count is 1 (hapax mass).
+
+    -> (doc_id, n_tokens, avg_logprob, rare_frac), sorted by doc_id."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    docs = _docs(sf_dir)
+    tf_rows = docs.map_batches(_term_tf, batch_format="pyarrow")
+    cg = tf_rows.groupby("term").aggregate(Sum("tf", alias_name="c"))
+    # model size: total token count T and vocab size V — two scalar reduces
+    # over the (already tiny) count table
+    totals = cg.map_batches(
+        lambda t: pa.table({"t": pa.array([int(t["c"].to_numpy().sum())
+                                           if t.num_rows else 0], pa.int64()),
+                            "v": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow")
+    import ray
+
+    tot_tbl = pa.concat_tables(
+        [x for x in ray.get(totals.to_arrow_refs()) if x.num_rows])
+    T = int(tot_tbl["t"].to_numpy().sum())
+    V = int(tot_tbl["v"].to_numpy().sum())
+
+    with_c = joins.attach_columns(tf_rows, cg, "term", "term", {"c": "c"},
+                                  _LM_PARTS, how="inner")
+
+    _SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("avg_logprob", pa.float64()), ("rare_frac", pa.float64()),
+    ])
+
+    def score_part(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy().astype(np.float64)
+        c = t["c"].to_numpy().astype(np.float64)
+        lp = tf * np.log2((c + 1.0) / float(T + V))
+        rare = np.where(c == 1.0, tf, 0.0)
+        part = (t["doc_id"].to_numpy() % _LM_PARTS).astype(np.int32)
+        return pa.table({"doc_id": t["doc_id"], "tf": t["tf"],
+                         "lp": pa.array(lp), "rare": pa.array(rare),
+                         "part": pa.array(part)})
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SCHEMA.empty_table()
+        g = g.sort_by([("doc_id", "ascending")])
+        ids = g["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        tf = g["tf"].to_numpy().astype(np.float64)
+        n_tok = np.add.reduceat(tf, starts)
+        lp = np.add.reduceat(g["lp"].to_numpy(), starts)
+        rare = np.add.reduceat(g["rare"].to_numpy(), starts)
+        return pa.table({
+            "doc_id": pa.array(ids[starts]),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "avg_logprob": pa.array(round_half_away(lp / n_tok, 3)),
+            "rare_frac": pa.array(round_half_away(rare / n_tok, 4)),
+        }, schema=_SCHEMA)
+
+    out = with_c.map_batches(score_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: per_doc(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    return out.sort("doc_id")
+
+
+def ngram_logprob_sql() -> str:
+    return """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (SELECT doc_id, unnest(w) AS term FROM tok),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        cg AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+        tot AS (SELECT sum(c) AS t, count(*) AS v FROM cg)
+        SELECT tf.doc_id,
+               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               round(sum(tf.tf * log2((cg.c + 1) / CAST(tot.t + tot.v AS DOUBLE)))
+                     / sum(tf.tf), 3) AS avg_logprob,
+               round(sum(CASE WHEN cg.c = 1 THEN tf.tf ELSE 0 END)
+                     / CAST(sum(tf.tf) AS DOUBLE), 4) AS rare_frac
+        FROM tf JOIN cg USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+        ORDER BY doc_id
+    """
