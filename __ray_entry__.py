@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_delta_dedup": multimodal.q_audio_delta_dedup,
         "asof_join": relational.q_asof_join,
         "ngram_logprob": textops.q_ngram_logprob,
+        "heavy_hitters": textops.q_heavy_hitters,
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": relational.json_extract_sql(),
         "asof_join": relational.asof_join_sql(),
         "ngram_logprob": textops.ngram_logprob_sql(),
+        "heavy_hitters": textops.heavy_hitters_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

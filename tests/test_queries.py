@@ -27,7 +27,7 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "near_dup_keep_best", "near_dup_survivors", "anti_join",
           "event_type_pivot", "shared_span_pairs", "delta_dedup",
           "speech_rate", "group_quantile_trim", "network_communities",
-          "metacorp_rollup", "asof_join", "ngram_logprob"]
+          "metacorp_rollup", "asof_join", "ngram_logprob", "heavy_hitters"]
 
 
 @pytest.fixture(scope="module")

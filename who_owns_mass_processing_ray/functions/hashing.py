@@ -320,7 +320,11 @@ def jaccard_pairs_dict(left_col, right_col, k: int, seed: int = 0) -> np.ndarray
     np.cumsum(cnt, out=doc_offs[1:])
     lc, rc = codes[:n], codes[n:]
     jac = np.zeros(n, dtype=np.float64)
-    for i in range(n):
+    # identical texts (same dictionary code) need no merge — hot buckets are
+    # full of equal-transcript pairs and this skips their searchsorted pass
+    eq = lc == rc
+    jac[eq] = 1.0   # same set; empty==empty is 1.0 by the convention below
+    for i in np.flatnonzero(~eq):
         a = v[doc_offs[lc[i]]:doc_offs[lc[i] + 1]]
         b = v[doc_offs[rc[i]]:doc_offs[rc[i] + 1]]
         na, nb = len(a), len(b)

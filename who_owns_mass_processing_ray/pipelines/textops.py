@@ -2487,3 +2487,196 @@ def ngram_logprob_sql() -> str:
         GROUP BY tf.doc_id
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# phi-heavy-hitter n-grams via a Count-Min Sketch (Cormode & Muthukrishnan
+# 2005) — the fixed-memory sketch path for "which grams exceed phi of the
+# corpus" when the distinct-gram table itself is too large to groupby at
+# 100 TB.  SOUND and EXACT by construction:
+#   pass A: one streaming pass builds the global sketch (d x w counters,
+#           512 KB) via per-batch partials + a bounded two-level sum — the
+#           driver only ever sees <= 8 partial sketches, never the corpus;
+#   pass B: one more streaming pass re-reads the grams and keeps those whose
+#           sketch ESTIMATE clears the phi threshold — CMS never
+#           underestimates, so this candidate set is a SUPERSET of the true
+#           heavy hitters (no silent misses, unlike local-top-k candidate
+#           schemes); per-batch exact counts of the candidates are emitted
+#           and groupby-summed, so emitted counts are EXACT;
+#   filter: exact count >= ceil(phi * T) in integer arithmetic (no float
+#           boundary), so the output matches a plain SQL GROUP BY oracle.
+# ---------------------------------------------------------------------------
+
+HH_PHI_DEN = 2000        # heavy hitter: count * DEN >= total bigram count
+_CMS_D = 4
+_CMS_W = 1 << 14
+
+
+def _doc_bigrams(t: pa.Table) -> pa.Array:
+    """All word bigrams ("tok tok") of every doc in the batch, flattened."""
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+    parent = pc.list_parent_indices(la).to_numpy()
+    flat = la.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    parent = parent[keep_np]
+    if len(flat) < 2:
+        return pa.array([], pa.string())
+    same = parent[1:] == parent[:-1]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    left = flat.slice(0, len(flat) - 1)
+    right = flat.slice(1)
+    grams = pc.binary_join_element_wise(left, right, " ")
+    return grams.filter(pa.array(same))
+
+
+def _cms_rows(grams: pa.Array) -> np.ndarray:
+    """(d, w) uint64 sketch of the gram multiset."""
+    sk = np.zeros((_CMS_D, _CMS_W), dtype=np.uint64)
+    if len(grams) == 0:
+        return sk
+    enc = pc.dictionary_encode(grams)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    cnt = np.bincount(codes).astype(np.uint64)
+    base = hx.hash_strings(enc.dictionary)
+    for j in range(_CMS_D):
+        idx = (hx.splitmix64(base ^ np.uint64(0xC0FFEE + j)) 
+               % np.uint64(_CMS_W)).astype(np.int64)
+        np.add.at(sk[j], idx, cnt)
+    return sk
+
+
+def _cms_estimate(sketch: np.ndarray, grams: pa.Array) -> np.ndarray:
+    base = hx.hash_strings(grams)
+    est = np.full(len(grams), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for j in range(_CMS_D):
+        idx = (hx.splitmix64(base ^ np.uint64(0xC0FFEE + j))
+               % np.uint64(_CMS_W)).astype(np.int64)
+        est = np.minimum(est, sketch[j][idx])
+    return est
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Word bigrams whose corpus count clears the phi = 1/HH_PHI_DEN
+    heavy-hitter threshold, with EXACT counts.
+
+    -> (gram, count, rk), ordered by (count desc, gram asc)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    docs = _docs(sf_dir)
+
+    # ---- pass A: global sketch + total gram count, bounded two-level sum
+    def partial_sketch(t: pa.Table) -> pa.Table:
+        g = _doc_bigrams(t)
+        sk = _cms_rows(g)
+        return pa.table({
+            "sk": pa.array([sk.reshape(-1).view(np.int64)],
+                           pa.list_(pa.int64())),
+            "n": pa.array([len(g)], pa.int64()),
+            "part": pa.array([0], pa.int32()),
+        })
+
+    def sum_sketches(g: pa.Table) -> pa.Table:
+        col = g["sk"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy().reshape(len(g), -1)
+        return pa.table({
+            "sk": pa.array([mat.sum(axis=0, dtype=np.int64)],
+                           pa.list_(pa.int64())),
+            "n": pa.array([int(g["n"].to_numpy().sum())], pa.int64()),
+        })
+
+    partials = docs.map_batches(partial_sketch, batch_format="pyarrow")
+
+    def level_part(t: pa.Table, k: int) -> pa.Table:
+        part = (np.arange(len(t)) % k).astype(np.int32)
+        return t.set_column(t.schema.get_field_index("part"), "part",
+                            pa.array(part))
+
+    level1 = partials.map_batches(
+        lambda t: level_part(t, 8), batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: sum_sketches(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    rows = [r for r in ray.get(level1.to_arrow_refs()) if r.num_rows]
+    tbl = pa.concat_tables(rows)
+    sk_col = tbl["sk"].combine_chunks() if isinstance(tbl["sk"], pa.ChunkedArray) else tbl["sk"]
+    sketch = sk_col.flatten().to_numpy().reshape(tbl.num_rows, _CMS_D, _CMS_W) \
+        .sum(axis=0, dtype=np.int64).view(np.uint64)
+    total = int(tbl["n"].to_numpy().sum())
+    thresh = -(-total // HH_PHI_DEN)           # ceil(total / DEN)
+    sketch_ref = ray.put(sketch)
+
+    # ---- pass B: candidates (sketch superset) + per-batch exact counts
+    def candidates(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        g = _doc_bigrams(t)
+        if len(g) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(g)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        sk = _ray.get(sketch_ref)
+        est = _cms_estimate(sk, enc.dictionary)
+        keep = est >= np.uint64(thresh)
+        return pa.table({
+            "gram": enc.dictionary.filter(pa.array(keep)),
+            "cnt": pa.array(cnt[keep]),
+        })
+
+    exact = docs.map_batches(candidates, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("cnt", alias_name="count"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply(t["count"].cast(pa.int64()),
+                        pa.scalar(HH_PHI_DEN, pa.int64())),
+            pa.scalar(total, pa.int64()))
+        out = t.filter(keep)
+        return pa.table({"gram": out["gram"],
+                         "count": out["count"].cast(pa.int64())})
+
+    out = exact.map_batches(finish, batch_format="pyarrow") \
+        .sort(["count", "gram"], descending=[True, False])
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        # single small table after the heavy-hitter filter
+        return t.append_column(
+            "rk", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+    return out.repartition(1).map_batches(add_rank, batch_format="pyarrow")
+
+
+def heavy_hitters_sql() -> str:
+    return f"""
+        WITH tok AS (
+          SELECT list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        gi AS (SELECT w, unnest(range(1, len(w))) AS i FROM tok),
+        g AS (SELECT w[i] || ' ' || w[i + 1] AS gram FROM gi),
+        c AS (SELECT gram, count(*) AS count FROM g GROUP BY gram),
+        t AS (SELECT count(*) AS total FROM g)
+        SELECT c.gram, c.count,
+               CAST(row_number() OVER (ORDER BY c.count DESC, c.gram)
+                    AS BIGINT) AS rk
+        FROM c CROSS JOIN t
+        WHERE c.count * {HH_PHI_DEN} >= t.total
+        ORDER BY c.count DESC, c.gram
+    """
