@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": relational.q_asof_join,
         "ngram_logprob": textops.q_ngram_logprob,
         "heavy_hitters": textops.q_heavy_hitters,
+        "distinct_tokens": textops.q_distinct_tokens,
+        "distinct_tokens_hll": textops.q_distinct_tokens_hll,
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,
     }
@@ -440,6 +442,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": relational.asof_join_sql(),
         "ngram_logprob": textops.ngram_logprob_sql(),
         "heavy_hitters": textops.heavy_hitters_sql(),
+        "distinct_tokens": textops.distinct_tokens_sql(),
+        # distinct_tokens_hll: approximate by design — gated in pytest at
+        # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

@@ -27,7 +27,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "near_dup_keep_best", "near_dup_survivors", "anti_join",
           "event_type_pivot", "shared_span_pairs", "delta_dedup",
           "speech_rate", "group_quantile_trim", "network_communities",
-          "metacorp_rollup", "asof_join", "ngram_logprob", "heavy_hitters"]
+          "metacorp_rollup", "asof_join", "ngram_logprob", "heavy_hitters",
+          "distinct_tokens"]
 
 
 @pytest.fixture(scope="module")
@@ -142,3 +143,41 @@ def test_semi_anti_shuffle_fallback_matches_broadcast(ray_session):
         sh = run(anti, 0)
         pd.testing.assert_frame_equal(bc, sh)
         assert len(bc) > 0
+
+
+def test_hll_within_5pct_of_exact(ray_session):
+    """HyperLogLog distinct-token estimate vs the exact oracle-backed path:
+    within ±5% per source (theoretical RSE at p=12 is ~1.6%)."""
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    exact = textops.q_distinct_tokens(SF_DIR).to_pandas() \
+        .set_index("source")["n_distinct_tokens"]
+    est = textops.q_distinct_tokens_hll(SF_DIR).to_pandas() \
+        .set_index("source")["n_distinct_est"]
+    assert set(exact.index) == set(est.index)
+    for s in exact.index:
+        rel = abs(est[s] / max(exact[s], 1) - 1.0)
+        assert rel <= 0.05, f"source {s}: est {est[s]} vs exact {exact[s]}"
+
+
+def test_hll_high_cardinality_regime():
+    """The HLL raw-estimator regime (beyond linear counting): 200k distinct
+    hashes must estimate within ±5% (theoretical RSE ~1.6% at p=12)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    n = 200_000
+    toks = pa.array([f"tok-{i}" for i in range(n)])
+    idx, rank = textops._hll_ranks(hx.hash_strings(toks))
+    regs = np.zeros((1, textops._HLL_M), dtype=np.int8)
+    np.maximum.at(regs[0], idx, rank)
+    est = float(textops._hll_estimate(regs)[0])
+    assert abs(est / n - 1.0) <= 0.05, est
+    # merge associativity: two half-sketches max-merged == one full sketch
+    half = np.zeros((2, textops._HLL_M), dtype=np.int8)
+    np.maximum.at(half[0], idx[: n // 2], rank[: n // 2])
+    np.maximum.at(half[1], idx[n // 2:], rank[n // 2:])
+    assert np.array_equal(np.maximum(half[0], half[1]), regs[0])

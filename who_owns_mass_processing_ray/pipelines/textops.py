@@ -2680,3 +2680,227 @@ def heavy_hitters_sql() -> str:
         WHERE c.count * {HH_PHI_DEN} >= t.total
         ORDER BY c.count DESC, c.gram
     """
+
+
+# ---------------------------------------------------------------------------
+# Distinct-token cardinality per source — exact path (the oracle baseline)
+# + HyperLogLog scale path (Flajolet et al. 2007), the same
+# exact-baseline / approximate-scale-path pairing as knn_brute / knn_ivf.
+# Exact: per-batch distinct -> ONE hash-partition shuffle of the distinct
+# (source, token-hash) pairs -> partition-local distinct counts -> tiny sum.
+# HLL: fixed 4 KB of registers per source merged with elementwise max (an
+# associative reduce — the shape that works when even the distinct pair
+# stream is too large to shuffle).
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def q_distinct_tokens(sf_dir: str, num_parts: int = 32):
+    """-> (source, n_distinct_tokens) — EXACT, sorted by source.
+
+    Tokens are hashed to 64-bit before the shuffle (8 B/row instead of the
+    string; at 2^63 distinct tokens the birthday collision odds are still
+    negligible for a cardinality count) and deduped per batch so only the
+    batch-distinct pairs enter the shuffle."""
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+        parent = pc.list_parent_indices(la).to_numpy()
+        flat = la.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        if not len(flat):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src_row = src.take(pa.array(parent))
+        h = hx.hash_strings(flat)
+        senc = pc.dictionary_encode(src_row)
+        if isinstance(senc, pa.ChunkedArray):
+            senc = senc.combine_chunks()
+        scode = senc.indices.to_numpy().astype(np.int64)
+        # batch-local distinct (source, hash)
+        key = np.stack((scode, h.view(np.int64)), axis=1)
+        uniq = np.unique(key, axis=0)
+        part = (uniq[:, 1].view(np.uint64) % np.uint64(num_parts)) \
+            .astype(np.int32)
+        return pa.table({
+            "source": senc.dictionary.take(pa.array(uniq[:, 0])),
+            "h": pa.array(uniq[:, 1]),
+            "part": pa.array(part),
+        })
+
+    def count_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        src = g["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        scode = enc.indices.to_numpy().astype(np.int64)
+        key = np.stack((scode, g["h"].to_numpy()), axis=1)
+        uniq = np.unique(key, axis=0)
+        n = np.bincount(uniq[:, 0], minlength=len(enc.dictionary))
+        return pa.table({"source": enc.dictionary,
+                         "n": pa.array(n.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    out = docs.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: count_part(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n_distinct_tokens"))
+    return out.sort("source")
+
+
+def distinct_tokens_sql() -> str:
+    return """
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT source, count(DISTINCT term) AS n_distinct_tokens
+        FROM tok GROUP BY source ORDER BY source
+    """
+
+
+def _hll_ranks(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes -> (register index, rank) per the standard HLL split:
+    top P bits pick the register, rank = leading zeros of the remaining
+    64-P bits + 1.  Pure-integer bit_length (shift-fold + popcount) — float
+    conversion is lossy past 2^53."""
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = h << np.uint64(_HLL_P)
+    nz = rest != 0
+    lz = np.full(len(h), 64 - _HLL_P, dtype=np.int64)
+    bl = np.zeros(len(h), dtype=np.int64)
+    v = rest[nz].copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        v |= v >> np.uint64(s)
+    # v has all bits below the msb set; popcount(v) == bit_length
+    pop = np.zeros(len(v), dtype=np.int64)
+    x = v.copy()
+    while x.any():
+        pop += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    bl[nz] = pop
+    lz[nz] = 64 - bl[nz]
+    # rest is left-shifted by P, so its leading zeros ARE the remainder's
+    # leading zeros; zero remainders keep lz = 64 - P
+    return idx, (lz + 1).astype(np.int8)
+
+
+def _hll_estimate(regs: np.ndarray) -> np.ndarray:
+    """(n, M) register matrix -> cardinality estimates (bias-corrected raw
+    estimator + linear counting in the small-range regime)."""
+    regs = regs.astype(np.float64)
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    est = alpha * _HLL_M * _HLL_M / np.power(2.0, -regs).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = est < 2.5 * _HLL_M
+    lc = np.where(zeros > 0,
+                  _HLL_M * np.log(np.maximum(_HLL_M / np.maximum(zeros, 1),
+                                             1.0)),
+                  est)
+    return np.where(small & (zeros > 0), lc, est)
+
+
+def q_distinct_tokens_hll(sf_dir: str):
+    """HyperLogLog estimate of the same cardinalities — the scale path when
+    even the distinct (source, hash) pair stream is too large to shuffle:
+    per-batch 4 KB register arrays per source, merged by elementwise MAX
+    (associative) through a bounded two-level reduce, estimated with the
+    standard bias correction + linear-counting small-range regime.
+
+    -> (source, n_distinct_est).  Gated in tests at ±5% of the exact path
+    on the corpus AND at 200k synthetic cardinality (the raw-estimator
+    regime; theoretical RSE at p=12 is 1.04/sqrt(4096) ≈ 1.6%)."""
+    import ray
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def partial_regs(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+        parent = pc.list_parent_indices(la).to_numpy()
+        flat = la.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if not len(flat):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "regs": pa.array([], pa.list_(pa.int8()))})
+        senc = pc.dictionary_encode(src.take(pa.array(parent)))
+        if isinstance(senc, pa.ChunkedArray):
+            senc = senc.combine_chunks()
+        scode = senc.indices.to_numpy().astype(np.int64)
+        idx, rank = _hll_ranks(hx.hash_strings(flat))
+        n_src = len(senc.dictionary)
+        regs = np.zeros((n_src, _HLL_M), dtype=np.int8)
+        np.maximum.at(regs, (scode, idx), rank)
+        return pa.table({
+            "source": senc.dictionary,
+            "regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(regs.reshape(-1)), _HLL_M),
+        })
+
+    def merge_regs(g: pa.Table) -> pa.Table:
+        src = g["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        scode = enc.indices.to_numpy().astype(np.int64)
+        col = g["regs"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy().reshape(len(g), _HLL_M)
+        out = np.zeros((len(enc.dictionary), _HLL_M), dtype=np.int8)
+        np.maximum.at(out, scode, mat)
+        return pa.table({
+            "source": enc.dictionary,
+            "regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(out.reshape(-1)), _HLL_M),
+        })
+
+    merged = docs.map_batches(partial_regs, batch_format="pyarrow") \
+        .groupby("source").map_groups(merge_regs, batch_format="pyarrow")
+    rows = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
+    if not rows:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "n_distinct_est": pa.array([], pa.int64())}))
+    tbl = pa.concat_tables(rows)
+    col = tbl["regs"].combine_chunks() if isinstance(tbl["regs"], pa.ChunkedArray) else tbl["regs"]
+    est = _hll_estimate(col.flatten().to_numpy().reshape(tbl.num_rows, _HLL_M))
+    import ray.data as rd
+
+    out = pa.table({
+        "source": tbl["source"],
+        "n_distinct_est": pa.array(np.round(est).astype(np.int64)),
+    })
+    return rd.from_arrow(out.sort_by("source"))
