@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": relational.q_window_agg,
         "unit_estimate": relational.q_unit_estimate,
         "luc_flags": relational.q_luc_flags,
-        "cascade_norm": normalize.q_cascade_norm,
+        "group_cap": textops.q_group_cap,
         # new-this-round oracle queries take the last window slots; the
         # displaced stable normalize rows (green since r2/r3, still
         # pytest-checked at sf0.001) rotate to rows 51+
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "cascade_norm": normalize.q_cascade_norm,
         "muni_norm": normalize.q_muni_norm,
         "po_pmb_split": normalize.q_po_pmb_split,
         "addr_to_range": normalize.q_addr_to_range,
@@ -446,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_logprob": textops.ngram_logprob_sql(),
         "heavy_hitters": textops.heavy_hitters_sql(),
         "distinct_tokens": textops.distinct_tokens_sql(),
+        "group_cap": textops.group_cap_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

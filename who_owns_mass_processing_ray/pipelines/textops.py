@@ -2904,3 +2904,66 @@ def q_distinct_tokens_hll(sf_dir: str):
         "n_distinct_est": pa.array(np.round(est).astype(np.int64)),
     })
     return rd.from_arrow(out.sort_by("source"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota cap — "keep at most K documents per host/source", the
+# standard web-corpus curation step that bounds any one domain's share of
+# the training mix (the grouped-LIMIT generalization of the reference's
+# per-group slice_min idiom, /root/reference/R/loaders.R:1075-1083).
+# Classic combiner shape: each BATCH keeps its local top-k per source, so at
+# most k x n_sources narrow rows per batch enter the one small shuffle; the
+# corpus itself never moves.
+# ---------------------------------------------------------------------------
+
+GROUP_CAP_K = 40
+
+
+def _topk_per_source(t: pa.Table, k: int) -> pa.Table:
+    """Vectorized per-source top-k by (n_chars desc, doc_id asc): one
+    lexsort + segment-rank pass, no Python loop over rows."""
+    if t.num_rows == 0:
+        return t
+    src = t["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    enc = pc.dictionary_encode(src)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    n_chars = t["n_chars"].to_numpy()
+    ids = t["doc_id"].to_numpy()
+    order = np.lexsort((ids, -n_chars, codes))
+    cs = codes[order]
+    starts = np.concatenate(([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1))
+    rank = np.arange(len(cs)) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(cs)]))))
+    keep_idx = order[rank < k]
+    return t.take(pa.array(np.sort(keep_idx)))
+
+
+def q_group_cap(sf_dir: str, k: int = GROUP_CAP_K):
+    """-> (source, doc_id, n_chars): at most ``k`` docs per source, keeping
+    the longest (ties broken by smaller doc_id).  Partial top-k per batch
+    (correct because the global per-source top-k is a subset of the union
+    of batch top-ks), then a tiny per-source final select over <= k x
+    n_batches rows."""
+    docs = _docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+
+    out = docs.map_batches(lambda t: _topk_per_source(t, k),
+                           batch_format="pyarrow") \
+        .groupby("source").map_groups(lambda g: _topk_per_source(g, k),
+                                      batch_format="pyarrow")
+    return out.sort(["source", "doc_id"])
+
+
+def group_cap_sql(k: int = GROUP_CAP_K) -> str:
+    return f"""
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= {k}
+        ORDER BY source, doc_id
+    """
