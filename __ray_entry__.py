@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs_sa": textops.q_containment_pairs_sa,
         "shared_span_pairs": textops.q_shared_span_pairs,
         "delta_dedup": textops.q_delta_dedup,
+        "delta_dedup_bloom": textops.q_delta_dedup_bloom,
         "group_quantile_trim": textops.q_group_quantile_trim,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "cross_table_link": textops.q_cross_table_link,
@@ -88,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "addr_match_cascade": relational.q_addr_match_cascade,
         "window_agg": relational.q_window_agg,
         "unit_estimate": relational.q_unit_estimate,
-        "luc_flags": relational.q_luc_flags,
         "group_cap": textops.q_group_cap,
         # new-this-round oracle queries take the last window slots; the
         # displaced stable normalize rows (green since r2/r3, still
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "luc_flags": relational.q_luc_flags,
         "cascade_norm": normalize.q_cascade_norm,
         "muni_norm": normalize.q_muni_norm,
         "po_pmb_split": normalize.q_po_pmb_split,
@@ -448,6 +449,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": textops.heavy_hitters_sql(),
         "distinct_tokens": textops.distinct_tokens_sql(),
         "group_cap": textops.group_cap_sql(),
+        # identical contract to delta_dedup by construction (Bloom is a
+        # prefilter; every positive is exactly verified)
+        "delta_dedup_bloom": textops.delta_dedup_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -91,3 +91,23 @@ def test_ngram_jaccard_shuffle_path_equals_broadcast(ray_session):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_delta_dedup_bloom_forced_fp_path(ray_session):
+    """An undersized bitmap (2^10 bits, k=2) floods the Bloom with false
+    positives — the exact-verify sliver must still reproduce the exact
+    two-sided result bit for bit (no row wrongly dropped or kept)."""
+    import pandas as pd
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    sf = "/root/testdata/sf0.001"
+    exact = textops.q_delta_dedup(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = textops.q_delta_dedup_bloom(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    tiny = textops.q_delta_dedup_bloom(sf, m_log2=10, k=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cols = sorted(exact.columns)
+    pd.testing.assert_frame_equal(bloom[cols], exact[cols], check_dtype=False)
+    pd.testing.assert_frame_equal(tiny[cols], exact[cols], check_dtype=False)

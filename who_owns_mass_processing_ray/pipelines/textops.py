@@ -2967,3 +2967,218 @@ def group_cap_sql(k: int = GROUP_CAP_K) -> str:
         WHERE rn <= {k}
         ORDER BY source, doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter delta dedup — the fixed-memory scale companion to
+# ``q_delta_dedup``.  There the snapshot side SHUFFLES alongside the
+# incoming rows; at 100 TB the snapshot is the whole historical corpus and
+# dominates the exchange even though almost none of it matches.  Here the
+# snapshot is summarized ONCE into a Bloom bitmap (fixed bytes regardless of
+# corpus size, OR-merge is associative), the bitmap is broadcast, and only
+# the Bloom-POSITIVE incoming groups — true dups plus an engineered ~1e-8
+# false-positive sliver — get exact verification against a key-filtered
+# snapshot scan.  Output and oracle are IDENTICAL to q_delta_dedup: the
+# Bloom can only create false positives, and every positive is exactly
+# verified, so no row is wrongly dropped or kept.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_LOG2 = 20     # 2^20 bits = 128 KB bitmap
+BLOOM_K = 7              # hash probes per key
+_BLOOM_MERGE_PARTS = 32  # two-level OR-merge fan-in bound
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray,
+                     m_log2: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing pos_i = h1 + i*h2 (mod 2^m).
+    Kirsch-Mitzenmacher: two independent 64-bit hashes generate all k
+    probes with the standard FP guarantee."""
+    i = np.arange(1, k + 1, dtype=np.uint64)
+    mask = np.uint64((1 << m_log2) - 1)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & mask
+
+
+def _bloom_words(pos: np.ndarray, m_log2: int) -> np.ndarray:
+    """Set the given positions in a fresh 2^m-bit bitmap (uint64 words)."""
+    words = np.zeros(1 << (m_log2 - 6), dtype=np.uint64)
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(words, (flat >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (flat & np.uint64(63)))
+    return words
+
+
+def _bloom_probe(words: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """All-k-bits-set test per row against a bitmap."""
+    w = words[(pos >> np.uint64(6)).astype(np.int64)]
+    return (((w >> (pos & np.uint64(63))) & np.uint64(1)) == 1).all(axis=1)
+
+
+def q_delta_dedup_bloom(sf_dir: str, mod: int = DELTA_SNAPSHOT_MOD,
+                        num_parts: int = 32,
+                        m_log2: int = BLOOM_BITS_LOG2, k: int = BLOOM_K):
+    """Same contract as ``q_delta_dedup`` — new docs surviving ingestion
+    against a snapshot, with per-survivor incoming-duplicate counts — but
+    the snapshot never shuffles:
+
+    1. snapshot pass: per-batch local Bloom bitmaps (one fixed-size row
+       each), OR-merged through a bounded two-level reduce, broadcast once;
+    2. incoming pass: the usual per-partition incoming-side group resolve,
+       plus one vectorized k-probe per group key;
+    3. Bloom-negative groups are DEFINITELY absent from the snapshot and
+       emit directly; the positive sliver is exactly verified against a
+       snapshot scan filtered to the positive keys (broadcast, gated at
+       the joins broadcast limit — if the sliver ever exceeds it the query
+       falls back to the exact two-sided shuffle path).
+
+    At 2^20 bits / 7 probes the sliver is ~(1-e^(-7n/2^20))^7 — under 1e-8
+    per distinct incoming key for snapshots up to ~10^4 keys; size the
+    bitmap as bits ≈ 10 x snapshot keys for ~1% at any scale."""
+    import ray
+
+    from who_owns_mass_processing_ray.stages.joins import BROADCAST_ROW_LIMIT
+
+    docs = _docs(sf_dir)
+
+    def keyed(t: pa.Table, want_snap: bool) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t2 = t.filter(pc.is_valid(txt))
+        ids = t2["doc_id"].to_numpy()
+        sel = (ids % mod == 0) if want_snap else (ids % mod != 0)
+        t2 = t2.filter(pa.array(sel))
+        col = t2["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h1 = hx.hash_strings(col, seed=3)
+        h2 = hx.hash_strings(col, seed=77)
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "doc_id": pa.array(t2["doc_id"].to_numpy()),
+        })
+
+    # --- pass 1: snapshot -> Bloom bitmap (bounded two-level OR-merge) ----
+    def snap_bitmap(t: pa.Table) -> pa.Table:
+        kt = keyed(t, want_snap=True)
+        h1 = kt["h1"].to_numpy().view(np.uint64)
+        h2 = kt["h2"].to_numpy().view(np.uint64)
+        words = _bloom_words(_bloom_positions(h1, h2, m_log2, k), m_log2)
+        rg = int(h1[0] % _BLOOM_MERGE_PARTS) if len(h1) else 0
+        return pa.table({
+            "rg": pa.array([rg], pa.int32()),
+            "words": pa.FixedSizeListArray.from_arrays(
+                pa.array(words.view(np.int64)), len(words)),
+        })
+
+    def or_merge(g: pa.Table) -> pa.Table:
+        col = g["words"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy().reshape(g.num_rows, -1) \
+            .view(np.uint64)
+        words = np.bitwise_or.reduce(mat, axis=0)
+        return pa.table({
+            "rg": pa.array([0], pa.int32()),
+            "words": pa.FixedSizeListArray.from_arrays(
+                pa.array(words.view(np.int64)), len(words)),
+        })
+
+    merged = docs.map_batches(snap_bitmap, batch_format="pyarrow") \
+        .groupby("rg").map_groups(or_merge, batch_format="pyarrow")
+    parts = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
+    if parts:
+        allw = pa.concat_tables(parts)
+        col = allw["words"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bits = np.bitwise_or.reduce(
+            col.flatten().to_numpy().reshape(allw.num_rows, -1)
+            .view(np.uint64), axis=0)
+    else:
+        bits = np.zeros(1 << (m_log2 - 6), dtype=np.uint64)
+    bits_ref = ray.put(bits)
+
+    # --- pass 2: incoming resolve + Bloom probe ----------------------------
+    def inc_keyed(t: pa.Table) -> pa.Table:
+        kt = keyed(t, want_snap=False)
+        h1 = kt["h1"].to_numpy().view(np.uint64)
+        part = (h1 % np.uint64(num_parts)).astype(np.int32)
+        return kt.append_column("part", pa.array(part))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_dup_incoming": pa.array([], pa.int64()),
+                          "h1": pa.array([], pa.int64()),
+                          "h2": pa.array([], pa.int64()),
+                          "hit": pa.array([], pa.bool_())})
+        if g.num_rows == 0:
+            return empty
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, idss = h1[order], h2[order], ids[order]
+        change = np.flatnonzero((h1s[1:] != h1s[:-1])
+                                | (h2s[1:] != h2s[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        n = np.diff(np.concatenate((starts, [len(h1s)])))
+        gh1 = h1s[starts]
+        gh2 = h2s[starts]
+        min_id = idss[starts]  # lexsort put smallest id first per segment
+        pos = _bloom_positions(gh1.view(np.uint64), gh2.view(np.uint64),
+                               m_log2, k)
+        hit = _bloom_probe(ray.get(bits_ref), pos)
+        return pa.table({
+            "doc_id": pa.array(min_id),
+            "n_dup_incoming": pa.array(n.astype(np.int64)),
+            "h1": pa.array(gh1),
+            "h2": pa.array(gh2),
+            "hit": pa.array(hit),
+        })
+
+    resolved = docs.map_batches(inc_keyed, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: resolve(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    resolved = resolved.materialize()
+
+    # --- pass 3: exact-verify the Bloom-positive sliver --------------------
+    pos_tbls = [t for t in ray.get(
+        resolved.filter(expr="hit == True").to_arrow_refs()) if t.num_rows]
+    pos = (pa.concat_tables(pos_tbls).combine_chunks() if pos_tbls
+           else None)
+    if pos is not None and pos.num_rows > BROADCAST_ROW_LIMIT:
+        # adversarial sliver (undersized bitmap): exact two-sided fallback
+        return q_delta_dedup(sf_dir, mod=mod, num_parts=num_parts)
+    if pos is not None and pos.num_rows:
+        pos_h1 = pa.array(pos["h1"].to_numpy())
+
+        def snap_hits(t: pa.Table) -> pa.Table:
+            kt = keyed(t, want_snap=True)
+            return kt.filter(pc.is_in(kt["h1"], value_set=pos_h1)) \
+                .select(["h1", "h2"])
+
+        hit_tbls = [t for t in ray.get(
+            docs.map_batches(snap_hits, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+        if hit_tbls:
+            st = pa.concat_tables(hit_tbls).combine_chunks()
+            snap_keys = set(zip(st["h1"].to_numpy(), st["h2"].to_numpy()))
+            keep = ~np.fromiter(
+                ((a, b) in snap_keys
+                 for a, b in zip(pos["h1"].to_numpy(),
+                                 pos["h2"].to_numpy())),
+                dtype=bool, count=pos.num_rows)
+            pos = pos.filter(pa.array(keep))
+
+    import ray.data as rd
+
+    neg = resolved.filter(expr="hit == False") \
+        .select_columns(["doc_id", "n_dup_incoming"])
+    if pos is not None and pos.num_rows:
+        out = neg.union(rd.from_arrow(
+            pos.select(["doc_id", "n_dup_incoming"])))
+    else:
+        out = neg
+    return out.sort("doc_id")
