@@ -82,7 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "cross_table_link": textops.q_cross_table_link,
         "fuzzy_join": textops.q_fuzzy_join,
-        "lineitem_agg": relational.q_lineitem_agg,
+        "bm25_score": textops.q_bm25_score,
         "join_agg": relational.q_join_agg,
         "interval_join": relational.q_interval_join,
         "cascade_match": relational.q_cascade_match,
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "lineitem_agg": relational.q_lineitem_agg,
         "luc_flags": relational.q_luc_flags,
         "cascade_norm": normalize.q_cascade_norm,
         "muni_norm": normalize.q_muni_norm,
@@ -452,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         # identical contract to delta_dedup by construction (Bloom is a
         # prefilter; every positive is exactly verified)
         "delta_dedup_bloom": textops.delta_dedup_sql(),
+        "bm25_score": textops.bm25_score_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

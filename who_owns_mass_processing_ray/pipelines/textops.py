@@ -3182,3 +3182,145 @@ def q_delta_dedup_bloom(sf_dir: str, mod: int = DELTA_SNAPSHOT_MOD,
     else:
         out = neg
     return out.sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword relevance — the retrieval-side scoring a curation pipeline
+# uses to mine topic-targeted training data from a web corpus (and the
+# lexical sibling of the reference's quanteda TF-IDF scoring,
+# /root/reference/R/deduplicaters.R:327-359).  Two streaming passes, no
+# corpus shuffle: (1) per-batch partial corpus stats (doc count, total
+# length, per-query-term document frequency) reduced through one tiny
+# aggregate; (2) broadcast the ~bytes-sized model (idf per term, avgdl) and
+# score every batch vectorized.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("customer", "filter", "merge", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_score(sf_dir: str, terms: tuple = BM25_QUERY_TERMS,
+                 k1: float = BM25_K1, b: float = BM25_B):
+    """-> (doc_id, bm25) for every doc containing at least one query term,
+    Robertson/Sparck-Jones BM25 with the +1 idf floor (Lucene form):
+    idf_t = ln((N - df_t + 0.5) / (df_t + 0.5) + 1).  Document length =
+    whitespace token count (empty tokens dropped), identical to the oracle's
+    tokenizer."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+    terms_arr = pa.array(list(terms))
+    n_terms = len(terms)
+
+    def tokens_of(t: pa.Table):
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t2 = t.filter(pc.is_valid(txt))
+        col = t2["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.utf8_split_whitespace(col)
+        parent = pc.list_parent_indices(la).to_numpy()
+        flat = la.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        return t2, flat, parent
+
+    # --- pass 1: corpus stats (one partial row per batch -> tiny Sum) -----
+    def partial_stats(t: pa.Table) -> pa.Table:
+        t2, flat, parent = tokens_of(t)
+        n_docs = t2.num_rows
+        term_idx = pc.index_in(flat, value_set=terms_arr).to_numpy(
+            zero_copy_only=False)
+        hitm = term_idx == term_idx  # non-null mask
+        df = np.zeros(n_terms, dtype=np.int64)
+        if hitm.any():
+            # distinct (doc, term) within the batch
+            key = parent[hitm] * n_terms + term_idx[hitm].astype(np.int64)
+            df = np.bincount(np.unique(key) % n_terms, minlength=n_terms)
+        cols = {"n_docs": pa.array([n_docs], pa.int64()),
+                "sum_len": pa.array([len(flat)], pa.int64())}
+        for j in range(n_terms):
+            cols[f"df_{j}"] = pa.array([int(df[j])], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_len", alias_name="sum_len")] + \
+           [Sum(f"df_{j}", alias_name=f"df_{j}") for j in range(n_terms)]
+    stats = docs.map_batches(partial_stats, batch_format="pyarrow") \
+        .aggregate(*aggs)
+    n = float(stats["n_docs"])
+    avgdl = stats["sum_len"] / n
+    df = np.array([stats[f"df_{j}"] for j in range(n_terms)], dtype=np.float64)
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    model_ref = ray.put((idf, avgdl))
+
+    # --- pass 2: vectorized per-batch scoring ------------------------------
+    def score(t: pa.Table) -> pa.Table:
+        idf_v, avg = ray.get(model_ref)
+        t2, flat, parent = tokens_of(t)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "bm25": pa.array([], pa.float64())})
+        if t2.num_rows == 0:
+            return empty
+        dl = np.bincount(parent, minlength=t2.num_rows).astype(np.float64)
+        term_idx = pc.index_in(flat, value_set=terms_arr).to_numpy(
+            zero_copy_only=False)
+        hitm = term_idx == term_idx
+        if not hitm.any():
+            return empty
+        key = parent[hitm] * n_terms + term_idx[hitm].astype(np.int64)
+        tf_flat = np.bincount(key, minlength=t2.num_rows * n_terms) \
+            .reshape(t2.num_rows, n_terms).astype(np.float64)
+        denom = tf_flat + k1 * (1.0 - b + b * (dl / avg))[:, None]
+        s = (idf_v[None, :] * tf_flat * (k1 + 1.0) / denom) \
+            .sum(axis=1, where=tf_flat > 0)
+        has = tf_flat.sum(axis=1) > 0
+        return pa.table({
+            "doc_id": pa.array(t2["doc_id"].to_numpy()[has]),
+            "bm25": pa.array(round_half_away(s[has], 4)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def bm25_score_sql(terms: tuple = BM25_QUERY_TERMS, k1: float = BM25_K1,
+                   b: float = BM25_B) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents WHERE text IS NOT NULL
+        ),
+        len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS n,
+                 (SELECT sum(dl) FROM len) * 1.0 /
+                 (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS avgdl
+        ),
+        qt(term) AS (VALUES {vals}),
+        df AS (SELECT qt.term,
+                      (SELECT count(DISTINCT tok.doc_id) FROM tok
+                       WHERE tok.term = qt.term) AS df
+               FROM qt),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term)
+        SELECT tf.doc_id,
+               round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                         * tf.tf * ({k1} + 1)
+                         / (tf.tf + {k1} * (1 - {b} + {b} * len.dl / stats.avgdl))
+                         ), 4) AS bm25
+        FROM tf
+        JOIN df ON df.term = tf.term
+        JOIN len ON len.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY tf.doc_id
+    """
