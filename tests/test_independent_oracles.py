@@ -490,3 +490,38 @@ def test_audio_delta_dedup_vs_brute(ray_session):
             assert row.min_snapshot_match == ms[0], c
             n_dups += 1
     assert n_dups > 0, "corpus should contain planted audio dups"
+
+
+def test_kmeans_fit_vs_numpy_lloyd(ray_session):
+    """Distributed Lloyd (per-batch partial sums, two-level reduce) must
+    reproduce the single-process numpy recompute with the same init:
+    identical assignments, centroid-cosine parity to 1e-4."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    sf = "/root/testdata/sf0.001"
+    df = vectors.q_kmeans_fit(sf).to_pandas().sort_values("vec_id")
+
+    tb = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    ids = tb["vec_id"].to_numpy()
+    m = pc.list_flatten(tb["embedding"].combine_chunks()) \
+        .to_numpy(zero_copy_only=False).astype(np.float64) \
+        .reshape(len(ids), -1)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    c = vectors.kmeans_init(sf)
+    for _ in range(vectors.KMEANS_ITERS):
+        a = (m @ c.T).argmax(axis=1)
+        nc = c.copy()
+        for j in range(len(c)):
+            mem = m[a == j]
+            if len(mem):
+                nc[j] = mem.sum(axis=0) / len(mem)
+        c = nc / np.maximum(np.linalg.norm(nc, axis=1, keepdims=True), 1e-12)
+    sims = m @ c.T
+    a = sims.argmax(axis=1)
+    assert (df["cluster"].to_numpy() == a).all()
+    cos = sims[np.arange(len(ids)), a]
+    assert np.allclose(df["cosine"].to_numpy(), cos, atol=1.1e-4)

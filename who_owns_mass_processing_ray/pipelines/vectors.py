@@ -435,3 +435,125 @@ def q_semantic_dedup(sf_dir: str, eps: float = 0.35, n_lists: int = 16):
                               concurrency=pool_bounds(4))
     return assigned.groupby("list_id").map_groups(
         dedup_cluster, batch_format="pyarrow").sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd) — the iterative-algorithm pattern: centroids
+# are the ONLY driver-side state (k x d floats), each iteration is one
+# streaming map over the full table producing per-batch partial sums that
+# reduce through a bounded two-level groupby — the vectors themselves never
+# shuffle and never collect.  This is the full-data training loop behind
+# IVFIndex (which trains on a fixed sample); spherical k-means on
+# normalized vectors, assignment by max cosine, ties to the lower cluster
+# id (argmax), empty clusters keep their previous centroid.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+_KM_MERGE_PARTS = 16
+
+
+def kmeans_init(sf_dir: str, k: int = KMEANS_K) -> np.ndarray:
+    """Deterministic init: k evenly spaced rows of the sorted-id 2048
+    sample (the IVFIndex scheme) — reproducible at any parallelism."""
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    _, sm = _batch_matrix(_smallest_ids_table(ds, min(2048, n_rows)))
+    idx = np.linspace(0, len(sm) - 1, k).astype(np.int64)
+    return sm[idx].copy()
+
+
+def q_kmeans_fit(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """-> (vec_id, cluster, cosine): final Lloyd assignment per vector plus
+    its cosine to the winning centroid (rounded 4).  Rows-only for the
+    driver (iterative model fitting is not SQL-expressible); exact parity
+    vs a single-process numpy Lloyd with the same init is gated in
+    tests/test_independent_oracles.py."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _emb(sf_dir)
+    c = kmeans_init(sf_dir, k)
+    dim = c.shape[1]
+
+    for _ in range(iters):
+        c_ref = ray.put(c)
+
+        def partials(t: pa.Table) -> pa.Table:
+            cm = ray.get(c_ref)
+            ids, m = _batch_matrix(t)
+            if not len(ids):
+                return pa.table({
+                    "rg": pa.array([], pa.int32()),
+                    "sums": pa.array([], pa.list_(pa.float64())),
+                    "counts": pa.array([], pa.list_(pa.int64()))})
+            assign = (m @ cm.T).argmax(axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            rg = int(ids[0] % _KM_MERGE_PARTS)
+            return pa.table({
+                "rg": pa.array([rg], pa.int32()),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.reshape(-1)), k * dim),
+                "counts": pa.FixedSizeListArray.from_arrays(
+                    pa.array(counts), k),
+            })
+
+        def merge(g: pa.Table) -> pa.Table:
+            s = g["sums"]
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            cn = g["counts"]
+            if isinstance(cn, pa.ChunkedArray):
+                cn = cn.combine_chunks()
+            sums = s.flatten().to_numpy().reshape(g.num_rows, k * dim) \
+                .sum(axis=0)
+            counts = cn.flatten().to_numpy().reshape(g.num_rows, k) \
+                .sum(axis=0)
+            return pa.table({
+                "rg": pa.array([0], pa.int32()),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums), k * dim),
+                "counts": pa.FixedSizeListArray.from_arrays(
+                    pa.array(counts), k),
+            })
+
+        reduced = ds.map_batches(partials, batch_format="pyarrow") \
+            .groupby("rg").map_groups(merge, batch_format="pyarrow")
+        rows = [t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(rows)
+        scol = tbl["sums"].combine_chunks() \
+            if isinstance(tbl["sums"], pa.ChunkedArray) else tbl["sums"]
+        ccol = tbl["counts"].combine_chunks() \
+            if isinstance(tbl["counts"], pa.ChunkedArray) else tbl["counts"]
+        sums = scol.flatten().to_numpy().reshape(tbl.num_rows, k, dim) \
+            .sum(axis=0)
+        counts = ccol.flatten().to_numpy().reshape(tbl.num_rows, k) \
+            .sum(axis=0)
+        nz = counts > 0
+        new_c = c.copy()
+        new_c[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new_c, axis=1, keepdims=True)
+        c = new_c / np.maximum(norms, 1e-12)
+
+    c_ref = ray.put(c)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        ids, m = _batch_matrix(t)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int32()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = m @ cm.T
+        a = sims.argmax(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(a.astype(np.int32)),
+            "cosine": pa.array(round_half_away(
+                sims[np.arange(len(ids)), a], 4)),
+        })
+
+    return ds.map_batches(assign_final, batch_format="pyarrow").sort("vec_id")
