@@ -28,7 +28,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "event_type_pivot", "shared_span_pairs", "delta_dedup",
           "speech_rate", "group_quantile_trim", "network_communities",
           "metacorp_rollup", "asof_join", "ngram_logprob", "heavy_hitters",
-          "distinct_tokens", "group_cap", "delta_dedup_bloom", "bm25_score"]
+          "distinct_tokens", "group_cap", "delta_dedup_bloom", "bm25_score",
+          "weighted_sample"]
 
 
 @pytest.fixture(scope="module")

@@ -3324,3 +3324,73 @@ def bm25_score_sql(terms: tuple = BM25_QUERY_TERMS, k1: float = BM25_K1,
         GROUP BY tf.doc_id
         ORDER BY tf.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis-Spirakis):
+# per source, keep the k docs with largest u^(1/w) where u is a
+# deterministic pseudo-uniform of the doc id and w = n_chars — long docs
+# are proportionally more likely to survive, yet the sample is exactly
+# reproducible at any parallelism (and in SQL).  Same combiner shape as
+# q_group_cap: per-batch partial top-k, corpus never shuffles.
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 25
+_WS_MULT = 2654435761  # Knuth multiplicative constant, also used in SQL
+
+
+def q_weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
+    """-> (source, doc_id, n_chars): k-per-source weighted sample,
+    weight = n_chars, key = u^(1/w), u = ((doc_id * 2654435761 + 7) mod
+    2^32 + 1) / (2^32 + 1) in (0, 1)."""
+    docs = _docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+
+    def with_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = np.maximum(t["n_chars"].to_numpy().astype(np.float64), 1.0)
+        u = ((ids.astype(np.uint64) * np.uint64(_WS_MULT) + np.uint64(7))
+             % np.uint64(1 << 32)).astype(np.float64)
+        u = (u + 1.0) / float((1 << 32) + 1)
+        return t.append_column("es_key", pa.array(u ** (1.0 / w)))
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        key = t["es_key"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        order = np.lexsort((ids, -key, codes))
+        cs = codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1))
+        rank = np.arange(len(cs)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(cs)]))))
+        return t.take(pa.array(np.sort(order[rank < k])))
+
+    out = docs.map_batches(lambda t: topk(with_key(t)),
+                           batch_format="pyarrow") \
+        .groupby("source").map_groups(topk, batch_format="pyarrow")
+    return out.drop_columns(["es_key"]).sort(["source", "doc_id"])
+
+
+def weighted_sample_sql(k: int = WSAMPLE_K) -> str:
+    return f"""
+        WITH keyed AS (
+          SELECT source, doc_id, n_chars,
+                 pow(((doc_id * {_WS_MULT}::UBIGINT + 7) % 4294967296 + 1)
+                     / 4294967297.0,
+                     1.0 / greatest(n_chars, 1)) AS es_key
+          FROM documents)
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY es_key DESC, doc_id) AS rn
+          FROM keyed)
+        WHERE rn <= {k}
+        ORDER BY source, doc_id
+    """
