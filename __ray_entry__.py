@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_score": textops.q_bm25_score,
         "weighted_sample": textops.q_weighted_sample,
         "join_agg": relational.q_join_agg,
-        "interval_join": relational.q_interval_join,
+        "table_profile": relational.q_table_profile,
         "cascade_match": relational.q_cascade_match,
         "addr_match_cascade": relational.q_addr_match_cascade,
         "unit_estimate": relational.q_unit_estimate,
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "interval_join": relational.q_interval_join,
         "window_agg": relational.q_window_agg,
         "lineitem_agg": relational.q_lineitem_agg,
         "luc_flags": relational.q_luc_flags,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_dedup_bloom": textops.delta_dedup_sql(),
         "bm25_score": textops.bm25_score_sql(),
         "weighted_sample": textops.weighted_sample_sql(),
+        "table_profile": relational.table_profile_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

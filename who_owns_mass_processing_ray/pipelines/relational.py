@@ -1874,3 +1874,149 @@ def asof_join_sql() -> str:
         GROUP BY c.event_id, c.user_id, c.ts
         ORDER BY c.event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Table profiler — per-column (row count, nulls, exact distinct count,
+# numeric min/max) in two streaming passes over a column-pruned read: a
+# partial-stats pass (one tiny row per batch -> one Sum/Min/Max reduce) and
+# a distinct pass reusing the distinct-hash shuffle shape of
+# q_distinct_tokens (per-batch distinct 64-bit value hashes -> partitioned
+# exact counts).  The standard first query against any new 100 TB drop.
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ("l_quantity", "l_discount", "l_returnflag", "l_linestatus",
+                "l_suppkey")
+_PROFILE_NUMERIC = ("l_quantity", "l_discount", "l_suppkey")
+
+
+def q_table_profile(sf_dir: str, num_parts: int = 16):
+    """-> (col_name, n_rows, n_null, n_distinct, min_num, max_num), one row
+    per profiled lineitem column; min/max only for numeric columns (NULL
+    for strings), rounded 4."""
+    import ray
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
+
+    cols = list(PROFILE_COLS)
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    # --- pass 1: counts + numeric min/max (one partial row per batch) -----
+    def partial_stats(t: pa.Table) -> pa.Table:
+        out = {"n_rows": pa.array([t.num_rows], pa.int64())}
+        for c in cols:
+            col = t[c]
+            out[f"null_{c}"] = pa.array(
+                [int(col.null_count)], pa.int64())
+            if c in _PROFILE_NUMERIC:
+                valid = pc.drop_null(col)
+                if len(valid):
+                    out[f"min_{c}"] = pa.array(
+                        [float(pc.min(valid).as_py())], pa.float64())
+                    out[f"max_{c}"] = pa.array(
+                        [float(pc.max(valid).as_py())], pa.float64())
+                else:
+                    out[f"min_{c}"] = pa.array([None], pa.float64())
+                    out[f"max_{c}"] = pa.array([None], pa.float64())
+        return pa.table(out)
+
+    aggs = [Sum("n_rows", alias_name="n_rows")]
+    for c in cols:
+        aggs.append(Sum(f"null_{c}", alias_name=f"null_{c}"))
+    for c in _PROFILE_NUMERIC:
+        aggs.append(Min(f"min_{c}", alias_name=f"min_{c}"))
+        aggs.append(Max(f"max_{c}", alias_name=f"max_{c}"))
+    stats = ds.map_batches(partial_stats, batch_format="pyarrow") \
+        .aggregate(*aggs)
+
+    # --- pass 2: exact distinct via per-batch distinct value hashes -------
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        outs = []
+        for ci, c in enumerate(cols):
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = col.drop_null()
+            if not len(col):
+                continue
+            if pa.types.is_floating(col.type):
+                h = col.to_numpy().view(np.uint64)
+            elif pa.types.is_integer(col.type):
+                h = col.cast(pa.int64()).to_numpy().view(np.uint64)
+            else:
+                h = hx.hash_strings(col.cast(pa.string()))
+            salt = np.uint64((ci * 0x9E3779B97F4A7C15) & ((1 << 64) - 1))
+            h = hx.splitmix64(h ^ salt)
+            hu = np.unique(h)
+            outs.append(pa.table({
+                "ci": pa.array(np.full(len(hu), ci, np.int32)),
+                "h": pa.array(hu.view(np.int64)),
+                "part": pa.array((hu % np.uint64(num_parts))
+                                 .astype(np.int32)),
+            }))
+        if not outs:
+            return pa.table({"ci": pa.array([], pa.int32()),
+                             "h": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        return pa.concat_tables(outs)
+
+    def count_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"ci": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        ci = g["ci"].to_numpy().astype(np.int64)
+        key = np.stack((ci, g["h"].to_numpy()), axis=1)
+        uniq = np.unique(key, axis=0)
+        n = np.bincount(uniq[:, 0], minlength=len(cols))
+        return pa.table({"ci": pa.array(np.arange(len(cols), dtype=np.int32)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    dist = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: count_part(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("ci").aggregate(Sum("n", alias_name="n_distinct"))
+    dist_rows = {int(r["ci"]): int(r["n_distinct"])
+                 for r in dist.take_all()}  # len == n profiled columns
+
+    import ray.data as rd
+
+    from who_owns_mass_processing_ray.functions.numeric import (
+        round_half_away,
+    )
+
+    rows = []
+    for ci, c in enumerate(cols):
+        is_num = c in _PROFILE_NUMERIC
+        rows.append({
+            "col_name": c,
+            "n_rows": int(stats["n_rows"]),
+            "n_null": int(stats[f"null_{c}"]),
+            "n_distinct": dist_rows.get(ci, 0),
+            "min_num": (float(round_half_away(
+                np.array([stats[f"min_{c}"]]), 4)[0]) if is_num else None),
+            "max_num": (float(round_half_away(
+                np.array([stats[f"max_{c}"]]), 4)[0]) if is_num else None),
+        })
+    return rd.from_arrow(pa.Table.from_pylist(rows)).sort("col_name")
+
+
+def table_profile_sql() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        if c in _PROFILE_NUMERIC:
+            mn = f"round(min({c}) * 1.0, 4)"
+            mx = f"round(max({c}) * 1.0, 4)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+          SELECT '{c}' AS col_name, count(*) AS n_rows,
+                 count(*) - count({c}) AS n_null,
+                 count(DISTINCT {c}) AS n_distinct,
+                 {mn} AS min_num, {mx} AS max_num
+          FROM lineitem""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
