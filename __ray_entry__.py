@@ -84,11 +84,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": textops.q_fuzzy_join,
         "bm25_score": textops.q_bm25_score,
         "weighted_sample": textops.q_weighted_sample,
-        "join_agg": relational.q_join_agg,
+        "rollup_agg": relational.q_rollup_agg,
         "table_profile": relational.q_table_profile,
         "cascade_match": relational.q_cascade_match,
         "addr_match_cascade": relational.q_addr_match_cascade,
-        "unit_estimate": relational.q_unit_estimate,
+        "event_burst_dedup": relational.q_event_burst_dedup,
         "group_cap": textops.q_group_cap,
         # new-this-round oracle queries take the last window slots; the
         # displaced stable normalize rows (green since r2/r3, still
@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "join_agg": relational.q_join_agg,
+        "unit_estimate": relational.q_unit_estimate,
         "interval_join": relational.q_interval_join,
         "window_agg": relational.q_window_agg,
         "lineitem_agg": relational.q_lineitem_agg,
@@ -459,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_score": textops.bm25_score_sql(),
         "weighted_sample": textops.weighted_sample_sql(),
         "table_profile": relational.table_profile_sql(),
+        "rollup_agg": relational.rollup_agg_sql(),
+        "event_burst_dedup": relational.event_burst_dedup_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

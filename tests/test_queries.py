@@ -29,7 +29,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "speech_rate", "group_quantile_trim", "network_communities",
           "metacorp_rollup", "asof_join", "ngram_logprob", "heavy_hitters",
           "distinct_tokens", "group_cap", "delta_dedup_bloom", "bm25_score",
-          "weighted_sample", "table_profile"]
+          "weighted_sample", "table_profile", "rollup_agg",
+          "event_burst_dedup"]
 
 
 @pytest.fixture(scope="module")

@@ -2020,3 +2020,178 @@ def table_profile_sql() -> str:
                  {mn} AS min_num, {mx} AS max_num
           FROM lineitem""")
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregate (grouping sets) — subtotals + grand total in one query,
+# a capability Ray Data's groupby lacks natively.  Scale shape: aggregate
+# the FINEST level distributed (partial map-side combine, only combiner
+# rows shuffle), then roll the tiny finest-level table up locally — correct
+# whenever the finest-level cardinality is small (here 6 rows), which is
+# the only regime where ROLLUP output is human-consumable anyway.
+# ---------------------------------------------------------------------------
+
+def q_rollup_agg(sf_dir: str):
+    """-> (l_returnflag, l_linestatus, sum_qty, n_rows) for GROUP BY
+    ROLLUP(l_returnflag, l_linestatus); rolled-up levels carry the 'ALL'
+    marker (both engines COALESCE so NULL-handling is identical)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    fine = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n_rows"),
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        # t is the complete finest-level table (single small block)
+        flag = t["l_returnflag"].to_pylist()
+        stat = t["l_linestatus"].to_pylist()
+        qty = t["sum_qty"].to_numpy()
+        n = t["n_rows"].to_numpy()
+        rows = [{"l_returnflag": f, "l_linestatus": s,
+                 "sum_qty": float(q), "n_rows": int(c)}
+                for f, s, q, c in zip(flag, stat, qty, n)]
+        # level 1: per returnflag
+        by_flag: dict[str, list[float]] = {}
+        for f, q, c in zip(flag, qty, n):
+            acc = by_flag.setdefault(f, [0.0, 0])
+            acc[0] += float(q)
+            acc[1] += int(c)
+        for f in sorted(by_flag):
+            rows.append({"l_returnflag": f, "l_linestatus": "ALL",
+                         "sum_qty": by_flag[f][0], "n_rows": by_flag[f][1]})
+        # level 0: grand total
+        rows.append({"l_returnflag": "ALL", "l_linestatus": "ALL",
+                     "sum_qty": float(qty.sum()), "n_rows": int(n.sum())})
+        out = pa.Table.from_pylist(rows)
+        return round_col(out, "sum_qty", 2)
+
+    import ray
+    import ray.data as rd
+
+    parts = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    merged = pa.concat_tables(parts).combine_chunks()
+    return rd.from_arrow(rollup(merged)) \
+        .sort(["l_returnflag", "l_linestatus"])
+
+
+def rollup_agg_sql() -> str:
+    return """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Burst-suppression event dedup — the streaming-dedup sibling of
+# q_sessionize: within each (user, event_type) stream, a repeat arriving
+# within BURST_GAP_SEC of the previous event is suppressed; the first event
+# of each burst survives and carries how many repeats it absorbed.  Same
+# scale shape as sessionize (coarse user-hash partition -> one vectorized
+# pass); the suppressed rows never leave their partition.
+# ---------------------------------------------------------------------------
+
+BURST_GAP_SEC = 14400  # 4 h — suppresses ~7% of the synthetic stream
+
+
+def q_event_burst_dedup(sf_dir: str):
+    """-> (user_id, event_type, event_id, t_first, n_suppressed): first
+    event of each burst (gap > BURST_GAP_SEC vs the PREVIOUS event starts a
+    new burst — sessionize break semantics, so it is windowed-SQL
+    expressible), with the count of suppressed repeats."""
+    gap_us = BURST_GAP_SEC * 1_000_000
+    cols = ["event_id", "user_id", "ts", "event_type"]
+
+    def bursts(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "event_id": pa.array([], pa.int64()),
+            "t_first": pa.array([], pa.timestamp("us")),
+            "n_suppressed": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et = pc.fill_null(et, "\x00null")
+        g = g.set_column(g.schema.get_field_index("event_type"),
+                         "event_type", et)
+        g = g.sort_by([("user_id", "ascending"),
+                       ("event_type", "ascending"),
+                       ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        enc = pc.dictionary_encode(g["event_type"].combine_chunks()
+                                   if isinstance(g["event_type"],
+                                                 pa.ChunkedArray)
+                                   else g["event_type"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tcode = enc.indices.to_numpy().astype(np.int64)
+        ts = g["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+        eid = g["event_id"].to_numpy()
+        n = len(uid)
+        new_key = np.concatenate(([True], (uid[1:] != uid[:-1])
+                                  | (tcode[1:] != tcode[:-1])))
+        brk = new_key | np.concatenate(([True],
+                                        (ts[1:] - ts[:-1]) > gap_us))
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, n))
+        types = enc.dictionary.take(pa.array(tcode[starts]))
+        types = pc.replace_substring_regex(types.cast(pa.string()),
+                                           "^\x00null$", "")
+        # restore genuine NULL for the sentinel
+        types = pc.if_else(pc.equal(types, ""), pa.nulls(len(starts),
+                                                         pa.string()), types)
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "event_type": types,
+            "event_id": pa.array(eid[starts]),
+            "t_first": pa.array(ts[starts].astype("datetime64[us]")),
+            "n_suppressed": pa.array((sizes - 1).astype(np.int64)),
+        })
+
+    out = _read(sf_dir, "events", cols) \
+        .map_batches(lambda t: _event_parts(t, cols),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bursts(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    return out.sort(["user_id", "event_type", "event_id"])
+
+
+def event_burst_dedup_sql() -> str:
+    return f"""
+        WITH o AS (
+          SELECT user_id, event_type, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        s AS (
+          SELECT *, CASE WHEN prev IS NULL
+                          OR ts - prev > INTERVAL {BURST_GAP_SEC} SECOND
+                     THEN 1 ELSE 0 END AS brk
+          FROM o
+        ),
+        c AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS burst
+          FROM s
+        )
+        SELECT user_id, event_type,
+               min(event_id ORDER BY ts, event_id) AS event_id,
+               min(ts) AS t_first,
+               count(*) - 1 AS n_suppressed
+        FROM c GROUP BY user_id, event_type, burst
+        ORDER BY user_id, event_type, event_id
+    """
