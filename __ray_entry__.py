@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,
         "audio_segment_rows": multimodal.q_audio_segment_rows,
         "audio_delta_dedup": multimodal.q_audio_delta_dedup,
+        "audio_snippet_search": multimodal.q_audio_snippet_search,
         "distinct_tokens_hll": textops.q_distinct_tokens_hll,
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,

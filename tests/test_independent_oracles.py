@@ -525,3 +525,61 @@ def test_kmeans_fit_vs_numpy_lloyd(ray_session):
     assert (df["cluster"].to_numpy() == a).all()
     cos = sims[np.arange(len(ids)), a]
     assert np.allclose(df["cosine"].to_numpy(), cos, atol=1.1e-4)
+
+
+def test_audio_snippet_search_vs_brute(ray_session):
+    """Exact recompute oracle: decode every clip single-process, rebuild
+    token runs + snippet probes, count distinct shared run hashes per
+    (query, clip) — the pipeline's hash-partition join must reproduce the
+    table exactly, and every parent must be its query's top hit."""
+    import numpy as np
+    import pyarrow as pa
+
+    from who_owns_mass_processing_ray import audio
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    got = mm.q_audio_snippet_search(sf).to_pandas()
+
+    parts = list(mm.clips_from_documents(sf)
+                 .iter_batches(batch_format="pyarrow", batch_size=256))
+    tbl = pa.concat_tables(parts)
+    anchors: dict[str, set[int]] = {}
+    probes: dict[str, set[int]] = {}
+    for i in range(tbl.num_rows):
+        cid = tbl["clip_id"][i].as_py()
+        pcm, sr = audio.decode(tbl["bytes"][i].as_py(),
+                               tbl["codec"][i].as_py())
+        toks = mm._frame_tokens(pcm, sr)
+        if not len(toks):
+            continue
+        offs = np.array([0, len(toks)], np.int64)
+        vals, _ = hx.token_shingle_hashes(toks, offs, mm.SNIP_RUN, seed=4242)
+        anchors[cid] = set(vals.tolist())
+        doc_i = int(cid.split("-")[1])
+        if doc_i % mm.SNIP_PARENT_MOD == 0 and \
+                int(tbl["dur_ms"][i].as_py()) >= 1300:
+            lo, hi = mm._snippet_slice(len(toks))
+            st = toks[lo:hi]
+            if len(st) >= mm.SNIP_RUN:
+                offs = np.array([0, len(st)], np.int64)
+                qv, _ = hx.token_shingle_hashes(st, offs, mm.SNIP_RUN,
+                                                seed=4242)
+                probes["snip" + cid[4:]] = set(qv.tolist())
+
+    expected = {}
+    for q, qs in probes.items():
+        for c, cs in anchors.items():
+            n = len(qs & cs)
+            if n >= 1:
+                expected[(q, c)] = n
+    got_pairs = {(r.query_id, r.clip_id): r.n_matching_runs
+                 for r in got.itertuples()}
+    assert got_pairs == expected
+    # parent is the top hit of every query
+    for q in probes:
+        parent = "clip" + q[4:]
+        hits = {c: n for (qq, c), n in expected.items() if qq == q}
+        assert hits, q
+        assert hits.get(parent, -1) == max(hits.values())

@@ -1152,3 +1152,166 @@ def q_audio_delta_dedup(sf_dir: str, mod: int = AUDIO_DELTA_MOD):
         })
 
     return out.map_batches(finish, batch_format="pyarrow").sort("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio snippet search — "which corpus clip contains this short excerpt?",
+# the retrieval form of containment dedup in the AUDIO domain (the text
+# side is stages/containment.py; ≙ dedupe C/O containment re-expressed over
+# waveforms).  Clips become hop-aligned frame-token sequences
+# (_frame_tokens — gain-invariant, trim-by-hop-multiples shifts tokens
+# without rewriting them), every clip publishes its R-token run hashes as
+# ANCHORS, each query snippet publishes its own runs as PROBES, and one
+# hash-partition shuffle of the narrow (run_hash, id) stream joins them —
+# PCM never shuffles.  A snippet cut on hop boundaries is an exact token
+# subsequence of its parent, so the parent matches EVERY distinct probe
+# run; unrelated clips share runs only by noise-token coincidence.
+# ---------------------------------------------------------------------------
+
+SNIP_RUN = 4          # run width in frame tokens
+SNIP_PARENT_MOD = 4   # doc_id % 4 == 0 and longest-duration class -> parent
+SNIP_MAX_ANCHORS = 128  # per-run-hash anchor cap (counted, not silent)
+SNIP_PARTS = 64       # run-hash shuffle partitions
+
+
+def _snippet_slice(n_tok: int) -> tuple[int, int]:
+    """Deterministic middle-half token window of a parent clip."""
+    m = n_tok // 2
+    lo = n_tok // 4
+    return lo, lo + m
+
+
+def q_audio_snippet_search(sf_dir: str, min_runs: int = 1):
+    """-> (query_id, clip_id, n_matching_runs): corpus clips ranked per
+    query snippet by the number of DISTINCT shared R-token run hashes
+    (pairs sharing < ``min_runs`` suppressed; default 1 because a heavily
+    periodic clip can collapse to a single distinct run hash).  Parents are the longest
+    duration class with doc_id % SNIP_PARENT_MOD == 0; each contributes one
+    middle-half snippet.  Rows-only for the driver (codec decode is not
+    SQL-expressible); exact recompute + parent-is-max gates live in
+    tests/test_independent_oracles.py."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    clips = clips_from_documents(sf_dir)
+
+    class RunHashes:
+        """Actor pool: decode -> frame tokens -> run hashes; parent clips
+        additionally emit their snippet's runs under a query id."""
+
+        def __init__(self):
+            self.codecs = audio.CODECS
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bufs = t["bytes"].to_pylist()
+            codecs = t["codec"].to_pylist()
+            cids = t["clip_id"].to_pylist()
+            durs = t["dur_ms"].to_numpy()
+            out_h, out_id, out_q = [], [], []
+            for i in range(len(t)):
+                try:
+                    pcm, sr = audio.decode(bufs[i], codecs[i])
+                    toks = _frame_tokens(pcm, sr)
+                except Exception:
+                    continue
+                if not len(toks):
+                    continue
+                offs = np.array([0, len(toks)], np.int64)
+                vals, _ = hx.token_shingle_hashes(toks, offs, SNIP_RUN,
+                                                  seed=4242)
+                hu = np.unique(vals)
+                out_h.append(hu)
+                out_id.append(np.full(len(hu), i, np.int64))
+                out_q.append(np.zeros(len(hu), bool))
+                doc_i = int(cids[i].split("-")[1])
+                if doc_i % SNIP_PARENT_MOD == 0 and int(durs[i]) >= 1300:
+                    lo, hi = _snippet_slice(len(toks))
+                    st = toks[lo:hi]
+                    if len(st) >= SNIP_RUN:
+                        offs = np.array([0, len(st)], np.int64)
+                        qv, _ = hx.token_shingle_hashes(st, offs, SNIP_RUN,
+                                                        seed=4242)
+                        qh = np.unique(qv)
+                        out_h.append(qh)
+                        out_id.append(np.full(len(qh), i, np.int64))
+                        out_q.append(np.ones(len(qh), bool))
+            if not out_h:
+                return pa.table({"h": pa.array([], pa.int64()),
+                                 "rid": pa.array([], pa.string()),
+                                 "is_q": pa.array([], pa.bool_()),
+                                 "part": pa.array([], pa.int32())})
+            h = np.concatenate(out_h)
+            row = np.concatenate(out_id)
+            isq = np.concatenate(out_q)
+            ids_arr = t["clip_id"]
+            if isinstance(ids_arr, pa.ChunkedArray):
+                ids_arr = ids_arr.combine_chunks()
+            base = ids_arr.take(pa.array(row)).cast(pa.string())
+            rid = pc.if_else(
+                pa.array(isq),
+                pc.binary_join_element_wise(pa.array(["snip"] * len(row)),
+                                            pc.utf8_slice_codeunits(
+                                                base, 4, 9999), ""),
+                base)
+            return pa.table({
+                "h": pa.array(h.view(np.int64)),
+                "rid": rid,
+                "is_q": pa.array(isq),
+                "part": pa.array((h % np.uint64(SNIP_PARTS))
+                                 .astype(np.int32)),
+            })
+
+    def match(g: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.string()),
+                          "clip_id": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "dropped": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        isq = g["is_q"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy()
+        rid = g["rid"]
+        if isinstance(rid, pa.ChunkedArray):
+            rid = rid.combine_chunks()
+        a_idx = np.flatnonzero(~isq)
+        q_idx = np.flatnonzero(isq)
+        if not len(a_idx) or not len(q_idx):
+            return empty
+        ah = h[a_idx]
+        order = np.argsort(ah, kind="stable")
+        ah = ah[order]
+        a_idx = a_idx[order]
+        lo = np.searchsorted(ah, h[q_idx], side="left")
+        hi = np.searchsorted(ah, h[q_idx], side="right")
+        cnt = hi - lo
+        dropped = int(np.maximum(cnt - SNIP_MAX_ANCHORS, 0).sum())
+        cnt = np.minimum(cnt, SNIP_MAX_ANCHORS)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        rep_q = np.repeat(np.arange(len(q_idx)), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        pos = np.arange(total) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+        qi = q_idx[rep_q]
+        ai = a_idx[pos]
+        return pa.table({
+            "query_id": rid.take(pa.array(qi)),
+            "clip_id": rid.take(pa.array(ai)),
+            "n": pa.array(np.ones(total, np.int64)),
+            "dropped": pa.array(np.full(total, dropped, np.int64)),
+        })
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    rows = clips.map_batches(RunHashes, batch_format="pyarrow",
+                             concurrency=pool_bounds(4))
+    matched = rows.groupby("part").map_groups(
+        lambda g: match(g.drop_columns(["part"])), batch_format="pyarrow")
+    from ray.data.aggregate import Max, Sum
+
+    out = matched.groupby(["query_id", "clip_id"]).aggregate(
+        Sum("n", alias_name="n_matching_runs"),
+        Max("dropped", alias_name="dropped"))
+    return out.filter(expr=f"n_matching_runs >= {min_runs}") \
+        .sort(["query_id", "clip_id"])
