@@ -583,3 +583,23 @@ def test_audio_snippet_search_vs_brute(ray_session):
         hits = {c: n for (qq, c), n in expected.items() if qq == q}
         assert hits, q
         assert hits.get(parent, -1) == max(hits.values())
+
+
+def test_compression_ratio_vs_recompute(ray_session, docs):
+    """Per-row zlib recompute must match the pipeline exactly."""
+    import zlib
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_compression_ratio(SF_DIR).to_pandas() \
+        .set_index("doc_id")
+    ids, texts = docs
+    assert len(got) == sum(t is not None for t in texts)
+    for i, s in zip(ids, texts):
+        if s is None:
+            continue
+        b = s.encode("utf-8")
+        r = len(zlib.compress(b, textops.ZRATIO_LEVEL)) / max(len(b), 1)
+        assert int(got.loc[i, "n_bytes"]) == len(b)
+        assert abs(float(got.loc[i, "z_ratio"]) - round(r, 4)) < 1e-9
+        assert bool(got.loc[i, "low_entropy"]) == (r < textops.ZRATIO_LOW)

@@ -3394,3 +3394,47 @@ def weighted_sample_sql(k: int = WSAMPLE_K) -> str:
         WHERE rn <= {k}
         ORDER BY source, doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal — the zlib entropy proxy used by web-
+# corpus curation (boilerplate/repetition compresses far below natural
+# text).  Per-row zlib is the unavoidable C call over opaque bytes (same
+# shape as codec decode); everything around it is Arrow.  Rows-only for the
+# driver (no SQL zlib); exact recompute oracle in
+# tests/test_independent_oracles.py.
+# ---------------------------------------------------------------------------
+
+ZRATIO_LEVEL = 6
+ZRATIO_LOW = 0.35    # ratio below this -> repetitive/low-entropy flag
+
+
+def q_compression_ratio(sf_dir: str):
+    """-> (doc_id, n_bytes, z_ratio, low_entropy): compressed/raw byte
+    ratio per doc (zlib level 6), flagging docs that compress below
+    ``ZRATIO_LOW`` (repetition-heavy candidates for removal)."""
+    import zlib
+
+    docs = _docs(sf_dir)
+
+    def ratios(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t2 = t.filter(pc.is_valid(txt))
+        texts = t2["text"].to_pylist()
+        n = np.empty(len(texts), np.int64)
+        z = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            b = s.encode("utf-8")
+            n[i] = len(b)
+            z[i] = len(zlib.compress(b, ZRATIO_LEVEL))
+        ratio = z / np.maximum(n, 1)
+        return pa.table({
+            "doc_id": t2["doc_id"],
+            "n_bytes": pa.array(n),
+            "z_ratio": pa.array(round_half_away(ratio, 4)),
+            "low_entropy": pa.array(ratio < ZRATIO_LOW),
+        })
+
+    return docs.map_batches(ratios, batch_format="pyarrow").sort("doc_id")
