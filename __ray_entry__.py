@@ -86,8 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": textops.q_weighted_sample,
         "rollup_agg": relational.q_rollup_agg,
         "table_profile": relational.q_table_profile,
-        "cascade_match": relational.q_cascade_match,
-        "addr_match_cascade": relational.q_addr_match_cascade,
+        "dup_graph_degree": textops.q_dup_graph_degree,
+        "source_divergence": textops.q_source_divergence,
         "event_burst_dedup": relational.q_event_burst_dedup,
         "group_cap": textops.q_group_cap,
         # new-this-round oracle queries take the last window slots; the
@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "cascade_match": relational.q_cascade_match,
+        "addr_match_cascade": relational.q_addr_match_cascade,
         "join_agg": relational.q_join_agg,
         "unit_estimate": relational.q_unit_estimate,
         "interval_join": relational.q_interval_join,
@@ -465,6 +467,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": relational.table_profile_sql(),
         "rollup_agg": relational.rollup_agg_sql(),
         "event_burst_dedup": relational.event_burst_dedup_sql(),
+        "dup_graph_degree": textops.dup_graph_degree_sql(),
+        "source_divergence": textops.source_divergence_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -3438,3 +3438,232 @@ def q_compression_ratio(sf_dir: str):
         })
 
     return docs.map_batches(ratios, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dup-graph degree table — per-document degree in the exact-Jaccard near-dup
+# graph: the diagnostic that finds template/boilerplate hubs (a doc near-
+# duplicating hundreds of others is a template, not content).  Composes the
+# exact AllPairs join (complete candidate generation) with one explode +
+# partial-count reduce; only (doc_id, 1) rows shuffle.
+# ---------------------------------------------------------------------------
+
+def q_dup_graph_degree(sf_dir: str, k: int = 5, thresh: float = 0.7):
+    """-> (doc_id, degree) for every doc with >= 1 near-dup neighbor at
+    char-k-gram Jaccard >= thresh, sorted by doc_id."""
+    from ray.data.aggregate import Sum
+
+    pairs = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=thresh)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.concatenate((t["left_id"].to_numpy(),
+                              t["right_id"].to_numpy()))
+        return pa.table({"doc_id": pa.array(ids),
+                         "n": pa.array(np.ones(len(ids), np.int64))})
+
+    return pairs.map_batches(explode, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("n", alias_name="degree")) \
+        .sort("doc_id")
+
+
+def dup_graph_degree_sql(k: int = 5, thresh: float = 0.7) -> str:
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), {k}) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS u
+                FROM documents)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT i.l, i.r FROM inter i
+          JOIN sz sa ON sa.doc_id = i.l
+          JOIN sz sb ON sb.doc_id = i.r
+          WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {thresh}
+        ),
+        d AS (SELECT l AS doc_id FROM e UNION ALL SELECT r FROM e)
+        SELECT doc_id, count(*) AS degree FROM d
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-drift divergence — pairwise Jensen-Shannon divergence between the
+# per-source unigram distributions: the mixing/drift diagnostic run before
+# blending corpora.  Decomposition keeps it one-shuffle distributed: only
+# terms present in BOTH sources of a pair need a joint row —
+#   JS(a,b) = Σ_both f(p,q) + 0.5·ln2·(2 − Σ_both p − Σ_both q),
+# so the term-hash groupby emits (pair, contrib, p-mass, q-mass) partials
+# and pairs that never co-occur degenerate to ln 2 exactly.  Per-source
+# totals are a tiny broadcast; the corpus streams once.
+# ---------------------------------------------------------------------------
+
+def q_source_divergence(sf_dir: str, num_parts: int = 32):
+    """-> (src_a, src_b, js_div) for every source pair (a < b), natural-log
+    Jensen-Shannon divergence of whitespace-token unigram distributions,
+    rounded 4."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        la = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+        parent = pc.list_parent_indices(la).to_numpy()
+        flat = la.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        if not len(flat):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = pc.dictionary_encode(src.take(pa.array(parent)))
+        if isinstance(senc, pa.ChunkedArray):
+            senc = senc.combine_chunks()
+        scode = senc.indices.to_numpy().astype(np.int64)
+        h = hx.hash_strings(flat)
+        key = np.stack((scode, h.view(np.int64)), axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({
+            "source": senc.dictionary.take(pa.array(uniq[:, 0])),
+            "h": pa.array(uniq[:, 1]),
+            "c": pa.array(cnt.astype(np.int64)),
+            "part": pa.array((uniq[:, 1].view(np.uint64)
+                              % np.uint64(num_parts)).astype(np.int32)),
+        })
+
+    cstream = docs.map_batches(counts, batch_format="pyarrow")
+    cstream = cstream.materialize()
+
+    # per-source token totals: tiny two-level aggregate, then broadcast
+    totals = cstream.groupby("source").aggregate(Sum("c", alias_name="n")) \
+        .take_all()
+    tot = {r["source"]: float(r["n"]) for r in totals}
+    sources = sorted(tot)
+    src_arr = pa.array(sources)
+    tot_vec = np.array([tot[s] for s in sources])
+    side_ref = ray.put((src_arr, tot_vec))
+
+    def pair_partials(g: pa.Table) -> pa.Table:
+        empty = pa.table({"src_a": pa.array([], pa.string()),
+                          "src_b": pa.array([], pa.string()),
+                          "contrib": pa.array([], pa.float64()),
+                          "mass_a": pa.array([], pa.float64()),
+                          "mass_b": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        s_arr, t_vec = ray.get(side_ref)
+        sidx = pc.index_in(g["source"], value_set=s_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = g["h"].to_numpy()
+        c = g["c"].to_numpy().astype(np.float64)
+        # per-(term, source) counts were pre-combined per batch but may
+        # arrive in several partial rows: merge within the group first
+        key = np.stack((h, sidx), axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        cm = np.zeros(len(uniq))
+        np.add.at(cm, inv, c)
+        hh = uniq[:, 0]
+        si = uniq[:, 1]
+        p = cm / t_vec[si]
+        order = np.lexsort((si, hh))
+        hh, si, p = hh[order], si[order], p[order]
+        starts = np.concatenate(([0],
+                                 np.flatnonzero(hh[1:] != hh[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(hh)])))
+        out_a, out_b, out_c, out_pa, out_qb = [], [], [], [], []
+        for st, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            ss = si[st:st + sz]
+            pp = p[st:st + sz]
+            ii, jj = np.triu_indices(sz, k=1)
+            pi, qj = pp[ii], pp[jj]
+            m2 = pi + qj
+            contrib = 0.5 * pi * np.log(2.0 * pi / m2) \
+                + 0.5 * qj * np.log(2.0 * qj / m2)
+            out_a.append(ss[ii])
+            out_b.append(ss[jj])
+            out_c.append(contrib)
+            out_pa.append(pi)
+            out_qb.append(qj)
+        if not out_a:
+            return empty
+        ai = np.concatenate(out_a)
+        bi = np.concatenate(out_b)
+        return pa.table({
+            "src_a": s_arr.take(pa.array(ai)),
+            "src_b": s_arr.take(pa.array(bi)),
+            "contrib": pa.array(np.concatenate(out_c)),
+            "mass_a": pa.array(np.concatenate(out_pa)),
+            "mass_b": pa.array(np.concatenate(out_qb)),
+        })
+
+    agg = cstream.groupby("part").map_groups(
+        lambda g: pair_partials(g.drop_columns(["part"])),
+        batch_format="pyarrow") \
+        .groupby(["src_a", "src_b"]).aggregate(
+            Sum("contrib", alias_name="contrib"),
+            Sum("mass_a", alias_name="mass_a"),
+            Sum("mass_b", alias_name="mass_b")).take_all()
+    got = {(r["src_a"], r["src_b"]):
+           (r["contrib"], r["mass_a"], r["mass_b"]) for r in agg}
+
+    ln2 = float(np.log(2.0))
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            contrib, ma, mb = got.get((a, b), (0.0, 0.0, 0.0))
+            js = contrib + 0.5 * ln2 * (2.0 - ma - mb)
+            rows.append({"src_a": a, "src_b": b,
+                         "js_div": float(round_half_away(
+                             np.array([js]), 4)[0])})
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(rows)) \
+        .sort(["src_a", "src_b"])
+
+
+def source_divergence_sql() -> str:
+    return """
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents WHERE text IS NOT NULL
+        ),
+        cnt AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+        p AS (SELECT cnt.source, cnt.term, cnt.c * 1.0 / tot.n AS p
+              FROM cnt JOIN tot ON tot.source = cnt.source),
+        pairs AS (SELECT a.source AS sa, b.source AS sb
+                  FROM tot a JOIN tot b ON a.source < b.source),
+        terms AS (SELECT DISTINCT term FROM cnt),
+        grid AS (
+          SELECT pr.sa, pr.sb, t.term,
+                 coalesce(px.p, 0) AS p, coalesce(py.p, 0) AS q
+          FROM pairs pr CROSS JOIN terms t
+          LEFT JOIN p px ON px.source = pr.sa AND px.term = t.term
+          LEFT JOIN p py ON py.source = pr.sb AND py.term = t.term)
+        SELECT sa AS src_a, sb AS src_b,
+               round(sum(
+                 CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
+               + CASE WHEN q > 0 THEN 0.5 * q * ln(2 * q / (p + q)) ELSE 0 END
+               ), 4) AS js_div
+        FROM grid WHERE p + q > 0
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
