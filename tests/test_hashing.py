@@ -263,3 +263,51 @@ class TestCdcChunkerStage:
         # chunk_idx sequential per clip
         idx = out.filter(pa.compute.equal(out["clip_id"], "clip-a"))
         assert idx["chunk_idx"].to_pylist() == list(range(len(hashes["clip-a"])))
+
+
+class TestBloomKernels:
+    """Property tests for the delta-dedup Bloom kernels: an inserted key can
+    NEVER probe false (no false negatives — the invariant the exact-parity
+    of q_delta_dedup_bloom rests on), at any bitmap size / probe count."""
+
+    def test_inserted_keys_always_probe_true(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from who_owns_mass_processing_ray.pipelines.textops import (
+            _bloom_positions,
+            _bloom_probe,
+            _bloom_words,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            keys=st.lists(st.tuples(
+                st.integers(0, (1 << 64) - 1),
+                st.integers(0, (1 << 64) - 1)), min_size=1, max_size=64),
+            m_log2=st.integers(8, 22),
+            k=st.integers(1, 12),
+        )
+        def check(keys, m_log2, k):
+            h1 = np.array([a for a, _ in keys], np.uint64)
+            h2 = np.array([b for _, b in keys], np.uint64)
+            pos = _bloom_positions(h1, h2, m_log2, k)
+            assert pos.shape == (len(keys), k)
+            assert int(pos.max()) < (1 << m_log2)
+            words = _bloom_words(pos, m_log2)
+            assert _bloom_probe(words, pos).all()
+
+        check()
+
+    def test_empty_bitmap_probes_false(self):
+        from who_owns_mass_processing_ray.pipelines.textops import (
+            _bloom_positions,
+            _bloom_probe,
+        )
+
+        rng = np.random.default_rng(7)
+        h1 = rng.integers(0, 1 << 63, 100, dtype=np.int64).view(np.uint64)
+        h2 = rng.integers(1, 1 << 63, 100, dtype=np.int64).view(np.uint64)
+        pos = _bloom_positions(h1, h2, 20, 7)
+        words = np.zeros(1 << 14, dtype=np.uint64)
+        assert not _bloom_probe(words, pos).any()
