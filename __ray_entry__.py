@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": vectors.q_knn_ivf,
         "semantic_dedup": vectors.q_semantic_dedup,
         "kmeans_fit": vectors.q_kmeans_fit,
+        "knn_pq": vectors.q_knn_pq,
         # --- flagship assignment + multimodal plumbing ----------------------
         "dedup_assignment": multimodal.q_dedup_assignment,
         "audio_decode_stats": multimodal.q_audio_decode_stats,

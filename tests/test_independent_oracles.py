@@ -603,3 +603,30 @@ def test_compression_ratio_vs_recompute(ray_session, docs):
         assert int(got.loc[i, "n_bytes"]) == len(b)
         assert abs(float(got.loc[i, "z_ratio"]) - round(r, 4)) < 1e-9
         assert bool(got.loc[i, "low_entropy"]) == (r < textops.ZRATIO_LOW)
+
+
+def test_knn_pq_scores_exact_and_recall(ray_session):
+    """PQ/ADC + rerank: every emitted cosine must be the EXACT recompute
+    from raw embeddings (rerank emits true scores, never ADC estimates),
+    and shortlist recall vs q_knn_brute must clear 0.8 (measured 1.0 at
+    the default parameters on this corpus)."""
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    of = {int(v): j for j, v in enumerate(ids)}
+    got = vectors.q_knn_pq(SF_DIR).to_pandas()
+    assert len(got)
+    for r in got.itertuples():
+        exact = float(m[of[int(r.query_id)]] @ m[of[int(r.vec_id)]])
+        assert abs(r.cosine - round(exact, 4)) <= 1e-9
+    brute = vectors.q_knn_brute(SF_DIR).to_pandas()
+    recs = []
+    for q in brute["query_id"].unique():
+        want = set(brute[brute.query_id == q]["vec_id"])
+        have = set(got[got.query_id == q]["vec_id"])
+        recs.append(len(want & have) / len(want))
+    assert np.mean(recs) >= 0.8

@@ -557,3 +557,144 @@ def q_kmeans_fit(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         })
 
     return ds.map_batches(assign_final, batch_format="pyarrow").sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound scale path: at 10^12
+# rows even the IVF lists cannot hold raw float vectors, so vectors are
+# compressed to m_sub uint8 codes (32x smaller than float64 at 64-dim) and
+# queries scan codes with an ADC lookup table (Jegou et al., TPAMI 2011).
+# Codebooks are deterministic per-subspace k-means on the sorted-id sample
+# (the IVFIndex scheme); encoding is an actor-pool map; the search is the
+# same per-batch top-k + tiny global reduce as q_knn_brute, but each batch
+# touches 8 bytes per vector instead of 512.
+# ---------------------------------------------------------------------------
+
+PQ_M_SUB = 16       # subspaces
+PQ_N_CENT = 256     # centroids per subspace (8-bit codes)
+PQ_ITERS = 8
+PQ_SHORTLIST = 50   # ADC shortlist size per (query, batch) before rerank
+
+
+def _pq_train(sample: np.ndarray, m_sub: int, n_cent: int,
+              iters: int) -> np.ndarray:
+    """(m_sub, n_cent, d_sub) codebooks: deterministic per-subspace Lloyd
+    (L2) seeded with evenly spaced sample rows."""
+    n, d = sample.shape
+    d_sub = d // m_sub
+    books = np.empty((m_sub, n_cent, d_sub))
+    for s in range(m_sub):
+        x = sample[:, s * d_sub:(s + 1) * d_sub]
+        idx = np.linspace(0, n - 1, n_cent).astype(np.int64)
+        c = x[idx].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_cent):
+                mem = x[assign == j]
+                if len(mem):
+                    c[j] = mem.mean(axis=0)
+        books[s] = c
+    return books
+
+
+def _pq_encode(m: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m_sub) uint8 codes — one argmin per subspace, vectorized."""
+    n = len(m)
+    m_sub, n_cent, d_sub = books.shape
+    codes = np.empty((n, m_sub), np.uint8)
+    for s in range(m_sub):
+        x = m[:, s * d_sub:(s + 1) * d_sub]
+        d2 = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def q_knn_pq(sf_dir: str, n_queries: int = 10, k: int = 5,
+             m_sub: int = PQ_M_SUB, n_cent: int = PQ_N_CENT,
+             shortlist: int = PQ_SHORTLIST):
+    """-> (query_id, vec_id, cosine): top-k via the production PQ shape —
+    an ADC (asymmetric distance) scan over uint8 codes picks a per-batch
+    shortlist, and only those rows get an exact dot product (rerank).  Per
+    batch the full-precision matmul touches ``shortlist`` rows instead of
+    all of them; the scan itself reads 16 bytes/vector instead of 512.  (In
+    a deployed index the codes are precomputed and the rerank fetches raw
+    vectors by id; here both live in the same batch, which changes the I/O
+    accounting but not the algorithm.)  Emitted scores are EXACT cosines,
+    so precision is 1.0 by construction; recall is the ADC shortlist's and
+    is gated vs q_knn_brute in tests (measured 1.0 at these parameters on
+    the near-uniform-sphere corpus, PQ's adversarial case)."""
+    import ray
+
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    s_ids, SM = _batch_matrix(_smallest_ids_table(ds, min(2048, n_rows)))
+    books = _pq_train(SM, m_sub, n_cent, PQ_ITERS)
+    q_ids, Q = _query_matrix(sf_dir, n_queries)
+    d_sub = Q.shape[1] // m_sub
+    lut = np.einsum("qsd,scd->qsc",
+                    Q.reshape(len(Q), m_sub, d_sub), books)
+    side_ref = ray.put((q_ids, Q, lut, books))
+
+    class ScanRerank:
+        """Actor pool: encode the batch to PQ codes, ADC-scan them per
+        query, exact-rerank only the shortlist rows."""
+
+        def __init__(self):
+            import ray as _r
+
+            self.q_ids, self.Q, self.lut, self.books = _r.get(side_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "vec_id": pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            ids, m = _batch_matrix(t)
+            if not len(ids):
+                return empty
+            codes = _pq_encode(m, self.books)
+            sub = np.arange(m_sub)
+            sims = self.lut[:, sub[None, :], codes].sum(axis=2)  # (nq, n)
+            out_q, out_v, out_s = [], [], []
+            for r in range(len(self.q_ids)):
+                s = sims[r].copy()
+                s[ids == self.q_ids[r]] = -np.inf
+                ll = min(shortlist, len(s))
+                cand = np.lexsort((ids, -s))[:ll]
+                cand = cand[s[cand] > -np.inf]
+                if not len(cand):
+                    continue
+                exact = m[cand] @ self.Q[r]          # rerank: exact cosine
+                kk = min(k, len(cand))
+                order = np.lexsort((ids[cand], -exact))[:kk]
+                out_q.append(np.full(kk, self.q_ids[r], np.int64))
+                out_v.append(ids[cand][order])
+                out_s.append(exact[order])
+            if not out_q:
+                return empty
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            })
+
+    def global_topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("cosine", "descending"),
+                          ("vec_id", "ascending")]).slice(0, k)
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    out = ds.map_batches(ScanRerank, batch_format="pyarrow",
+                         concurrency=pool_bounds(4)) \
+        .groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "cosine": round_half_away(t["cosine"], 4),
+        })
+
+    return out.map_batches(rnd, batch_format="pyarrow") \
+        .sort(["query_id", "cosine", "vec_id"],
+              descending=[False, True, False])
