@@ -175,3 +175,35 @@ class TestCheckpointInputChange:
         r2 = dedup.dedup_pipeline(clips_dir, CFG, checkpoint_dir=ck)
         assert r2["features"].count() == half, (
             "orphaned feature part for the removed input was read back")
+
+
+def test_transient_failure_retry(ray_session, tmp_path):
+    """Fault tolerance: a stage that fails transiently (first attempt per
+    block) completes under ``retry_exceptions`` without data loss — the
+    single-node stand-in for worker/node failures mid-run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    marker_dir = tmp_path / "attempts"
+    marker_dir.mkdir()
+
+    def flaky(t: pa.Table) -> pa.Table:
+        key = int(t["x"][0].as_py())
+        marker = marker_dir / f"blk-{key}"
+        if not marker.exists():
+            marker.write_text("1")
+            raise OSError(f"transient failure on block {key}")
+        return pa.table({"x": t["x"],
+                         "y": pa.array(t["x"].to_numpy() * 2)})
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(np.arange(64, dtype=np.int64))}))
+    ds = ds.repartition(8)
+    out = ds.map_batches(flaky, batch_format="pyarrow",
+                         retry_exceptions=[OSError]).to_pandas()
+    out = out.sort_values("x").reset_index(drop=True)
+    assert len(out) == 64
+    assert (out["y"].to_numpy() == out["x"].to_numpy() * 2).all()
+    # every block really did fail once before succeeding
+    assert len(list(marker_dir.iterdir())) >= 1
