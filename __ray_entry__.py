@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_segment_rows": multimodal.q_audio_segment_rows,
         "audio_delta_dedup": multimodal.q_audio_delta_dedup,
         "audio_snippet_search": multimodal.q_audio_snippet_search,
+        "audio_transcode": multimodal.q_audio_transcode,
         "compression_ratio": textops.q_compression_ratio,
         "distinct_tokens_hll": textops.q_distinct_tokens_hll,
         "dedup_report": multimodal.q_dedup_report,

@@ -630,3 +630,46 @@ def test_knn_pq_scores_exact_and_recall(ray_session):
         have = set(got[got.query_id == q]["vec_id"])
         recs.append(len(want & have) / len(want))
     assert np.mean(recs) >= 0.8
+
+
+def test_audio_transcode_vs_direct(ray_session):
+    """Per-row recompute: the manifest's content hash must equal a direct
+    single-process transcode of the same clip, and the transcoded blob must
+    decode at >= 30 dB SNR vs a direct resample of the source PCM (the
+    BASELINE per-row invariant applied to the bytes->bytes path)."""
+    import hashlib
+
+    from who_owns_mass_processing_ray import audio
+    from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    got = mm.q_audio_transcode(sf).to_pandas().set_index("clip_id")
+    parts = list(mm.clips_from_documents(sf)
+                 .iter_batches(batch_format="pyarrow", batch_size=256))
+    tbl = pa.concat_tables(parts)
+    checked = 0
+    for i in range(min(tbl.num_rows, 100)):
+        cid = tbl["clip_id"][i].as_py()
+        buf = tbl["bytes"][i].as_py()
+        codec = tbl["codec"][i].as_py()
+        blob = mm.Transcoder.transcode_one(buf, codec)
+        row = got.loc[cid]
+        assert bool(row["transcode_ok"]) == (blob is not None)
+        if blob is None:
+            continue
+        want_h = int.from_bytes(
+            hashlib.blake2b(blob, digest_size=8).digest(),
+            "little", signed=True)
+        assert int(row["content_hash"]) == want_h
+        assert int(row["n_bytes_out"]) == len(blob)
+        # SNR invariant vs a direct resample of the source
+        pcm, sr = audio.decode(buf, codec)
+        m = max(int(round(len(pcm) * mm.TRANSCODE_SR / sr)), 1)
+        src_t = np.arange(len(pcm), dtype=np.float64) / sr
+        dst_t = np.arange(m, dtype=np.float64) / mm.TRANSCODE_SR
+        ref = np.interp(dst_t, src_t, pcm.astype(np.float64))
+        out_pcm, out_sr = audio.decode(blob, "pcm_s16le")
+        assert out_sr == mm.TRANSCODE_SR
+        assert audio.snr_db(ref.astype(np.float32), out_pcm) >= 30.0
+        checked += 1
+    assert checked >= 50

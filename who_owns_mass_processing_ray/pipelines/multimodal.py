@@ -1315,3 +1315,88 @@ def q_audio_snippet_search(sf_dir: str, min_runs: int = 1):
         Max("dropped", alias_name="dropped"))
     return out.filter(expr=f"n_matching_runs >= {min_runs}") \
         .sort(["query_id", "clip_id"])
+
+
+# ---------------------------------------------------------------------------
+# Transcode — the bytes->bytes media normalization pass (every training
+# corpus re-encodes its audio to one rate/codec before feature extraction).
+# Unlike the stats-only Resampler, this stage PRODUCES the new binary
+# column: decode -> linear resample to 8 kHz -> pcm_s16le re-encode, with a
+# 64-bit content hash + size accounting in the manifest.  The per-row SNR
+# invariant (>= 30 dB vs a direct resample of the source) is gated in
+# tests/test_independent_oracles.py.
+# ---------------------------------------------------------------------------
+
+TRANSCODE_SR = 8000
+
+
+class Transcoder:
+    """Actor-pool bytes->bytes stage.  Emits the transcoded blob plus a
+    manifest row (sizes, content hash); callers selecting only the manifest
+    columns never ship the blobs further."""
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    @staticmethod
+    def transcode_one(buf: bytes, codec: str) -> bytes | None:
+        try:
+            pcm, sr = audio.decode(buf, codec)
+        except Exception:
+            return None
+        if not len(pcm) or sr <= 0:
+            return None
+        if sr != TRANSCODE_SR:
+            m = max(int(round(len(pcm) * TRANSCODE_SR / sr)), 1)
+            src_t = np.arange(len(pcm), dtype=np.float64) / sr
+            dst_t = np.arange(m, dtype=np.float64) / TRANSCODE_SR
+            pcm = np.interp(dst_t, src_t, pcm.astype(np.float64))
+        return audio.encode(pcm.astype(np.float32), TRANSCODE_SR, "pcm_s16le")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        out_bytes: list[bytes] = []
+        n_in = np.zeros(n, np.int64)
+        n_out = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        ok = np.zeros(n, bool)
+        for i in range(n):
+            n_in[i] = len(bufs[i])
+            blob = self.transcode_one(bufs[i], codecs[i])
+            if blob is None:
+                out_bytes.append(b"")
+                continue
+            ok[i] = True
+            out_bytes.append(blob)
+            n_out[i] = len(blob)
+            h[i] = int.from_bytes(
+                hashlib.blake2b(blob, digest_size=8).digest(),
+                "little", signed=True)
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "bytes_out": pa.array(out_bytes, pa.large_binary()),
+            "transcode_ok": pa.array(ok),
+            "n_bytes_in": pa.array(n_in),
+            "n_bytes_out": pa.array(n_out),
+            "content_hash": pa.array(h),
+            "sr_out": pa.array(np.full(n, TRANSCODE_SR, np.int32)),
+        })
+
+
+def q_audio_transcode(sf_dir: str):
+    """-> per-clip transcode manifest (blob stays internal: the driver
+    result carries sizes + the 64-bit content hash, which pins the binary
+    output byte-for-byte without shipping it)."""
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    out = clips.map_batches(Transcoder, batch_format="pyarrow",
+                            batch_size=64, concurrency=pool_bounds(8),
+                            num_cpus=1)
+    return out.select_columns(["clip_id", "transcode_ok", "n_bytes_in",
+                               "n_bytes_out", "content_hash", "sr_out"]) \
+        .sort("clip_id")
