@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_degree": textops.q_dup_graph_degree,
         "source_divergence": textops.q_source_divergence,
         "event_burst_dedup": relational.q_event_burst_dedup,
-        "group_cap": textops.q_group_cap,
+        "funnel": relational.q_funnel,
         # new-this-round oracle queries take the last window slots; the
         # displaced stable normalize rows (green since r2/r3, still
         # pytest-checked at sf0.001) rotate to rows 51+
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "group_cap": textops.q_group_cap,
         "cascade_match": relational.q_cascade_match,
         "addr_match_cascade": relational.q_addr_match_cascade,
         "join_agg": relational.q_join_agg,
@@ -471,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "event_burst_dedup": relational.event_burst_dedup_sql(),
         "dup_graph_degree": textops.dup_graph_degree_sql(),
         "source_divergence": textops.source_divergence_sql(),
+        "funnel": relational.funnel_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -30,7 +30,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "metacorp_rollup", "asof_join", "ngram_logprob", "heavy_hitters",
           "distinct_tokens", "group_cap", "delta_dedup_bloom", "bm25_score",
           "weighted_sample", "table_profile", "rollup_agg",
-          "event_burst_dedup", "dup_graph_degree", "source_divergence"]
+          "event_burst_dedup", "dup_graph_degree", "source_divergence",
+          "funnel"]
 
 
 @pytest.fixture(scope="module")

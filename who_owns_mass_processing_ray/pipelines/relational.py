@@ -2195,3 +2195,100 @@ def event_burst_dedup_sql() -> str:
         FROM c GROUP BY user_id, event_type, burst
         ORDER BY user_id, event_type, event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered view -> click -> purchase progression per user
+# (the canonical product-analytics query; each stage's timestamp is the
+# earliest qualifying event STRICTLY AFTER the previous stage).  Same scale
+# shape as sessionize: coarse user-hash partition, then three chained
+# vectorized group-min passes (np.minimum.at on user codes) — no per-user
+# Python, no driver collection.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """-> (user_id, t_view, t_click, t_purchase, stage_reached) for every
+    user appearing in events, sorted by user_id."""
+    cols = ["event_id", "user_id", "ts", "event_type"]
+
+    def funnel(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "t_view": pa.array([], pa.timestamp("us")),
+            "t_click": pa.array([], pa.timestamp("us")),
+            "t_purchase": pa.array([], pa.timestamp("us")),
+            "stage_reached": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        users, ucode = np.unique(uid, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        stage_t = []
+        for s, name in enumerate(FUNNEL_STAGES):
+            # qualifying: right type AND strictly after the previous stage
+            qual = pc.equal(et, name).to_numpy(zero_copy_only=False)
+            if s == 0:
+                ok = qual
+            else:
+                p = stage_t[s - 1][ucode]
+                ok = qual & (p < big) & (ts > p)
+            t = np.full(len(users), big, np.int64)
+            if ok.any():
+                np.minimum.at(t, ucode[ok], ts[ok])
+            stage_t.append(t)
+        reached = np.zeros(len(users), np.int64)
+        for t in stage_t:
+            reached += (t < big).astype(np.int64)
+
+        def col(t):
+            arr = t.astype("datetime64[us]")
+            return pa.array(np.where(t < big, arr,
+                                     np.datetime64("NaT", "us")))
+
+        return pa.table({
+            "user_id": pa.array(users),
+            "t_view": col(stage_t[0]),
+            "t_click": col(stage_t[1]),
+            "t_purchase": col(stage_t[2]),
+            "stage_reached": pa.array(reached),
+        })
+
+    out = _read(sf_dir, "events", cols) \
+        .map_batches(lambda t: _event_parts(t, cols),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: funnel(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    return out.sort("user_id")
+
+
+def funnel_sql() -> str:
+    return """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (SELECT user_id, min(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+              JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+              JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+               (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
+               AS stage_reached
+        FROM u
+        LEFT JOIN v ON v.user_id = u.user_id
+        LEFT JOIN c ON c.user_id = u.user_id
+        LEFT JOIN p ON p.user_id = u.user_id
+        ORDER BY u.user_id
+    """
