@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_snippet_search": multimodal.q_audio_snippet_search,
         "audio_transcode": multimodal.q_audio_transcode,
         "compression_ratio": textops.q_compression_ratio,
+        "longest_repeat": textops.q_longest_repeat,
         "distinct_tokens_hll": textops.q_distinct_tokens_hll,
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,

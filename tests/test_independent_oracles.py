@@ -673,3 +673,38 @@ def test_audio_transcode_vs_direct(ray_session):
         assert audio.snr_db(ref.astype(np.float32), out_pcm) >= 30.0
         checked += 1
     assert checked >= 50
+
+
+def test_longest_repeat_vs_brute(ray_session, docs):
+    """Brute oracle: binary search over L with a substring-set duplicate
+    check (monotone: a repeat of length L implies one of L-1) must match
+    the SA adjacent-LCP answer for every doc."""
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_longest_repeat(SF_DIR).to_pandas().set_index("doc_id")
+    ids, texts = docs
+
+    def brute(b: bytes) -> int:
+        def has_rep(L: int) -> bool:
+            seen = set()
+            for j in range(len(b) - L + 1):
+                s = b[j:j + L]
+                if s in seen:
+                    return True
+                seen.add(s)
+            return False
+
+        lo, hi = 0, len(b) - 1   # answer in [lo, hi]
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if has_rep(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    for i, s in list(zip(ids, texts))[:120]:
+        if s is None:
+            continue
+        b = s.encode("utf-8")
+        assert int(got.loc[i, "max_repeat_len"]) == brute(b), i

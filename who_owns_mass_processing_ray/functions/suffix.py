@@ -125,3 +125,30 @@ def docs_containing(blob: bytes, sa: np.ndarray, starts: np.ndarray,
     pos = sa[lo:hi]
     doc = np.searchsorted(starts, pos, side="right") - 1
     return np.unique(doc)
+
+
+def max_adjacent_lcp(data: np.ndarray) -> int:
+    """Length of the longest REPEATED substring of ``data`` (uint8): the
+    classic SA identity — it equals the maximum LCP of suffix-array-adjacent
+    suffixes.  Computed by vectorized survival: at step k the pairs whose
+    first k bytes agree survive; the answer is the step at which the last
+    pair dies.  O(n · answer) single-array work, no per-suffix Python."""
+    n = len(data)
+    if n < 2:
+        return 0
+    sa = build_suffix_array(data)
+    a, b = sa[:-1], sa[1:]
+    cur = np.arange(n - 1)
+    k = 0
+    while True:
+        ai = a[cur] + k
+        bi = b[cur] + k
+        m = (ai < n) & (bi < n)
+        sel = cur[m]
+        if not len(sel):
+            return k
+        eq = data[a[sel] + k] == data[b[sel] + k]
+        cur = sel[eq]
+        if not len(cur):
+            return k
+        k += 1

@@ -3667,3 +3667,50 @@ def source_divergence_sql() -> str:
         FROM grid WHERE p + q > 0
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Longest-repeated-substring diagnostic — the intra-document repetition
+# signal from the substring-dedup literature (Lee et al. 2022 flag docs
+# whose text contains long internal repeats; word_repetition covers gram
+# RATES, this measures the single worst repeat).  Per-doc suffix array +
+# max adjacent LCP (functions/suffix.max_adjacent_lcp); docs are opaque
+# variable-length strings so the loop is per-row with a vectorized body —
+# the codec-decode shape.
+# ---------------------------------------------------------------------------
+
+LRS_FLAG_FRAC = 0.3   # repeat covering > 30% of the doc -> flagged
+
+
+def q_longest_repeat(sf_dir: str):
+    """-> (doc_id, n_chars_utf8, max_repeat_len, repeat_frac, flagged):
+    longest repeated substring length per doc (byte-domain), its fraction
+    of the doc, and the curation flag.  Rows-only for the driver; brute
+    binary-search-over-substring-sets oracle in
+    tests/test_independent_oracles.py."""
+    docs = _docs(sf_dir)
+
+    from who_owns_mass_processing_ray.functions import suffix as sx
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t2 = t.filter(pc.is_valid(txt))
+        texts = t2["text"].to_pylist()
+        n = np.empty(len(texts), np.int64)
+        lrs = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            b = np.frombuffer(s.encode("utf-8"), np.uint8)
+            n[i] = len(b)
+            lrs[i] = sx.max_adjacent_lcp(b)
+        frac = lrs / np.maximum(n, 1)
+        return pa.table({
+            "doc_id": t2["doc_id"],
+            "n_chars_utf8": pa.array(n),
+            "max_repeat_len": pa.array(lrs),
+            "repeat_frac": pa.array(round_half_away(frac, 4)),
+            "flagged": pa.array(frac > LRS_FLAG_FRAC),
+        })
+
+    return docs.map_batches(per_doc, batch_format="pyarrow").sort("doc_id")
