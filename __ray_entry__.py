@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_span_pairs": textops.q_shared_span_pairs,
         "delta_dedup": textops.q_delta_dedup,
         "delta_dedup_bloom": textops.q_delta_dedup_bloom,
-        "group_quantile_trim": textops.q_group_quantile_trim,
+        "group_regression": relational.q_group_regression,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "cross_table_link": textops.q_cross_table_link,
         "fuzzy_join": textops.q_fuzzy_join,
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "group_quantile_trim": textops.q_group_quantile_trim,
         "group_cap": textops.q_group_cap,
         "cascade_match": relational.q_cascade_match,
         "addr_match_cascade": relational.q_addr_match_cascade,
@@ -474,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_degree": textops.dup_graph_degree_sql(),
         "source_divergence": textops.source_divergence_sql(),
         "funnel": relational.funnel_sql(),
+        "group_regression": relational.group_regression_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -2292,3 +2292,101 @@ def funnel_sql() -> str:
         LEFT JOIN p ON p.user_id = u.user_id
         ORDER BY u.user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear regression — per-event-type OLS of value against time,
+# the drift/trend monitor.  The textbook distributed form: regression needs
+# only the sufficient statistics (n, Σx, Σy, Σxy, Σx²), so one partial-
+# aggregate pass computes everything and only 5 numbers per (batch, group)
+# shuffle.  x is DAYS since 2020-01-01 (shifting + day scale keep the
+# float64 sufficient-statistics formula within rounding distance of the
+# oracle's streaming covariance).
+# ---------------------------------------------------------------------------
+
+_REGR_EPOCH = np.datetime64("2020-01-01T00:00:00", "us").astype("int64")
+
+
+def q_group_regression(sf_dir: str):
+    """-> (event_type, n, slope_per_day, intercept, corr): per-type OLS of
+    value on days-since-2020, rounded 6."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        ok = pc.and_(pc.is_valid(et), pc.is_valid(t["value"]))
+        t2 = t.filter(ok)
+        et = t2["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = enc.indices.to_numpy().astype(np.int64)
+        x = (t2["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+             - _REGR_EPOCH) / 86_400_000_000.0
+        y = t2["value"].to_numpy().astype(np.float64)
+        g = len(enc.dictionary)
+        sums = np.zeros((g, 6))
+        np.add.at(sums, code, np.stack(
+            (np.ones(len(x)), x, y, x * y, x * x, y * y), axis=1))
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n": pa.array(sums[:, 0]),
+            "sx": pa.array(sums[:, 1]),
+            "sy": pa.array(sums[:, 2]),
+            "sxy": pa.array(sums[:, 3]),
+            "sxx": pa.array(sums[:, 4]),
+            "syy": pa.array(sums[:, 5]),
+        })
+
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        sx = t["sx"].to_numpy()
+        sy = t["sy"].to_numpy()
+        sxy = t["sxy"].to_numpy()
+        sxx = t["sxx"].to_numpy()
+        syy = t["syy"].to_numpy()
+        cov = sxy - sx * sy / n
+        varx = sxx - sx * sx / n
+        vary = syy - sy * sy / n
+        slope = cov / varx
+        intercept = sy / n - slope * sx / n
+        corr = cov / np.sqrt(varx * vary)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(n.astype(np.int64)),
+            "slope_per_day": pa.array(round_half_away(slope, 6)),
+            "intercept": pa.array(round_half_away(intercept, 6)),
+            "corr": pa.array(round_half_away(corr, 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_type")
+
+
+def group_regression_sql() -> str:
+    return """
+        WITH d AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2020-01-01')
+                      AS DOUBLE) / 86400000000.0 AS x,
+                 value AS y
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL)
+        SELECT event_type, count(*) AS n,
+               round(regr_slope(y, x), 6) AS slope_per_day,
+               round(regr_intercept(y, x), 6) AS intercept,
+               round(corr(y, x), 6) AS corr
+        FROM d GROUP BY event_type ORDER BY event_type
+    """
