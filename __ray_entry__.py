@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_table_link": textops.q_cross_table_link,
         "fuzzy_join": textops.q_fuzzy_join,
         "bm25_score": textops.q_bm25_score,
-        "weighted_sample": textops.q_weighted_sample,
+        "hybrid_search": vectors.q_hybrid_search,
         "rollup_agg": relational.q_rollup_agg,
         "table_profile": relational.q_table_profile,
         "dup_graph_degree": textops.q_dup_graph_degree,
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
         "group_cap": textops.q_group_cap,
         "cascade_match": relational.q_cascade_match,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         normalize,
         relational,
         textops,
+        vectors,
     )
 
     return {
@@ -476,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": textops.source_divergence_sql(),
         "funnel": relational.funnel_sql(),
         "group_regression": relational.group_regression_sql(),
+        "hybrid_search": vectors.hybrid_search_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

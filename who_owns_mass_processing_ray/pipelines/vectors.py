@@ -698,3 +698,125 @@ def q_knn_pq(sf_dir: str, n_queries: int = 10, k: int = 5,
     return out.map_batches(rnd, batch_format="pyarrow") \
         .sort(["query_id", "cosine", "vec_id"],
               descending=[False, True, False])
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion (RRF, Cormack et al. 2009) of a
+# lexical BM25 list and an embedding-cosine list, the standard production
+# retrieval topology.  Each list is a streaming per-block top-L + tiny
+# merge (only L rows per block leave the workers); fusion touches <= 2L
+# rows.  doc_id and vec_id share the id space in the test tables.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_LIST = 50
+RRF_TOP = 20
+
+
+def _block_topk_merge(ds, score_col: str, id_col: str, L: int) -> pa.Table:
+    """Global top-L by (score desc, id asc): per-block top-L + driver merge
+    of <= L rows per block (the global top-L is a subset of the union)."""
+    import ray
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.sort_by([(score_col, "descending"),
+                          (id_col, "ascending")]).slice(0, L)
+
+    parts = [t for t in ray.get(
+        ds.map_batches(local, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         score_col: pa.array([], pa.float64())})
+    return pa.concat_tables(parts).combine_chunks() \
+        .sort_by([(score_col, "descending"), (id_col, "ascending")]) \
+        .slice(0, L)
+
+
+def q_hybrid_search(sf_dir: str, k_rrf: int = RRF_K, L: int = RRF_LIST,
+                    top: int = RRF_TOP):
+    """-> (doc_id, rrf, bm25_rank, cos_rank): top-``top`` docs by
+    RRF = Σ_lists 1/(k + rank), fusing the BM25 top-L (query =
+    BM25_QUERY_TERMS) with the cosine top-L against the smallest-vec_id
+    embedding (self excluded).  Ranks are 1-based, ties broken by id —
+    identical on both engines, so the oracle matches exactly."""
+    import ray
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    bm = _block_topk_merge(textops.q_bm25_score(sf_dir), "bm25", "doc_id", L)
+
+    ds = _emb(sf_dir)
+    q_ids, Q = _query_matrix(sf_dir, 1)
+    q_ref = ray.put((q_ids[0], Q[0]))
+
+    def cos(t: pa.Table) -> pa.Table:
+        qid, qv = ray.get(q_ref)
+        ids, m = _batch_matrix(t)
+        keep = ids != qid
+        return pa.table({"vec_id": pa.array(ids[keep], pa.int64()),
+                         "cosine": pa.array(m[keep] @ qv)})
+
+    cs = _block_topk_merge(ds.map_batches(cos, batch_format="pyarrow"),
+                           "cosine", "vec_id", L)
+
+    rrf: dict[int, float] = {}
+    b_rank: dict[int, int] = {}
+    c_rank: dict[int, int] = {}
+    for r, did in enumerate(bm["doc_id"].to_pylist(), start=1):
+        b_rank[did] = r
+        rrf[did] = rrf.get(did, 0.0) + 1.0 / (k_rrf + r)
+    for r, vid in enumerate(cs["vec_id"].to_pylist(), start=1):
+        c_rank[vid] = r
+        rrf[vid] = rrf.get(vid, 0.0) + 1.0 / (k_rrf + r)
+    rows = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    out = pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "rrf": round_half_away(
+            pa.array([s for _, s in rows], pa.float64()), 6),
+        "bm25_rank": pa.array([b_rank.get(d) for d, _ in rows],
+                              pa.int64()),
+        "cos_rank": pa.array([c_rank.get(d) for d, _ in rows], pa.int64()),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(out).sort(["rrf", "doc_id"],
+                                   descending=[True, False])
+
+
+def hybrid_search_sql(k_rrf: int = RRF_K, L: int = RRF_LIST,
+                      top: int = RRF_TOP) -> str:
+    from who_owns_mass_processing_ray.pipelines.textops import (
+        bm25_score_sql,
+    )
+
+    return f"""
+        WITH bm AS (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS bm25_rank
+          FROM ({bm25_score_sql()})
+          ORDER BY bm25_rank LIMIT {L}),
+        qv AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+        co AS (
+          SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id)
+                 AS cos_rank
+          FROM (SELECT e.vec_id,
+                       list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(qv.embedding AS DOUBLE[])) AS c
+                FROM embeddings e CROSS JOIN qv
+                WHERE e.vec_id > (SELECT min(vec_id) FROM embeddings))
+          ORDER BY cos_rank LIMIT {L}),
+        ids AS (SELECT doc_id FROM bm
+                UNION SELECT vec_id AS doc_id FROM co)
+        SELECT ids.doc_id,
+               round(coalesce(1.0 / ({k_rrf} + bm.bm25_rank), 0)
+                     + coalesce(1.0 / ({k_rrf} + co.cos_rank), 0), 6)
+                 AS rrf,
+               bm.bm25_rank, co.cos_rank
+        FROM ids
+        LEFT JOIN bm ON bm.doc_id = ids.doc_id
+        LEFT JOIN co ON co.vec_id = ids.doc_id
+        ORDER BY rrf DESC, ids.doc_id
+        LIMIT {top}
+    """
