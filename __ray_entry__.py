@@ -79,7 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_dedup": textops.q_delta_dedup,
         "delta_dedup_bloom": textops.q_delta_dedup_bloom,
         "group_regression": relational.q_group_regression,
-        "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
+        "doc_novelty": textops.q_doc_novelty,
         "cross_table_link": textops.q_cross_table_link,
         "fuzzy_join": textops.q_fuzzy_join,
         "bm25_score": textops.q_bm25_score,
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
+        "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
         "group_cap": textops.q_group_cap,
@@ -479,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": relational.funnel_sql(),
         "group_regression": relational.group_regression_sql(),
         "hybrid_search": vectors.hybrid_search_sql(),
+        "doc_novelty": textops.doc_novelty_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

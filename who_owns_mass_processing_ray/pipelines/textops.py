@@ -3714,3 +3714,94 @@ def q_longest_repeat(sf_dir: str):
         })
 
     return docs.map_batches(per_doc, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document novelty — fraction of a doc's distinct char-5-grams that appear
+# NOWHERE else in the corpus (df == 1): the uniqueness prior used when
+# up-sampling rare content and down-sampling boilerplate.  Same two-shuffle
+# shape as paragraph dedup: distinct (doc, gram-hash) pairs hash-partition
+# by gram (so each partition sees a gram's FULL document set and computes
+# its df exactly), then per-doc partials reduce by doc.
+# ---------------------------------------------------------------------------
+
+def q_doc_novelty(sf_dir: str, k: int = 5, num_parts: int = 32):
+    """-> (doc_id, n_grams, n_unique, novelty): distinct-gram count, count
+    with corpus df == 1, and their ratio (rounded 4), sorted by doc_id."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t2 = t.filter(pc.is_valid(txt))
+        col = t2["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t2["doc_id"].to_numpy()
+        vals, offs = hx.shingle_hashes(col, k, seed=21)
+        doc = np.repeat(ids, np.diff(offs))
+        key = np.stack((doc, vals.view(np.int64)), axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({
+            "doc_id": pa.array(uniq[:, 0]),
+            "h": pa.array(uniq[:, 1]),
+            "part": pa.array((uniq[:, 1].view(np.uint64)
+                              % np.uint64(num_parts)).astype(np.int32)),
+        })
+
+    def part_counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_unique": pa.array([], pa.int64())})
+        h = g["h"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        hu, inv, cnt = np.unique(h, return_inverse=True,
+                                 return_counts=True)
+        is_unique = (cnt == 1)[inv]
+        du, dinv = np.unique(doc, return_inverse=True)
+        n_grams = np.bincount(dinv, minlength=len(du))
+        n_unique = np.bincount(dinv[is_unique], minlength=len(du))
+        return pa.table({
+            "doc_id": pa.array(du),
+            "n_grams": pa.array(n_grams.astype(np.int64)),
+            "n_unique": pa.array(n_unique.astype(np.int64)),
+        })
+
+    agg = docs.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: part_counts(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_unique", alias_name="n_unique"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy()
+        nu = t["n_unique"].to_numpy()
+        return t.append_column(
+            "novelty", pa.array(round_half_away(
+                nu / np.maximum(ng, 1), 4)))
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_novelty_sql(k: int = 5) -> str:
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), {k}) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS u
+                FROM documents WHERE text IS NOT NULL)
+        ),
+        df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+        SELECT g.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+               round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS novelty
+        FROM g JOIN df ON df.gram = g.gram
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """
