@@ -31,7 +31,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "distinct_tokens", "group_cap", "delta_dedup_bloom", "bm25_score",
           "weighted_sample", "table_profile", "rollup_agg",
           "event_burst_dedup", "dup_graph_degree", "source_divergence",
-          "funnel", "group_regression", "hybrid_search", "doc_novelty"]
+          "funnel", "group_regression", "hybrid_search", "doc_novelty",
+          "pmi_bigrams"]
 
 
 @pytest.fixture(scope="module")

@@ -3805,3 +3805,108 @@ def doc_novelty_sql(k: int = 5) -> str:
         FROM g JOIN df ON df.gram = g.gram
         GROUP BY g.doc_id ORDER BY g.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram association mining — collocation detection over the corpus
+# (corpus-statistics sibling of q_ngram_topk; the association measure behind
+# phrase tables / tokenizer-merge candidates in training-data pipelines)
+# ---------------------------------------------------------------------------
+
+def q_pmi_bigrams(sf_dir: str, min_count: int = 3,
+                  pmi_thresh: float = 0.25, num_parts: int = 32):
+    """-> (w1, w2, n_pair, pmi): adjacent-word bigrams with corpus count
+    >= ``min_count`` whose pointwise mutual information (log2 of observed
+    over independent-margin expectation, both margins positional) rounds to
+    >= ``pmi_thresh``, sorted (w1, w2).
+
+    Scale shape: the corpus never shuffles — per-batch Arrow group_by emits
+    partial (w1, w2) counts, ONE groupby reduces them, and the two positional
+    margins are groupbys OF THAT table (vocabulary-sized, far smaller).
+    Margins re-attach via the adaptive broadcast/shuffle join, so a 100 TB
+    corpus pays one bigram-table shuffle + two vocab-table shuffles, never a
+    doc shuffle.  Thresholding on the ROUNDED pmi keeps the output set
+    deterministic across engines (no float-boundary top-k flake).
+    """
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    docs = _docs(sf_dir)
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(col, pattern=" ")
+        vals = lst.flatten()
+        offs = lst.offsets.to_numpy()
+        offs = offs - offs[0]  # slice-safe: flatten() already compensates
+        n = len(vals)
+        if n == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_pair": pa.array([], pa.int64())})
+        # adjacency mask: every token is a left-word except each doc's last
+        keep = np.ones(n, dtype=bool)
+        keep[np.maximum(offs[1:], 1) - 1] = False
+        keep[n - 1] = False
+        idx = np.flatnonzero(keep)
+        pairs = pa.table({"w1": vals.take(pa.array(idx)),
+                          "w2": vals.take(pa.array(idx + 1))})
+        part = pairs.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({"w1": part["w1"], "w2": part["w2"],
+                         "n_pair": part["w1_count"]})
+
+    bigrams = docs.map_batches(pair_counts, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("n_pair", alias_name="n_pair")) \
+        .materialize()
+
+    left = bigrams.groupby("w1").aggregate(Sum("n_pair", alias_name="c1"))
+    right = bigrams.groupby("w2").aggregate(Sum("n_pair", alias_name="c2"))
+    total = bigrams.aggregate(Sum("n_pair", alias_name="n"))["n"]
+
+    freq = bigrams.filter(expr=f"n_pair >= {min_count}")
+    freq = attach_columns(freq, left, "w1", "w1", {"c1": "c1"}, num_parts)
+    freq = attach_columns(freq, right, "w2", "w2", {"c2": "c2"}, num_parts)
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["n_pair"].to_numpy().astype(np.float64)
+        c1 = t["c1"].to_numpy().astype(np.float64)
+        c2 = t["c2"].to_numpy().astype(np.float64)
+        pmi = round_half_away(np.log2((c * float(total)) / (c1 * c2)), 4)
+        out = t.select(["w1", "w2", "n_pair"]).append_column(
+            "pmi", pa.array(pmi))
+        return out.filter(pa.array(pmi >= pmi_thresh))
+
+    return freq.map_batches(score, batch_format="pyarrow").sort(["w1", "w2"])
+
+
+def pmi_bigrams_sql(min_count: int = 3, pmi_thresh: float = 0.25) -> str:
+    return f"""
+        WITH ws AS (
+          SELECT string_split(text, ' ') AS w FROM documents
+          WHERE text IS NOT NULL),
+        bg AS (
+          SELECT w[CAST(i AS INTEGER)] AS w1,
+                 w[CAST(i AS INTEGER) + 1] AS w2, count(*) AS n_pair
+          FROM ws, unnest(range(1, len(w))) AS t(i)
+          GROUP BY 1, 2),
+        l AS (SELECT w1, sum(n_pair) AS c1 FROM bg GROUP BY 1),
+        r AS (SELECT w2, sum(n_pair) AS c2 FROM bg GROUP BY 1),
+        n AS (SELECT sum(n_pair) AS n FROM bg)
+        SELECT bg.w1, bg.w2, bg.n_pair,
+               round(log2((bg.n_pair * 1.0 * n.n) / (1.0 * l.c1 * r.c2)), 4)
+                   AS pmi
+        FROM bg, n
+        JOIN l ON l.w1 = bg.w1
+        JOIN r ON r.w2 = bg.w2
+        WHERE bg.n_pair >= {min_count}
+          AND round(log2((bg.n_pair * 1.0 * n.n) / (1.0 * l.c1 * r.c2)), 4)
+              >= {pmi_thresh}
+        ORDER BY 1, 2
+    """
