@@ -3910,3 +3910,139 @@ def pmi_bigrams_sql(min_count: int = 3, pmi_thresh: float = 0.25) -> str:
               >= {pmi_thresh}
         ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-source distinctive terms — smoothed log-odds ratio (Monroe et al. 2008
+# "Fightin' Words" with a flat 0.5 prior).  The per-source companion of
+# q_source_divergence: which words make a source different, not just how far
+# apart two sources are.  Used to audit what a crawl slice actually contains
+# before mixing it into a training blend.
+# ---------------------------------------------------------------------------
+
+def q_distinctive_terms(sf_dir: str, k: int = 10, num_parts: int = 32):
+    """-> (source, term, n_term, log_odds): the ``k`` most distinctive words
+    per source by smoothed log-odds of in-source vs rest-of-corpus rate
+    (rounded 4; rank ties broken by term), sorted (source, term).
+
+    Scale shape: the corpus never shuffles — per-batch Arrow group_by emits
+    partial (source, term) counts and ONE groupby reduces them.  Word totals
+    are a groupby OF the counts table (vocab-sized) re-attached via the
+    adaptive join; source totals are a tiny broadcast dict.  Ranking on the
+    ROUNDED score with a term tiebreak makes the top-k deterministic across
+    engines, and the per-batch partial top-k means only <= k rows per
+    (source, batch) reach the final select.
+    """
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(col, pattern=" ")
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat = pa.table({
+            "source": src.take(pa.array(np.repeat(
+                np.arange(len(counts)), counts))),
+            "term": lst.flatten(),
+        })
+        part = flat.group_by(["source", "term"]).aggregate([("term", "count")])
+        return pa.table({"source": part["source"], "term": part["term"],
+                         "y": part["term_count"]})
+
+    counts = docs.map_batches(term_counts, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("y", alias_name="y")) \
+        .materialize()
+
+    word_tot = counts.groupby("term").aggregate(Sum("y", alias_name="tw"))
+    src_rows = counts.groupby("source").aggregate(
+        Sum("y", alias_name="ns")).take_all()  # bounded: one row per source
+    ns_map = {r["source"]: float(r["ns"]) for r in src_rows}
+    n_total = float(sum(ns_map.values()))
+
+    scored = attach_columns(counts, word_tot, "term", "term",
+                            {"tw": "tw"}, num_parts)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "n_term": pa.array([], pa.int64()),
+                             "log_odds": pa.array([], pa.float64())})
+        srcs = t["source"]
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        uniq = srcs.unique()
+        ns_arr = np.array([ns_map[s.as_py()] for s in uniq])
+        ns = ns_arr[pc.index_in(srcs, uniq).to_numpy()]
+        y = t["y"].to_numpy().astype(np.float64)
+        tw = t["tw"].to_numpy().astype(np.float64)
+        lo = round_half_away(np.log2(
+            ((y + 0.5) / (ns - y + 0.5))
+            / ((tw - y + 0.5) / (n_total - ns - (tw - y) + 0.5))), 4)
+        return pa.table({"source": t["source"], "term": t["term"],
+                         "n_term": t["y"], "log_odds": pa.array(lo)})
+
+    def top_terms(t: pa.Table) -> pa.Table:
+        # per-source top-k by (log_odds desc, term asc): Arrow sort (string
+        # tiebreak native) + one segment-rank pass; valid as a PARTIAL pass
+        # because the global top-k is a subset of the union of batch top-ks
+        if t.num_rows == 0:
+            return t
+        s = t.sort_by([("source", "ascending"), ("log_odds", "descending"),
+                       ("term", "ascending")])
+        src = s["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        rank = np.arange(len(codes)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(codes)]))))
+        return s.filter(pa.array(rank < k))
+
+    out = scored.map_batches(score, batch_format="pyarrow") \
+        .map_batches(top_terms, batch_format="pyarrow") \
+        .groupby("source").map_groups(top_terms, batch_format="pyarrow")
+    return out.sort(["source", "term"])
+
+
+def distinctive_terms_sql(k: int = 10) -> str:
+    return f"""
+        WITH w AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT source, term, count(*) AS y FROM w GROUP BY 1, 2),
+        wt AS (SELECT term, sum(y) AS tw FROM c GROUP BY 1),
+        st AS (SELECT source, sum(y) AS ns FROM c GROUP BY 1),
+        n AS (SELECT sum(y) AS n FROM c),
+        sc AS (
+          SELECT c.source, c.term, c.y,
+                 round(log2(((c.y + 0.5) / (st.ns - c.y + 0.5))
+                       / ((wt.tw - c.y + 0.5)
+                          / (n.n - st.ns - (wt.tw - c.y) + 0.5))), 4)
+                     AS log_odds
+          FROM c, n
+          JOIN wt ON wt.term = c.term
+          JOIN st ON st.source = c.source)
+        SELECT source, term, y AS n_term, log_odds FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY source ORDER BY log_odds DESC, term) AS rn
+          FROM sc)
+        WHERE rn <= {k}
+        ORDER BY source, term
+    """
