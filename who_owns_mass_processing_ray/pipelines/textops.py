@@ -4046,3 +4046,188 @@ def distinctive_terms_sql(k: int = 10) -> str:
         WHERE rn <= {k}
         ORDER BY source, term
     """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph — the clustering-coefficient
+# numerator.  Dense triangle neighborhoods = template/boilerplate families
+# (complements q_dup_graph_degree's hub view: degree finds stars, triangles
+# find cliques).  Classic degree-ordered orientation (Cohen 2009 / Suri-
+# Vassilvitskii 2011): orient every edge from the (degree, id)-smaller
+# endpoint, generate wedges only between OUT-neighbors, and probe each wedge
+# against the undirected edge set.  Each triangle has exactly one apex under
+# the total order, so counts are exact, and out-degree is bounded by
+# O(sqrt(m)) — the skew mitigation that makes wedge expansion tractable on
+# power-law dup graphs.
+# ---------------------------------------------------------------------------
+
+def q_dup_graph_triangles(sf_dir: str, k: int = 5, thresh: float = 0.7,
+                          num_parts: int = 32):
+    """-> (doc_id, n_triangles) for every doc in >= 1 triangle of the
+    char-k-gram Jaccard >= thresh graph, sorted by doc_id.
+
+    Scale shape: only narrow id streams move — degrees are one partial-count
+    reduce, both endpoint degrees re-attach via the adaptive join, wedge
+    generation is a vectorized per-partition segment expansion (bounded by
+    the orientation, no silent caps), and wedges meet edges in ONE shared
+    hash-partition shuffle keyed on the closing pair, matched by a pyarrow
+    hash join per partition.
+    """
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    edges = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=thresh) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.concatenate((t["left_id"].to_numpy(),
+                              t["right_id"].to_numpy()))
+        return pa.table({"doc_id": pa.array(ids),
+                         "n": pa.array(np.ones(len(ids), np.int64))})
+
+    deg = edges.map_batches(explode, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("n", alias_name="degree"))
+
+    e2 = attach_columns(edges, deg, "left_id", "doc_id",
+                        {"degree": "dl"}, num_parts)
+    e2 = attach_columns(e2, deg, "right_id", "doc_id",
+                        {"degree": "dr"}, num_parts)
+
+    def _pair_part(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        h = hx.splitmix64(a.astype(np.uint64)
+                          ^ hx.splitmix64(b.astype(np.uint64)))
+        return (h % np.uint64(num_parts)).astype(np.int32)
+
+    def orient(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy()
+        r = t["right_id"].to_numpy()
+        dl = t["dl"].to_numpy()
+        dr = t["dr"].to_numpy()
+        lf = (dl < dr) | ((dl == dr) & (l < r))
+        return pa.table({
+            "src": pa.array(np.where(lf, l, r)),
+            "dst": pa.array(np.where(lf, r, l)),
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "part", pa.array((t["src"].to_numpy()
+                              % np.int64(num_parts)).astype(np.int32))),
+            batch_format="pyarrow")
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # all out-neighbor pairs per apex: one lexsort + exact triangular
+        # expansion per src segment (orientation bounds segment size)
+        if g.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "apex": pa.array([], pa.int64()),
+                             "pp": pa.array([], pa.int32())})
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(src[1:] != src[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(src)])))
+        P = sizes * (sizes - 1) // 2
+        tot = int(P.sum())
+        if tot == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "apex": pa.array([], pa.int64()),
+                             "pp": pa.array([], pa.int32())})
+        cum = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(P, out=cum[1:])
+        rr = np.arange(tot, dtype=np.int64) - np.repeat(cum[:-1], P)
+        # decode r -> (i, j) with i < j inside each segment
+        jj = np.ceil((np.sqrt(8.0 * (rr + 1) + 1) - 1) / 2).astype(np.int64)
+        ii = rr - jj * (jj - 1) // 2
+        base = np.repeat(starts, P)
+        u = dst[base + ii]
+        v = dst[base + jj]
+        a = np.minimum(u, v)
+        b = np.maximum(u, v)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "apex": pa.array(src[base + ii]),
+                         "pp": pa.array(_pair_part(a, b))})
+
+    wedge_ds = oriented.groupby("part").map_groups(
+        lambda g: wedges(g.drop_columns(["part"])), batch_format="pyarrow")
+
+    edge_keys = edges.map_batches(
+        lambda t: pa.table({
+            "a": t["left_id"], "b": t["right_id"],
+            "pp": pa.array(_pair_part(t["left_id"].to_numpy(),
+                                      t["right_id"].to_numpy())),
+        }), batch_format="pyarrow")
+
+    def close_wedges(g: pa.Table) -> pa.Table:
+        # wedge rows carry apex >= 0; edge rows carry apex == -1
+        w = g.filter(pc.not_equal(g["apex"], -1))
+        e = g.filter(pc.equal(g["apex"], -1)).select(["a", "b"])
+        if w.num_rows == 0 or e.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        hit = w.join(e.append_column(
+            "__e", pa.array(np.ones(e.num_rows, np.int8))),
+            keys=["a", "b"], join_type="inner")
+        if hit.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ids = np.concatenate((hit["a"].to_numpy(), hit["b"].to_numpy(),
+                              hit["apex"].to_numpy()))
+        return pa.table({"doc_id": pa.array(ids),
+                         "n": pa.array(np.ones(len(ids), np.int64))})
+
+    tagged_edges = edge_keys.map_batches(
+        lambda t: t.append_column(
+            "apex", pa.array(np.full(t.num_rows, -1, np.int64))),
+        batch_format="pyarrow").select_columns(["a", "b", "apex", "pp"])
+    both = wedge_ds.select_columns(["a", "b", "apex", "pp"]) \
+        .union(tagged_edges)
+
+    return both.groupby("pp").map_groups(
+        lambda g: close_wedges(g.drop_columns(["pp"])),
+        batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("n", alias_name="n_triangles")) \
+        .sort("doc_id")
+
+
+def dup_graph_triangles_sql(k: int = 5, thresh: float = 0.7) -> str:
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), {k}) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS u
+                FROM documents)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT i.l, i.r FROM inter i
+          JOIN sz sa ON sa.doc_id = i.l
+          JOIN sz sb ON sb.doc_id = i.r
+          WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {thresh}
+        ),
+        tri AS (
+          SELECT e1.l AS a, e1.r AS b, e2.r AS c
+          FROM e e1
+          JOIN e e2 ON e2.l = e1.r
+          JOIN e e3 ON e3.l = e1.l AND e3.r = e2.r
+        ),
+        m AS (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, count(*) AS n_triangles
+        FROM m GROUP BY doc_id ORDER BY doc_id
+    """
