@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": textops.q_pmi_bigrams,
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
+        "char_entropy": textops.q_char_entropy,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -487,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": textops.pmi_bigrams_sql(),
         "distinctive_terms": textops.distinctive_terms_sql(),
         "dup_graph_triangles": textops.dup_graph_triangles_sql(),
+        "char_entropy": textops.char_entropy_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -4231,3 +4231,65 @@ def dup_graph_triangles_sql(k: int = 5, thresh: float = 0.7) -> str:
         SELECT doc_id, count(*) AS n_triangles
         FROM m GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-doc character entropy — exact Shannon entropy of the byte distribution
+# (bits/char).  The analytic sibling of q_compression_ratio's zlib proxy:
+# low entropy = repetitive/boilerplate text, a standard curation filter.
+# Pure map-side: zero shuffles, one vectorized pass per batch over the
+# zero-copy Arrow string buffers.
+# ---------------------------------------------------------------------------
+
+def q_char_entropy(sf_dir: str):
+    """-> (doc_id, n_chars, char_entropy): per-doc byte count and Shannon
+    entropy in bits (rounded 4), non-empty docs only, sorted by doc_id."""
+    docs = _docs(sf_dir)
+
+    def entropy(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, offs = hx._string_buffers(col)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        ids = t["doc_id"].to_numpy()
+        keep = lens > 0
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "char_entropy": pa.array([], pa.float64())})
+        doc_of_byte = np.repeat(np.arange(len(lens)), lens)
+        # per-(doc, byte-value) counts in one bincount over a combined key
+        key = doc_of_byte * np.int64(256) + data[offs[0]:offs[-1]]
+        cnt = np.bincount(key, minlength=len(lens) * 256) \
+            .reshape(len(lens), 256).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = cnt / np.maximum(lens, 1)[:, None]
+            h = -np.where(cnt > 0, p * np.log2(p), 0.0).sum(axis=1)
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_chars": pa.array(lens[keep]),
+            "char_entropy": pa.array(round_half_away(h[keep], 4)),
+        })
+
+    return docs.map_batches(entropy, batch_format="pyarrow").sort("doc_id")
+
+
+def char_entropy_sql() -> str:
+    return """
+        WITH ch AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1)
+        SELECT cnt.doc_id, CAST(tot.t AS BIGINT) AS n_chars,
+               round(-sum((cnt.n * 1.0 / tot.t)
+                          * log2(cnt.n * 1.0 / tot.t)), 4) AS char_entropy
+        FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+        GROUP BY 1, 2 ORDER BY 1
+    """
