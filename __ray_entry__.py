@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
+        "latest_by_key": relational.q_latest_by_key,
+        "group_zscore": relational.q_group_zscore,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -489,6 +491,8 @@ def oracle_sql() -> dict[str, str]:
         "distinctive_terms": textops.distinctive_terms_sql(),
         "dup_graph_triangles": textops.dup_graph_triangles_sql(),
         "char_entropy": textops.char_entropy_sql(),
+        "latest_by_key": relational.latest_by_key_sql(),
+        "group_zscore": relational.group_zscore_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -2390,3 +2390,140 @@ def group_regression_sql() -> str:
                round(corr(y, x), 6) AS corr
         FROM d GROUP BY event_type ORDER BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction — latest row per key (CDC upsert semantics): the
+# standard "current state from an event log" materialization.  Partial
+# per-batch top-1 per (user, type) key — valid because the global latest is
+# a subset of the union of batch latests — then a tiny per-key final select;
+# the event stream itself never shuffles.
+# ---------------------------------------------------------------------------
+
+def _latest_per_key(t: pa.Table) -> pa.Table:
+    """Vectorized per-(user_id, event_type) top-1 by (ts desc, event_id
+    desc): one sort + segment-head pass."""
+    if t.num_rows == 0:
+        return t
+    s = t.sort_by([("user_id", "ascending"), ("event_type", "ascending"),
+                   ("ts", "descending"), ("event_id", "descending")])
+    uid = s["user_id"].to_numpy()
+    et = s["event_type"]
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    enc = pc.dictionary_encode(et)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    new_seg = np.empty(len(uid), dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = (uid[1:] != uid[:-1]) | (codes[1:] != codes[:-1])
+    return s.filter(pa.array(new_seg))
+
+
+def q_latest_by_key(sf_dir: str):
+    """-> (user_id, event_type, event_id, ts, value): the most recent event
+    per (user, type) — ties on ts broken by larger event_id — sorted by
+    (user_id, event_type)."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    # final pass runs per USER-HASH PARTITION (all rows of a key co-locate),
+    # not per key — one vectorized segment-head per partition, no per-group
+    # dispatch overhead
+    out = ev.map_batches(_latest_per_key, batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "part", pa.array((t["user_id"].to_numpy() % np.int64(32))
+                             .astype(np.int32))), batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: _latest_per_key(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: round_col(t.select(["user_id", "event_type", "event_id",
+                                      "ts", "value"]), "value", 2),
+        batch_format="pyarrow").sort(["user_id", "event_type"])
+
+
+def latest_by_key_sql() -> str:
+    return """
+        SELECT user_id, event_type, event_id, ts, round(value, 2) AS value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id, event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score normalization — the feature-scaling op (per-entity
+# standardization before modeling / outlier gating).  One partial-moment
+# pass (n, Σx, Σx²) per group, tiny stats table re-attached via the
+# adaptive join; the event stream pays zero shuffles.
+# ---------------------------------------------------------------------------
+
+def q_group_zscore(sf_dir: str, num_parts: int = 32):
+    """-> (event_id, user_id, value, zscore): population z-score of value
+    within each user's events (users with one event or zero variance are
+    excluded — zscore undefined), rounded 4, sorted by event_id."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        v = t["value"].to_numpy().astype(np.float64)
+        u, inv = np.unique(uid, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "s1": pa.array(np.bincount(inv, weights=v)),
+            "s2": pa.array(np.bincount(inv, weights=v * v)),
+        })
+
+    stats = ev.map_batches(moments, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n"),
+                                      Sum("s1", alias_name="s1"),
+                                      Sum("s2", alias_name="s2"))
+
+    joined = attach_columns(ev, stats, "user_id", "user_id",
+                            {"n": "n", "s1": "s1", "s2": "s2"}, num_parts)
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        s1 = t["s1"].to_numpy()
+        s2 = t["s2"].to_numpy()
+        v = t["value"].to_numpy().astype(np.float64)
+        mean = s1 / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        sd = np.sqrt(var)
+        keep = (n > 1) & (sd > 0)
+        z = np.where(keep, (v - mean) / np.where(sd > 0, sd, 1.0), 0.0)
+        out = pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "value": round_half_away(t["value"], 2),
+            "zscore": pa.array(round_half_away(z, 4)),
+        })
+        return out.filter(pa.array(keep))
+
+    return joined.map_batches(score, batch_format="pyarrow").sort("event_id")
+
+
+def group_zscore_sql() -> str:
+    return """
+        WITH s AS (
+          SELECT event_id, user_id, value,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 sum(value) OVER (PARTITION BY user_id) AS s1,
+                 sum(value * value) OVER (PARTITION BY user_id) AS s2
+          FROM events)
+        SELECT event_id, user_id, round(value, 2) AS value,
+               round((value - s1 / n)
+                     / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 4)
+                   AS zscore
+        FROM s
+        WHERE n > 1 AND s2 / n - (s1 / n) * (s1 / n) > 0
+        ORDER BY event_id
+    """
