@@ -708,3 +708,57 @@ def test_longest_repeat_vs_brute(ray_session, docs):
             continue
         b = s.encode("utf-8")
         assert int(got.loc[i, "max_repeat_len"]) == brute(b), i
+
+
+def test_audio_pitch_vs_direct_decode(ray_session):
+    """q_audio_pitch vs direct per-row autocorrelation recompute — exact
+    equality, plus a synthetic pure-tone sanity check (known f0)."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    pt = multimodal.q_audio_pitch(SF_DIR).to_pandas().set_index("clip_id")
+    t = _docs_table()
+    n_voiced = 0
+    for i in t["doc_id"].to_pylist()[:60]:
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
+        pcm, dsr = audio.decode(buf, codec)
+        cid = f"clip-{int(i):012d}"
+        lag_max = int(dsr / multimodal.PitchStats.F_LO)
+        lag_min = max(int(dsr / multimodal.PitchStats.F_HI), 1)
+        if dsr <= 0 or len(pcm) <= lag_max or lag_min >= lag_max:
+            assert pt.loc[cid, "f0_hz"] == 0.0
+            continue
+        x = pcm.astype(np.float64)
+        x = x - x.mean()
+        e = float(np.dot(x, x))
+        if e <= 0:
+            assert pt.loc[cid, "f0_hz"] == 0.0
+            continue
+        nfft = 1 << int(np.ceil(np.log2(len(x) + lag_max)))
+        spec = np.fft.rfft(x, nfft)
+        ac = np.fft.irfft(spec * np.conj(spec), nfft)[:lag_max + 1]
+        band = ac[lag_min:lag_max + 1] / e
+        k = int(np.argmax(band))
+        assert abs(pt.loc[cid, "f0_hz"] - round(dsr / (lag_min + k), 2)) \
+            <= 1e-12
+        assert abs(pt.loc[cid, "voicing"] - round(float(band[k]), 4)) \
+            <= 1e-12
+        n_voiced += int(band[k] > 0.3)
+    assert n_voiced > 0   # the synthetic corpus has periodic content
+
+    # known-pitch sanity: a clean 200 Hz tone must estimate ~200 Hz
+    sr = 16000
+    tt = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 200.0 * tt)).astype(np.float32)
+    lag_max = int(sr / multimodal.PitchStats.F_LO)
+    lag_min = max(int(sr / multimodal.PitchStats.F_HI), 1)
+    x = tone.astype(np.float64) - tone.mean()
+    nfft = 1 << int(np.ceil(np.log2(len(x) + lag_max)))
+    spec = np.fft.rfft(x, nfft)
+    ac = np.fft.irfft(spec * np.conj(spec), nfft)[:lag_max + 1]
+    band = ac[lag_min:lag_max + 1] / float(np.dot(x, x))
+    f0 = sr / (lag_min + int(np.argmax(band)))
+    assert abs(f0 - 200.0) < 5.0

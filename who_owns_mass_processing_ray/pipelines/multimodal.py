@@ -1400,3 +1400,68 @@ def q_audio_transcode(sf_dir: str):
     return out.select_columns(["clip_id", "transcode_ok", "n_bytes_in",
                                "n_bytes_out", "content_hash", "sr_out"]) \
         .sort("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Pitch (f0) estimation — normalized-autocorrelation peak per clip: the
+# speech/music separator and voice-clone-dup blocking key a speech-corpus
+# pipeline extracts alongside loudness/spectral stats.  Same actor-pool
+# shape as SpectralStats: decode state per actor, per-clip DSP inside the
+# pool, only the narrow (clip_id, f0, voiced) rows leave the stage.
+# ---------------------------------------------------------------------------
+
+class PitchStats:
+    """Per clip: f0_hz from the max of the normalized autocorrelation over
+    the 50-400 Hz lag band, plus the peak's correlation as a voicing score
+    (0 when the clip is too short for a full period at 50 Hz)."""
+
+    F_LO = 50.0
+    F_HI = 400.0
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        f0 = np.zeros(n, dtype=np.float64)
+        voiced = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            lag_max = int(sr / self.F_LO)
+            lag_min = max(int(sr / self.F_HI), 1)
+            if sr <= 0 or len(pcm) <= lag_max or lag_min >= lag_max:
+                continue
+            x = pcm.astype(np.float64)
+            x = x - x.mean()
+            e = float(np.dot(x, x))
+            if e <= 0:
+                continue
+            # one FFT-sized autocorrelation instead of a lag loop
+            nfft = 1 << int(np.ceil(np.log2(len(x) + lag_max)))
+            spec = np.fft.rfft(x, nfft)
+            ac = np.fft.irfft(spec * np.conj(spec), nfft)[:lag_max + 1]
+            band = ac[lag_min:lag_max + 1] / e
+            k = int(np.argmax(band))
+            f0[i] = sr / float(lag_min + k)
+            voiced[i] = float(band[k])
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "f0_hz": pa.array(np.round(f0, 2)),
+            "voicing": pa.array(np.round(voiced, 4)),
+        })
+
+
+def q_audio_pitch(sf_dir: str):
+    """-> (clip_id, f0_hz, voicing) per clip; rows-only (DSP over binary
+    payloads — the pytest oracle recomputes per row from a direct decode)."""
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(PitchStats, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")
