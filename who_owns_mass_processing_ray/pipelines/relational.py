@@ -2527,3 +2527,63 @@ def group_zscore_sql() -> str:
         WHERE n > 1 AND s2 / n - (s1 / n) * (s1 / n) > 0
         ORDER BY event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Hot-key skew diagnostic — the audit run BEFORE any 100 TB groupby/join:
+# per-key frequencies of a join key, the top-N hottest keys with their
+# corpus share, and the p99 multiplier vs the mean.  This is the tool that
+# decides whether a key needs salting (stages/pairs.py) before the shuffle.
+# One partial-count pass; only (key, count) rows move.
+# ---------------------------------------------------------------------------
+
+def q_key_skew(sf_dir: str, n_top: int = 20):
+    """-> (o_custkey, n_rows, share_pct, x_mean) for the ``n_top`` hottest
+    order keys: row count, percent of all orders (rounded 4), and the
+    multiplier vs the mean rows-per-key (rounded 2), hottest first (ties by
+    key), sorted by (n_rows desc, o_custkey)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy()
+        u, cnt = np.unique(k, return_counts=True)
+        return pa.table({"o_custkey": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="n_rows")) \
+        .materialize()
+
+    total = counts.aggregate(Sum("n_rows", alias_name="t"))["t"]
+    n_keys = counts.count()
+    mean = total / max(n_keys, 1)
+
+    top = counts.sort(["n_rows", "o_custkey"],
+                      descending=[True, False]).limit(n_top)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_rows"].to_numpy().astype(np.float64)
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "n_rows": t["n_rows"],
+            "share_pct": pa.array(round_half_away(100.0 * n / total, 4)),
+            "x_mean": pa.array(round_half_away(n / mean, 2)),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow") \
+        .sort(["n_rows", "o_custkey"], descending=[True, False])
+
+
+def key_skew_sql(n_top: int = 20) -> str:
+    return f"""
+        WITH c AS (
+          SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+        t AS (SELECT sum(n_rows) AS tot, avg(n_rows) AS mean FROM c)
+        SELECT c.o_custkey, c.n_rows,
+               round(100.0 * c.n_rows / t.tot, 4) AS share_pct,
+               round(c.n_rows / t.mean, 2) AS x_mean
+        FROM c, t
+        ORDER BY c.n_rows DESC, c.o_custkey LIMIT {n_top}
+    """
