@@ -762,3 +762,33 @@ def test_audio_pitch_vs_direct_decode(ray_session):
     band = ac[lag_min:lag_max + 1] / float(np.dot(x, x))
     f0 = sr / (lag_min + int(np.argmax(band)))
     assert abs(f0 - 200.0) < 5.0
+
+
+def test_quantile_sketch_rank_error(ray_session):
+    """The hash-sample quantile estimates must sit within rank-eps of the
+    TRUE grouped quantiles (the exact path the sketch replaces at scale):
+    |F_type(est) - q| <= 0.05 with the default 5% sample (rank RSE
+    ~ sqrt(q(1-q)/m))."""
+    import duckdb
+
+    from who_owns_mass_processing_ray.pipelines import relational
+
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"   # enough rows for the bound to bind
+    # rate=0.25 so every per-type sample is big enough (~500) for the
+    # normal rank bound to hold even at q=0.99 (at the default 5% the max-
+    # order-statistic bias at m~50-90 makes the extreme quantile a Beta
+    # tail, not a Gaussian)
+    est = relational.q_quantile_sketch(sf, rate=0.25).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    full = con.sql("SELECT event_type, value FROM events").df()
+    assert est.n_sample.min() > 50
+    for _, row in est.iterrows():
+        vals = full[full.event_type == row.event_type].value.to_numpy()
+        rank = float((vals <= row.value_est).mean())
+        eps = 4.0 * np.sqrt(row.q * (1 - row.q) / row.n_sample) \
+            + 2.0 / row.n_sample
+        assert abs(rank - row.q) <= eps, \
+            f"{row.event_type} q={row.q}: est rank {rank} (eps {eps:.4f})"

@@ -2587,3 +2587,76 @@ def key_skew_sql(n_top: int = 20) -> str:
         FROM c, t
         ORDER BY c.n_rows DESC, c.o_custkey LIMIT {n_top}
     """
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch via deterministic hash-sampling — the fixed-memory scale
+# companion to the EXACT streaming-histogram quantiles (functions/
+# quantile.py), mirroring the distinct_tokens / distinct_tokens_hll pairing.
+# The sample predicate is a pure function of event_id (same multiplicative-
+# hash uniform as q_weighted_sample), so the sketch is deterministic at ANY
+# parallelism, mergeable by construction (a filter commutes with union), and
+# — unlike KLL's random compaction — exactly reproducible in SQL, giving an
+# approximate operator a bit-exact oracle on the sample itself.  Estimation
+# error vs the true quantile is the standard sampling bound (rank RSE
+# ~ sqrt(q(1-q)/m)), gated separately in pytest against the exact path.
+# ---------------------------------------------------------------------------
+
+_QS_MULT = 2654435761
+_QS_RATE = 0.05
+_QS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_quantile_sketch(sf_dir: str, rate: float = _QS_RATE,
+                      quantiles: tuple = _QS_QUANTILES):
+    """-> (event_type, q, n_sample, value_est): nearest-rank quantiles of a
+    deterministic ``rate``-fraction sample of ``value`` per event type,
+    sorted (event_type, q).  Only sampled rows leave the scan."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        u = ((ids.astype(np.uint64) * np.uint64(_QS_MULT) + np.uint64(7))
+             % np.uint64(1 << 32)).astype(np.float64)
+        u = (u + 1.0) / float((1 << 32) + 1)
+        return t.select(["event_type", "value"]).filter(pa.array(u < rate))
+
+    def ranks(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value"].to_numpy().astype(np.float64))
+        m = len(v)
+        qs = np.asarray(quantiles, dtype=np.float64)
+        idx = np.maximum(np.ceil(qs * m), 1.0).astype(np.int64) - 1
+        et = g["event_type"][0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * len(qs)),
+            "q": pa.array(qs),
+            "n_sample": pa.array(np.full(len(qs), m, np.int64)),
+            "value_est": pa.array(round_half_away(v[idx], 4)),
+        })
+
+    return ev.map_batches(sample, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(ranks, batch_format="pyarrow") \
+        .sort(["event_type", "q"])
+
+
+def quantile_sketch_sql(rate: float = _QS_RATE,
+                        quantiles: tuple = _QS_QUANTILES) -> str:
+    qvals = ", ".join(f"({q})" for q in quantiles)
+    return f"""
+        WITH s AS (
+          SELECT event_type, value FROM events
+          WHERE ((event_id * {_QS_MULT}::UBIGINT + 7) % 4294967296 + 1)
+                / 4294967297.0 < {rate}),
+        m AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        r AS (SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn
+              FROM s),
+        q(q) AS (VALUES {qvals})
+        SELECT r.event_type, q.q, m.n AS n_sample,
+               round(r.value, 4) AS value_est
+        FROM q, m
+        JOIN r ON r.event_type = m.event_type
+        WHERE r.rn = greatest(1, CAST(ceil(q.q * m.n) AS BIGINT))
+        ORDER BY r.event_type, q.q
+    """
