@@ -4293,3 +4293,200 @@ def char_entropy_sql() -> str:
         FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
         GROUP BY 1, 2 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Span-dedup masking — the APPLY side of cross-doc substring dedup (Lee et
+# al. 2022): q_shared_span_pairs finds documents sharing exact spans; this
+# operator performs the removal, masking every stride-1 span-gram occurrence
+# whose gram also appears in an earlier (min-doc_id "owner") document.  The
+# owner keeps its text; every later doc gets the shared chars blanked.
+# Same 128-bit stride-1 gram discipline as q_shared_span_pairs; positions
+# ride along as one extra int32 per gram row.
+# ---------------------------------------------------------------------------
+
+def q_span_dedup_mask(sf_dir: str, span: int = SPAN_CHARS,
+                      num_parts: int = 32):
+    """-> (doc_id, n_masked, text_masked): per non-null doc, the count of
+    chars covered by masked spans and the text with those chars replaced by
+    '#', sorted by doc_id.
+
+    Scale shape: gram rows (h1, h2, doc_id, pos — ~bytes-of-corpus narrow)
+    hash-partition by gram; each partition computes per-gram owners with one
+    vectorized lexsort/segment-min and emits only NON-owner (doc_id, pos)
+    rows; those collapse to one packed int32 blob per doc (hash-partitioned,
+    vectorized), re-attached to the corpus via the adaptive join; the mask
+    itself is one diff-array/cumsum pass over the zero-copy string buffers.
+    The corpus pays one narrow join — document bytes never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    docs = _docs(sf_dir)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t2 = t.filter(pc.fill_null(
+            pc.greater_equal(pc.utf8_length(txt), span), False))
+        if t2.num_rows == 0:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int32()),
+                             "part": pa.array([], pa.int32())})
+        col = t2["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t2["doc_id"].to_numpy()
+        v1, offs = hx.shingle_hashes(col, span, seed=17)
+        v2, _ = hx.shingle_hashes(col, span, seed=9176)
+        per_doc = np.diff(offs)
+        doc = np.repeat(ids, per_doc)
+        pos = (np.arange(len(v1), dtype=np.int64)
+               - np.repeat(offs[:-1], per_doc)).astype(np.int32)
+        return pa.table({
+            "h1": pa.array(v1.view(np.int64)),
+            "h2": pa.array(v2.view(np.int64)),
+            "doc_id": pa.array(doc),
+            "pos": pa.array(pos),
+            "part": pa.array((v1 % np.uint64(num_parts)).astype(np.int32)),
+        })
+
+    def non_owner_hits(g: pa.Table) -> pa.Table:
+        # per (h1, h2) gram: owner = min doc_id; emit every occurrence in a
+        # LATER doc (one lexsort + segment-min broadcast, no Python loop)
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int32())})
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((doc, h2, h1))
+        h1s, h2s, ds, ps = h1[order], h2[order], doc[order], pos[order]
+        new_seg = np.empty(len(h1s), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        seg_id = np.cumsum(new_seg) - 1
+        owners = ds[new_seg]          # segment head = min doc (sorted)
+        hit = ds > owners[seg_id]
+        return pa.table({"doc_id": pa.array(ds[hit]),
+                         "pos": pa.array(ps[hit])})
+
+    hits = docs.map_batches(gram_rows, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: non_owner_hits(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+
+    def pack_positions(g: pa.Table) -> pa.Table:
+        # one int32 blob of distinct sorted positions per doc (binary, not
+        # list<> — Arrow hash joins reject list payload columns)
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos_blob": pa.array([], pa.binary())})
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        key = np.unique(np.stack(
+            (doc, pos.astype(np.int64)), axis=1), axis=0)
+        d, p = key[:, 0], key[:, 1].astype(np.int32)
+        new_doc = np.empty(len(d), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new_doc)
+        ends = np.concatenate((starts[1:], [len(d)]))
+        return pa.table({
+            "doc_id": pa.array(d[starts]),
+            "pos_blob": pa.array([p[s:e].tobytes()
+                                  for s, e in zip(starts, ends)],
+                                 pa.binary()),
+        })
+
+    packed = hits.map_batches(
+        lambda t: t.append_column(
+            "dpart", pa.array((t["doc_id"].to_numpy()
+                               % np.int64(num_parts)).astype(np.int32))),
+        batch_format="pyarrow") \
+        .groupby("dpart").map_groups(
+            lambda g: pack_positions(g.drop_columns(["dpart"])),
+            batch_format="pyarrow")
+
+    base = docs.map_batches(
+        lambda t: t.filter(pc.is_valid(t["text"])), batch_format="pyarrow")
+    joined = attach_columns(base, packed, "doc_id", "doc_id",
+                            {"pos_blob": "pos_blob"}, num_parts, how="left")
+
+    def apply_mask(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, offs = hx._string_buffers(col)
+        data = data.copy()
+        base_off = offs[0]
+        blobs = t["pos_blob"].to_pylist()
+        n_masked = np.zeros(len(blobs), dtype=np.int64)
+        for i, blob in enumerate(blobs):
+            if not blob:
+                continue
+            p = np.frombuffer(blob, dtype=np.int32).astype(np.int64)
+            ln = offs[i + 1] - offs[i]
+            diff = np.zeros(ln + 1, dtype=np.int64)
+            np.add.at(diff, p, 1)
+            np.add.at(diff, np.minimum(p + span, ln), -1)
+            cover = np.cumsum(diff[:-1]) > 0
+            n_masked[i] = int(cover.sum())
+            seg = data[offs[i] - base_off:offs[i + 1] - base_off]
+            seg[cover] = ord("#")
+        masked = pa.Array.from_buffers(
+            pa.large_utf8(), len(blobs),
+            [None, pa.py_buffer((offs - base_off).tobytes()),
+             pa.py_buffer(data.tobytes())])
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_masked": pa.array(n_masked),
+                         "text_masked": masked.cast(pa.string())})
+
+    return joined.map_batches(apply_mask, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def span_dedup_mask_sql(span: int = SPAN_CHARS) -> str:
+    return f"""
+        WITH g AS (
+          SELECT doc_id, CAST(u AS INTEGER) AS p,
+                 substr(text, CAST(u AS INTEGER), {span}) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - {span - 1}, 0) + 1))
+                    AS u
+                FROM documents WHERE text IS NOT NULL)),
+        own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY 1),
+        bad AS (
+          SELECT g.doc_id, g.p FROM g
+          JOIN own ON own.gram = g.gram
+          WHERE g.doc_id > own.owner),
+        cov AS (
+          SELECT DISTINCT doc_id, p + CAST(i AS INTEGER) AS c
+          FROM bad, unnest(range(0, {span})) AS t(i)),
+        ch AS (
+          SELECT d.doc_id, CAST(u AS INTEGER) AS i,
+                 substr(d.text, CAST(u AS INTEGER), 1) AS c0
+          FROM documents d, unnest(range(1, length(d.text) + 1)) AS t(u)
+          WHERE d.text IS NOT NULL),
+        m AS (
+          SELECT ch.doc_id, ch.i,
+                 CASE WHEN cov.c IS NOT NULL THEN '#' ELSE ch.c0 END AS c
+          FROM ch LEFT JOIN cov
+            ON cov.doc_id = ch.doc_id AND cov.c = ch.i)
+        SELECT d.doc_id,
+               CAST(coalesce(x.n_masked, 0) AS BIGINT) AS n_masked,
+               coalesce(x.text_masked, d.text) AS text_masked
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id,
+                 sum(CASE WHEN c = '#' THEN 1 ELSE 0 END) AS n_masked,
+                 string_agg(c, '' ORDER BY i) AS text_masked
+          FROM m GROUP BY doc_id) x ON x.doc_id = d.doc_id
+        WHERE d.text IS NOT NULL
+        ORDER BY d.doc_id
+    """
