@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": textops.q_simhash_near_dup,
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_doc_fingerprint,
+        "feature_hash": textops.q_feature_hash,
         # --- similarity search (embeddings table) ---------------------------
         "embed_near_dup_ivf": vectors.q_embed_near_dup_ivf,
         "knn_ivf": vectors.q_knn_ivf,

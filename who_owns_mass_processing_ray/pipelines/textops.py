@@ -4490,3 +4490,57 @@ def span_dedup_mask_sql(span: int = SPAN_CHARS) -> str:
         WHERE d.text IS NOT NULL
         ORDER BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing doc vectors — the hashing-trick bag-of-words embedding
+# (Weinberger et al. 2009): token -> dimension h(token) mod D with a sign
+# hash, L2-normalized.  The no-model bridge from the text table into the
+# vectors/ANN family (cosine over these vectors approximates token-set
+# similarity): at 100 TB this is how a corpus gets embeddings BEFORE any
+# trained encoder exists.  Pure map-side — zero shuffles, one bincount per
+# batch; collisions are part of the estimator, not an error.
+# ---------------------------------------------------------------------------
+
+FEATURE_HASH_DIM = 64
+
+
+def q_feature_hash(sf_dir: str, dim: int = FEATURE_HASH_DIM):
+    """-> (doc_id, n_tokens, norm, embedding list<float>): signed-hash
+    bag-of-words vector per non-null doc (L2-normalized; all-zero vectors
+    stay zero), sorted by doc_id.  Rows-only for the driver (the hash is
+    not SQL-portable); exact recompute oracle in
+    tests/test_independent_oracles.py."""
+    docs = _docs(sf_dir)
+
+    def embed(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(col, pattern=" ")
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        toks = lst.flatten()
+        h = hx.hash_strings(toks, seed=1729)
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        mat = np.bincount(doc_of * dim + idx, weights=sign,
+                          minlength=len(counts) * dim) \
+            .reshape(len(counts), dim)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        mat = mat / np.where(norms > 0, norms, 1.0)[:, None]
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.astype(np.float32).reshape(-1)), dim) \
+            .cast(pa.list_(pa.float32()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(counts),
+            "norm": pa.array(round_half_away(norms, 4)),
+            "embedding": emb,
+        })
+
+    return docs.map_batches(embed, batch_format="pyarrow").sort("doc_id")
