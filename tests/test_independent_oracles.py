@@ -820,13 +820,15 @@ def test_feature_hash_vs_pure_python(ray_session):
         assert int(row.n_tokens) == len(toks)
         assert abs(row.norm - round(norm, 4)) <= 1e-12
         want = vec / (norm if norm > 0 else 1.0)
-        np.testing.assert_allclose(np.asarray(row.embedding, np.float64),
-                                   want, atol=1e-6)
+        np.testing.assert_allclose(
+            np.frombuffer(row.embedding, np.float32).astype(np.float64),
+            want, atol=1e-6)
     # embedding properties: unit L2 norm wherever norm > 0, and the query
     # is a pure function of the corpus (bit-identical on a second run)
     nz = got[got.norm > 0]
     assert len(nz) > 0
-    mats = np.array([np.asarray(e, np.float64) for e in nz.embedding[:50]])
+    mats = np.array([np.frombuffer(e, np.float32).astype(np.float64)
+                     for e in nz.embedding[:50]])
     np.testing.assert_allclose(np.sqrt((mats * mats).sum(axis=1)), 1.0,
                                atol=1e-6)
     again = textops.q_feature_hash(SF_DIR).to_pandas().set_index("doc_id")

@@ -4506,7 +4506,7 @@ FEATURE_HASH_DIM = 64
 
 
 def q_feature_hash(sf_dir: str, dim: int = FEATURE_HASH_DIM):
-    """-> (doc_id, n_tokens, norm, embedding list<float>): signed-hash
+    """-> (doc_id, n_tokens, norm, embedding float32-blob): signed-hash
     bag-of-words vector per non-null doc (L2-normalized; all-zero vectors
     stay zero), sorted by doc_id.  Rows-only for the driver (the hash is
     not SQL-portable); exact recompute oracle in
@@ -4533,9 +4533,12 @@ def q_feature_hash(sf_dir: str, dim: int = FEATURE_HASH_DIM):
             .reshape(len(counts), dim)
         norms = np.sqrt((mat * mat).sum(axis=1))
         mat = mat / np.where(norms > 0, norms, 1.0)[:, None]
-        emb = pa.FixedSizeListArray.from_arrays(
-            pa.array(mat.astype(np.float32).reshape(-1)), dim) \
-            .cast(pa.list_(pa.float32()))
+        # float32 blob per row, not list<float>: keeps the row hashable
+        # for the driver's order-insensitive compare and join-safe (the
+        # same serialize-not-list discipline as stages/canonical.py)
+        m32 = mat.astype(np.float32)
+        emb = pa.array([m32[i].tobytes() for i in range(len(m32))],
+                       pa.binary())
         return pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": pa.array(counts),
