@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": multimodal.q_audio_resample,
         "audio_spectral": multimodal.q_audio_spectral,
         "audio_pitch": multimodal.q_audio_pitch,
+        "audio_qc": multimodal.q_audio_qc,
         "audio_shingle_near_dup": multimodal.q_audio_shingle_near_dup,
         "audio_gain_normalize": multimodal.q_audio_gain_normalize,
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,

@@ -833,3 +833,37 @@ def test_feature_hash_vs_pure_python(ray_session):
                                atol=1e-6)
     again = textops.q_feature_hash(SF_DIR).to_pandas().set_index("doc_id")
     assert got.norm.equals(again.norm)
+
+
+def test_audio_qc_vs_direct_decode(ray_session):
+    """q_audio_qc vs per-row recompute (same DSP, independent driver-side
+    path) + a constructed clipped-square-wave sanity check."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    qc = multimodal.q_audio_qc(SF_DIR).to_pandas().set_index("clip_id")
+    t = _docs_table()
+    for i in t["doc_id"].to_pylist()[:60]:
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
+        pcm, dsr = audio.decode(buf, codec)
+        cid = f"clip-{int(i):012d}"
+        x = pcm.astype(np.float64)
+        peak = np.abs(x).max()
+        cf = float(np.mean(np.abs(x) >= 0.999 * peak)) if peak > 0 else 0.0
+        assert abs(qc.loc[cid, "clip_frac"] - np.round(cf, 6)) <= 1e-12
+        assert abs(qc.loc[cid, "dc_offset"]
+                   - np.round(float(x.mean()), 6)) <= 1e-12
+        flen = max(int(dsr * 32 / 1000), 1)
+        nf = len(x) // flen
+        if nf >= 2:
+            e = np.sort((x[:nf * flen].reshape(nf, flen) ** 2).mean(axis=1))
+            want = 10.0 * np.log10(max(e[int(0.9 * (nf - 1))], 1e-12)
+                                   / max(e[int(0.1 * (nf - 1))], 1e-12))
+            assert abs(qc.loc[cid, "snr_db"] - np.round(want, 2)) <= 1e-12
+    # a hard-clipped square wave is ~100% at full scale
+    sq = np.sign(np.sin(2 * np.pi * 100 * np.arange(8000) / 8000)) \
+        .astype(np.float64)
+    assert float(np.mean(np.abs(sq) >= 0.999 * np.abs(sq).max())) > 0.99

@@ -1465,3 +1465,68 @@ def q_audio_pitch(sf_dir: str):
     return clips.map_batches(PitchStats, batch_format="pyarrow",
                              batch_size=64, concurrency=pool_bounds(8),
                              num_cpus=1).sort("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio QC gates — clipping fraction and frame-energy SNR estimate: the two
+# intake filters a speech-corpus pipeline runs before spending decode/ASR
+# compute on damaged clips.  Same actor-pool shape as SpectralStats.
+# ---------------------------------------------------------------------------
+
+class AudioQC:
+    """Per clip: fraction of samples at >= 99.9% full scale (clipping), DC
+    offset, and an SNR estimate from frame energies (10th-percentile frame
+    = noise floor vs 90th-percentile frame = signal, in dB, 32 ms frames)."""
+
+    CLIP_LEVEL = 0.999
+    FRAME_MS = 32
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        clip_frac = np.zeros(n, dtype=np.float64)
+        dc_offset = np.zeros(n, dtype=np.float64)
+        snr_db = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            if len(pcm) == 0 or sr <= 0:
+                continue
+            x = pcm.astype(np.float64)
+            peak = np.abs(x).max()
+            if peak > 0:
+                clip_frac[i] = float(
+                    np.mean(np.abs(x) >= self.CLIP_LEVEL * peak))
+            dc_offset[i] = float(x.mean())
+            flen = max(int(sr * self.FRAME_MS / 1000), 1)
+            nf = len(x) // flen
+            if nf >= 2:
+                e = (x[:nf * flen].reshape(nf, flen) ** 2).mean(axis=1)
+                e = np.sort(e)
+                lo = e[int(0.1 * (nf - 1))]
+                hi = e[int(0.9 * (nf - 1))]
+                snr_db[i] = float(10.0 * np.log10(
+                    max(hi, 1e-12) / max(lo, 1e-12)))
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "clip_frac": pa.array(np.round(clip_frac, 6)),
+            "dc_offset": pa.array(np.round(dc_offset, 6)),
+            "snr_db": pa.array(np.round(snr_db, 2)),
+        })
+
+
+def q_audio_qc(sf_dir: str):
+    """-> (clip_id, clip_frac, dc_offset, snr_db) per clip; rows-only (DSP
+    over binary payloads — pytest recomputes per row from a direct decode)."""
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(AudioQC, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")
