@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
         "span_dedup_mask": textops.q_span_dedup_mask,
+        "corpus_mix": textops.q_corpus_mix,
         "latest_by_key": relational.q_latest_by_key,
         "group_zscore": relational.q_group_zscore,
         "key_skew": relational.q_key_skew,
@@ -498,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_triangles": textops.dup_graph_triangles_sql(),
         "char_entropy": textops.char_entropy_sql(),
         "span_dedup_mask": textops.span_dedup_mask_sql(),
+        "corpus_mix": textops.corpus_mix_sql(),
         "latest_by_key": relational.latest_by_key_sql(),
         "group_zscore": relational.group_zscore_sql(),
         "key_skew": relational.key_skew_sql(),

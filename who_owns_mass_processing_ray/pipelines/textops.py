@@ -4547,3 +4547,94 @@ def q_feature_hash(sf_dir: str, dim: int = FEATURE_HASH_DIM):
         })
 
     return docs.map_batches(embed, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing to per-source quotas — the data-mixing sampler that builds a
+# training blend: each source contributes exactly its quota of docs, chosen
+# by a deterministic hash order (reproducible at any parallelism AND in
+# SQL).  Distinct from q_group_cap (uniform K, longest-first) and
+# q_weighted_sample (global weighted draw): here the quota VARIES per source
+# — the "30% web, 20% code, ..." recipe — and selection is uniform-at-
+# random within the source.
+# ---------------------------------------------------------------------------
+
+def _mix_quota(source: str) -> int:
+    """Per-source doc quota — a pure function of the source name shared by
+    the Ray path and the generated SQL oracle."""
+    return 5 + 3 * (int(source.removeprefix("src")) % 4)
+
+
+def q_corpus_mix(sf_dir: str):
+    """-> (source, doc_id, n_chars): exactly quota(source) docs per source,
+    selected by ascending multiplicative-hash uniform (tie: doc_id),
+    sorted (source, doc_id).
+
+    Scale shape: per-batch partial top-k at the GLOBAL max quota (a valid
+    superset of any per-source selection), then a tiny exact per-source
+    final select — the corpus never shuffles.
+    """
+    docs = _docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+
+    def with_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        u = ((ids.astype(np.uint64) * np.uint64(_WS_MULT) + np.uint64(7))
+             % np.uint64(1 << 32)).astype(np.float64)
+        u = (u + 1.0) / float((1 << 32) + 1)
+        return t.append_column("mix_key", pa.array(u))
+
+    def topk(t: pa.Table, exact: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        key = t["mix_key"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        order = np.lexsort((ids, key, codes))
+        cs = codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1))
+        rank = np.arange(len(cs)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(cs)]))))
+        if exact:
+            quotas = np.array([_mix_quota(s.as_py())
+                               for s in enc.dictionary])
+            cap = quotas[cs]
+        else:
+            uniq = enc.dictionary
+            cap = max(_mix_quota(s.as_py()) for s in uniq)
+        return t.take(pa.array(np.sort(order[rank < cap])))
+
+    out = docs.map_batches(lambda t: topk(with_key(t), exact=False),
+                           batch_format="pyarrow") \
+        .groupby("source").map_groups(lambda g: topk(g, exact=True),
+                                      batch_format="pyarrow")
+    return out.drop_columns(["mix_key"]).sort(["source", "doc_id"])
+
+
+def corpus_mix_sql() -> str:
+    import duckdb  # noqa: F401  (documentational: oracle runs in DuckDB)
+
+    quotas = ", ".join(f"('src{i}', {_mix_quota(f'src{i}')})"
+                       for i in range(20))
+    return f"""
+        WITH q(source, quota) AS (VALUES {quotas}),
+        keyed AS (
+          SELECT source, doc_id, n_chars,
+                 ((doc_id * {_WS_MULT}::UBIGINT + 7) % 4294967296 + 1)
+                     / 4294967297.0 AS mix_key
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY mix_key, doc_id) AS rn
+          FROM keyed)
+        SELECT r.source, r.doc_id, r.n_chars
+        FROM r JOIN q ON q.source = r.source
+        WHERE r.rn <= q.quota
+        ORDER BY r.source, r.doc_id
+    """
