@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": textops.q_char_entropy,
         "span_dedup_mask": textops.q_span_dedup_mask,
         "corpus_mix": textops.q_corpus_mix,
+        "dedup_token_report": textops.q_dedup_token_report,
         "latest_by_key": relational.q_latest_by_key,
         "group_zscore": relational.q_group_zscore,
         "key_skew": relational.q_key_skew,
@@ -588,6 +589,61 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sel s USING (doc_id)
             WHERE s.doc_id IS NULL OR s.rn = 1
             ORDER BY d.doc_id
+        """,
+        # per-source dedup accounting on top of the same survivors reduce
+        "dedup_token_report": f"""
+            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace('ORDER BY 1, 2', '')}),
+            sym(a, b) AS (
+                SELECT left_id, right_id FROM base
+                UNION ALL
+                SELECT right_id, left_id FROM base
+            ),
+            reach(id, r) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+            ),
+            grp AS (
+                SELECT id AS doc_id, min(r) AS group_id
+                FROM reach GROUP BY id
+            ),
+            sel AS (
+                SELECT g.group_id, g.doc_id,
+                       row_number() OVER (PARTITION BY g.group_id
+                           ORDER BY d.n_chars DESC, g.doc_id) AS rn
+                FROM grp g JOIN documents d USING (doc_id)
+            ),
+            keep AS (
+                SELECT d.doc_id FROM documents d
+                LEFT JOIN sel s USING (doc_id)
+                WHERE s.doc_id IS NULL OR s.rn = 1
+            ),
+            tok AS (
+                SELECT doc_id, source,
+                       len(string_split(text, ' ')) AS n_tok
+                FROM documents WHERE text IS NOT NULL
+            ),
+            b AS (
+                SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+                FROM tok GROUP BY 1
+            ),
+            a AS (
+                SELECT t.source, count(*) AS n_kept,
+                       sum(t.n_tok) AS n_tokens_kept
+                FROM tok t JOIN keep k ON k.doc_id = t.doc_id GROUP BY 1
+            )
+            SELECT b.source,
+                   CAST(b.n_docs AS BIGINT) AS n_docs,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT)
+                       AS n_tokens_kept,
+                   round(coalesce(a.n_kept, 0) * 1.0
+                         / greatest(b.n_docs, 1), 4) AS doc_retention,
+                   round(coalesce(a.n_tokens_kept, 0) * 1.0
+                         / greatest(b.n_tokens, 1), 4) AS token_retention
+            FROM b LEFT JOIN a USING (source)
+            ORDER BY b.source
         """,
         "quantile_filter": """
             WITH qv AS (

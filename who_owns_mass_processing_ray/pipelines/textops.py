@@ -4638,3 +4638,98 @@ def corpus_mix_sql() -> str:
         WHERE r.rn <= q.quota
         ORDER BY r.source, r.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Dedup accounting report — per-source doc/token retention after near-dup
+# dedup: the numbers a data-mixing team actually reads before re-weighting
+# a blend (dedup shifts source shares; this measures by how much).
+# Composes q_near_dup_survivors' keep set with per-source token totals.
+# ---------------------------------------------------------------------------
+
+def q_dedup_token_report(sf_dir: str, num_parts: int = 32):
+    """-> (source, n_docs, n_kept, n_tokens, n_tokens_kept, doc_retention,
+    token_retention), per-source totals before/after near-dup dedup
+    (ratios rounded 4), sorted by source.
+
+    Scale shape: the survivors keep-set is the small side (broadcast inside
+    q_near_dup_survivors); per-doc token counts are map-side; both the
+    "before" and "after" aggregates are partial-count reduces over narrow
+    (source, counts) rows — the corpus streams exactly twice, shuffles
+    never.
+    """
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ntok = pc.list_value_length(
+            pc.split_pattern(col, pattern=" ")).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "n_tok": pa.array(ntok)})
+
+    stats = docs.map_batches(doc_stats, batch_format="pyarrow").materialize()
+
+    def per_source(t: pa.Table) -> pa.Table:
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        ntok = t["n_tok"].to_numpy()
+        nsrc = len(enc.dictionary)
+        return pa.table({
+            "source": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=nsrc)
+                          .astype(np.int64)),
+            "tok": pa.array(np.bincount(codes, weights=ntok,
+                                        minlength=nsrc).astype(np.int64)),
+        })
+
+    before = stats.map_batches(per_source, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n_docs"),
+                                     Sum("tok", alias_name="n_tokens"))
+
+    surv = q_near_dup_survivors(sf_dir).select_columns(["doc_id"])
+    kept_stats = attach_columns(surv, stats, "doc_id", "doc_id",
+                                {"source": "source", "n_tok": "n_tok"},
+                                num_parts)
+    after = kept_stats.map_batches(per_source, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n_kept"),
+                                     Sum("tok", alias_name="n_tokens_kept"))
+
+    joined = attach_columns(before, after, "source", "source",
+                            {"n_kept": "n_kept",
+                             "n_tokens_kept": "n_tokens_kept"},
+                            num_parts, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy().astype(np.float64)
+        nk = pc.fill_null(t["n_kept"], 0).to_numpy().astype(np.float64)
+        tt = t["n_tokens"].to_numpy().astype(np.float64)
+        tk = pc.fill_null(t["n_tokens_kept"], 0) \
+            .to_numpy().astype(np.float64)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": pa.array(nd.astype(np.int64)),
+            "n_kept": pa.array(nk.astype(np.int64)),
+            "n_tokens": pa.array(tt.astype(np.int64)),
+            "n_tokens_kept": pa.array(tk.astype(np.int64)),
+            "doc_retention": pa.array(
+                round_half_away(nk / np.maximum(nd, 1), 4)),
+            "token_retention": pa.array(
+                round_half_away(tk / np.maximum(tt, 1), 4)),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("source")
