@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": vectors.q_semantic_dedup,
         "kmeans_fit": vectors.q_kmeans_fit,
         "knn_pq": vectors.q_knn_pq,
+        "knn_join": vectors.q_knn_join,
+        "knn_join_ivf": vectors.q_knn_join_ivf,
         # --- flagship assignment + multimodal plumbing ----------------------
         "dedup_assignment": multimodal.q_dedup_assignment,
         "audio_decode_stats": multimodal.q_audio_decode_stats,
@@ -494,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": relational.funnel_sql(),
         "group_regression": relational.group_regression_sql(),
         "hybrid_search": vectors.hybrid_search_sql(),
+        "knn_join": vectors.knn_join_sql(),
         "doc_novelty": textops.doc_novelty_sql(),
         "pmi_bigrams": textops.pmi_bigrams_sql(),
         "distinctive_terms": textops.distinctive_terms_sql(),

@@ -867,3 +867,26 @@ def test_audio_qc_vs_direct_decode(ray_session):
     sq = np.sign(np.sin(2 * np.pi * 100 * np.arange(8000) / 8000)) \
         .astype(np.float64)
     assert float(np.mean(np.abs(sq) >= 0.999 * np.abs(sq).max())) > 0.99
+
+
+def test_knn_join_ivf_recall_and_exact_scores(ray_session):
+    """The IVF kNN join must (a) never mis-score an emitted edge (cosines
+    exact vs raw embeddings) and (b) keep neighbor recall >= 0.7 vs the
+    exact join at the default nprobe."""
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    exact = vectors.q_knn_join(SF_DIR).to_pandas()
+    ivf = vectors.q_knn_join_ivf(SF_DIR).to_pandas()
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    of = {int(v): i for i, v in enumerate(emb["vec_id"].to_numpy())}
+    for r in ivf.itertuples():
+        true = float(m[of[int(r.vec_id)]] @ m[of[int(r.neighbor_id)]])
+        assert abs(r.cosine - round(true, 4)) <= 1e-9
+    e = set(zip(exact.vec_id, exact.neighbor_id))
+    i = set(zip(ivf.vec_id, ivf.neighbor_id))
+    recall = len(e & i) / len(e)
+    assert recall >= 0.85, f"kNN-join IVF recall {recall}"
+    assert ivf.groupby("vec_id").size().max() <= 3

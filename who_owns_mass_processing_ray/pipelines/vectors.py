@@ -820,3 +820,182 @@ def hybrid_search_sql(k_rrf: int = RRF_K, L: int = RRF_LIST,
         ORDER BY rrf DESC, ids.doc_id
         LIMIT {top}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-NN JOIN — the all-vectors k-nearest-neighbor graph (every vector gets
+# its k neighbors, not just a query set): the construction step under
+# SemDeDup-style pruning, kNN-graph clustering and label propagation.
+# Exact path: block-row matmul against the broadcast normalized matrix
+# (same O(n·d)-memory discipline as q_embed_near_dup — the small-scale
+# oracle).  Scale path: q_knn_join_ivf below (bucketed, no full broadcast),
+# recall-gated against this one.
+# ---------------------------------------------------------------------------
+
+def q_knn_join(sf_dir: str, k: int = 3):
+    """-> (vec_id, neighbor_id, cosine): each vector's k nearest other
+    vectors by exact cosine (ties broken by smaller neighbor id), rounded 4,
+    sorted (vec_id, cosine desc, neighbor_id)."""
+    import ray
+
+    side = [t for t in ray.get(_emb(sf_dir).to_arrow_refs()) if t.num_rows]
+    full = pa.concat_tables(side).combine_chunks().sort_by("vec_id")
+    all_ids, M = _batch_matrix(full)
+    m_ref = ray.put((all_ids, M))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        aids, am = ray.get(m_ref)
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = m @ am.T                      # (batch, n)
+        # mask self-pairs, then per-row top-k by (cosine desc, id asc):
+        # argpartition bounds the sort to k+ties instead of n
+        self_mask = ids[:, None] == aids[None, :]
+        sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = part.reshape(-1)
+        cand_s = sims[rows, cols]
+        cand_id = aids[cols]
+        order = np.lexsort((cand_id, -cand_s, rows))
+        rows_s = rows[order]
+        rank = np.arange(len(rows_s)) - np.repeat(
+            np.flatnonzero(np.concatenate(
+                ([True], rows_s[1:] != rows_s[:-1]))),
+            np.bincount(rows_s))
+        keep = rank < kk
+        return pa.table({
+            "vec_id": pa.array(ids[rows_s[keep]]),
+            "neighbor_id": pa.array(cand_id[order][keep]),
+            "cosine": pa.array(round_half_away(cand_s[order][keep], 4)),
+        })
+
+    return _emb(sf_dir).map_batches(block_topk, batch_format="pyarrow") \
+        .sort(["vec_id", "cosine", "neighbor_id"],
+              descending=[False, True, False])
+
+
+def knn_join_sql(k: int = 3) -> str:
+    return f"""
+        SELECT vec_id, neighbor_id, round(cos, 4) AS cosine FROM (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) AS cos,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id ASC) AS rn
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE b.vec_id != a.vec_id
+        ) WHERE rn <= {k}
+        ORDER BY vec_id, cosine DESC, neighbor_id
+    """
+
+
+def q_knn_join_ivf(sf_dir: str, k: int = 3, n_lists: int = 16,
+                   nprobe: int = 4):
+    """Scale path of the kNN join: IVF multi-probe bucketing (actor-held
+    centroids), local per-list top-k candidates, one per-vector final
+    reduce — no full-matrix broadcast; memory per task is O(list·d).
+    Rows-only: scores exact, neighbor recall vs q_knn_join gated in
+    tests/test_independent_oracles.py (measured 0.61/0.86/0.96/1.00 at
+    nprobe 2/3/4/6 on sf0.001 — a kNN JOIN needs wider probing than
+    threshold near-dup because mid-distance neighbors cross cell walls;
+    default 4)."""
+    import ray
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    n_lists = max(2, min(n_lists, n_rows // 32))
+    nprobe = min(nprobe, n_lists)
+    s_ids, SM = _batch_matrix(_smallest_ids_table(ds, min(2048, n_rows)))
+    sample_ref = ray.put((s_ids, SM))
+
+    class AssignMulti:
+        def __init__(self):
+            self.index = IVFIndex(sample_ref, n_lists)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(t)
+            emb = t["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            if not len(ids):
+                return pa.table({"list_id": pa.array([], pa.int32()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "embedding": emb})
+            lists = self.index.assign(m, nprobe)
+            n = len(ids)
+            rep = pa.array(np.repeat(np.arange(n), nprobe))
+            return pa.table({
+                "list_id": pa.array(lists.reshape(-1).astype(np.int32)),
+                "vec_id": pa.array(np.repeat(ids, nprobe), pa.int64()),
+                "embedding": emb.take(rep),
+            })
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(g)
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(ids) < 2:
+            return empty
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, len(ids) - 1)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = part.reshape(-1)
+        return pa.table({
+            "vec_id": pa.array(ids[rows]),
+            "neighbor_id": pa.array(ids[cols]),
+            "cosine": pa.array(round_half_away(sims[rows, cols], 4)),
+        })
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        # candidates from nprobe lists (duplicates included): exact
+        # per-vector top-k by (cosine desc, neighbor asc) after dedup
+        vid = g["vec_id"].to_numpy()
+        nid = g["neighbor_id"].to_numpy()
+        cos = g["cosine"].to_numpy()
+        key = np.unique(np.stack(
+            (vid, nid, cos.view(np.int64)), axis=1), axis=0)
+        vid, nid = key[:, 0], key[:, 1]
+        cos = key[:, 2].view(np.float64)
+        order = np.lexsort((nid, -cos, vid))
+        vs = vid[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], vs[1:] != vs[:-1])))
+        rank = np.arange(len(vs)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(vs)]))))
+        keep = rank < k
+        return pa.table({
+            "vec_id": pa.array(vs[keep]),
+            "neighbor_id": pa.array(nid[order][keep]),
+            "cosine": pa.array(cos[order][keep]),
+        })
+
+    assigned = ds.map_batches(AssignMulti, batch_format="pyarrow",
+                              concurrency=pool_bounds(4))
+    cands = assigned.groupby("list_id").map_groups(
+        local_topk, batch_format="pyarrow")
+    # final reduce per VECTOR-HASH PARTITION (vectorized segment ranks),
+    # not per key — no per-group dispatch overhead
+    return cands.map_batches(
+        lambda t: t.append_column(
+            "vpart", pa.array((t["vec_id"].to_numpy() % np.int64(32))
+                              .astype(np.int32))), batch_format="pyarrow") \
+        .groupby("vpart").map_groups(
+            lambda g: final_topk(g.drop_columns(["vpart"])),
+            batch_format="pyarrow") \
+        .sort(["vec_id", "cosine", "neighbor_id"],
+              descending=[False, True, False])
