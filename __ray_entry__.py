@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_zscore": relational.q_group_zscore,
         "key_skew": relational.q_key_skew,
         "quantile_sketch": relational.q_quantile_sketch,
+        "value_histogram": relational.q_value_histogram,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -508,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "group_zscore": relational.group_zscore_sql(),
         "key_skew": relational.key_skew_sql(),
         "quantile_sketch": relational.quantile_sketch_sql(),
+        "value_histogram": relational.value_histogram_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

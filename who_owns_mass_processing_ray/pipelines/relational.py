@@ -2660,3 +2660,72 @@ def quantile_sketch_sql(rate: float = _QS_RATE,
         WHERE r.rn = greatest(1, CAST(ceil(q.q * m.n) AS BIGINT))
         ORDER BY r.event_type, q.q
     """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin value histogram — the distribution profiler (per-type bin counts
+# + shares): what an engineer actually plots before choosing thresholds,
+# complementing q_quantile_sketch's point estimates.  One partial-bincount
+# pass; only (type, bin, count) rows move.
+# ---------------------------------------------------------------------------
+
+def q_value_histogram(sf_dir: str, bin_width: float = 50.0):
+    """-> (event_type, bin_lo, n_events, share): count and in-type share
+    (rounded 4) of events per ``bin_width``-wide value bin, sorted
+    (event_type, bin_lo)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        b = np.floor(t["value"].to_numpy() / bin_width).astype(np.int64)
+        nb = b.max() + 1 if len(b) else 1
+        key = codes * nb + b
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(u // nb)),
+            "bin_lo": pa.array((u % nb).astype(np.float64) * bin_width),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    hist = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "bin_lo"]) \
+        .aggregate(Sum("n", alias_name="n_events")).materialize()
+
+    totals = {r["event_type"]: float(r["t"]) for r in
+              hist.groupby("event_type").aggregate(
+                  Sum("n_events", alias_name="t")).take_all()}
+
+    def finish(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        tot = np.array([totals[s.as_py()] for s in et])
+        n = t["n_events"].to_numpy().astype(np.float64)
+        return t.append_column(
+            "share", pa.array(round_half_away(n / tot, 4)))
+
+    return hist.map_batches(finish, batch_format="pyarrow") \
+        .sort(["event_type", "bin_lo"])
+
+
+def value_histogram_sql(bin_width: float = 50.0) -> str:
+    return f"""
+        WITH h AS (
+          SELECT event_type,
+                 floor(value / {bin_width}) * {bin_width} AS bin_lo,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, sum(n_events) AS tot FROM h GROUP BY 1)
+        SELECT h.event_type, h.bin_lo, h.n_events,
+               round(h.n_events * 1.0 / t.tot, 4) AS share
+        FROM h JOIN t ON t.event_type = h.event_type
+        ORDER BY h.event_type, h.bin_lo
+    """
