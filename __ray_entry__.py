@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": vectors.q_knn_pq,
         "knn_join": vectors.q_knn_join,
         "knn_join_ivf": vectors.q_knn_join_ivf,
+        "embedding_pca": vectors.q_embedding_pca,
         # --- flagship assignment + multimodal plumbing ----------------------
         "dedup_assignment": multimodal.q_dedup_assignment,
         "audio_decode_stats": multimodal.q_audio_decode_stats,

@@ -890,3 +890,30 @@ def test_knn_join_ivf_recall_and_exact_scores(ray_session):
     recall = len(e & i) / len(e)
     assert recall >= 0.85, f"kNN-join IVF recall {recall}"
     assert ivf.groupby("vec_id").size().max() <= 3
+
+
+def test_embedding_pca_vs_numpy(ray_session):
+    """Distributed moment-pass PCA vs a single-shot numpy PCA over the whole
+    table — projections must agree to float tolerance, and the components
+    must actually explain the most variance (eigenvalues descending)."""
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    got = vectors.q_embedding_pca(SF_DIR).to_pandas().set_index("vec_id")
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    mu = m.mean(axis=0)
+    cov = np.cov(m.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    comps = v[:, order].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    proj = (m - mu) @ comps.T
+    assert w[order][0] >= w[order][1] > 0
+    np.testing.assert_allclose(
+        got.loc[ids, ["pc1", "pc2"]].to_numpy(), np.round(proj, 4),
+        atol=2e-4)

@@ -999,3 +999,89 @@ def q_knn_join_ivf(sf_dir: str, k: int = 3, n_lists: int = 16,
             batch_format="pyarrow") \
         .sort(["vec_id", "cosine", "neighbor_id"],
               descending=[False, True, False])
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA — top-k principal components from one streaming moment
+# pass: per-batch partial (n, Σx, Σxxᵀ) sums reduce to a d×d covariance on
+# the driver (d² floats — model-sized, like the k-means centroids), eigh
+# solves it there, and a second map pass projects every vector.  The
+# whitening/visualization front of every embedding-space diagnostic
+# (corpus drift plots, cluster inspection) — vectors never shuffle and
+# never collect.
+# ---------------------------------------------------------------------------
+
+PCA_COMPONENTS = 2
+
+
+def pca_components(sf_dir: str, k: int = PCA_COMPONENTS):
+    """(mean, top-k eigenvectors (k, d), eigenvalues (k,)) of the RAW
+    (un-normalized) embedding covariance, deterministically sign-fixed
+    (largest-|coord| positive)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _emb(sf_dir)
+
+    def moments(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(t)
+        d = len(flat) // max(n, 1) if n else 0
+        m = flat.reshape(n, d)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s1": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+            "s2": pa.array([(m.T @ m).reshape(-1).tobytes()], pa.binary()),
+        })
+
+    rows = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    s1 = np.sum([np.frombuffer(r["s1"], np.float64) for r in rows], axis=0)
+    d = len(s1)
+    s2 = np.sum([np.frombuffer(r["s2"], np.float64).reshape(d, d)
+                 for r in rows], axis=0)
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:k]
+    evals = w[order]
+    comps = v[:, order].T               # (k, d)
+    # deterministic sign: the largest-|coordinate| entry is positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals
+
+
+def q_embedding_pca(sf_dir: str, k: int = PCA_COMPONENTS):
+    """-> (vec_id, pc1, pc2): every vector's projection onto the top-k
+    principal components (rounded 4), sorted by vec_id.  Rows-only (no SQL
+    eigensolver); exact numpy full-data parity gated in
+    tests/test_independent_oracles.py."""
+    import ray
+
+    mean, comps, _ = pca_components(sf_dir, k)
+    model_ref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, c = ray.get(model_ref)
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(t)
+        m = flat.reshape(n, len(mu)) if n else np.zeros((0, len(mu)))
+        proj = (m - mu) @ c.T
+        out = {"vec_id": t["vec_id"]}
+        for i in range(c.shape[0]):
+            out[f"pc{i + 1}"] = pa.array(round_half_away(proj[:, i], 4))
+        return pa.table(out)
+
+    return _emb(sf_dir).map_batches(project, batch_format="pyarrow") \
+        .sort("vec_id")
