@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_doc_fingerprint,
         "feature_hash": textops.q_feature_hash,
+        "dup_graph_pagerank": textops.q_dup_graph_pagerank,
         # --- similarity search (embeddings table) ---------------------------
         "embed_near_dup_ivf": vectors.q_embed_near_dup_ivf,
         "knn_ivf": vectors.q_knn_ivf,

@@ -917,3 +917,51 @@ def test_embedding_pca_vs_numpy(ray_session):
     np.testing.assert_allclose(
         got.loc[ids, ["pc1", "pc2"]].to_numpy(), np.round(proj, 4),
         atol=2e-4)
+
+
+def test_dup_graph_pagerank_vs_dense_numpy(ray_session):
+    """Distributed power iteration vs an independent DENSE-matrix PageRank
+    over the same Jaccard graph — elementwise parity, plus ranks sum to
+    ~1 and every node gets mass > teleport floor."""
+    import duckdb
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_dup_graph_pagerank(SF_DIR)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    e = con.sql("""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+                FROM documents)),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.l, i.r FROM inter i
+        JOIN sz sa ON sa.doc_id = i.l
+        JOIN sz sb ON sb.doc_id = i.r
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
+    """).df()
+    nodes = np.array(sorted(set(e.l) | set(e.r)), dtype=np.int64)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for l, r in zip(e.l, e.r):
+        A[idx[l], idx[r]] = 1.0
+        A[idx[r], idx[l]] = 1.0
+    deg = A.sum(axis=1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(20):
+        rank = (1 - 0.85) / n + 0.85 * (A.T @ (rank / deg))
+    want = np.round(rank, 6)
+    assert len(got) == n
+    np.testing.assert_allclose(
+        got.set_index("doc_id").loc[nodes, "pagerank"].to_numpy(), want,
+        atol=1e-9)
+    assert abs(got.pagerank.sum() - 1.0) < 1e-3
+    assert (got.pagerank > (1 - 0.85) / n - 1e-12).all()

@@ -4733,3 +4733,89 @@ def q_dedup_token_report(sf_dir: str, num_parts: int = 32):
         })
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph — the importance-weighted hub score
+# (degree counts neighbors, triangles count cliques; PageRank weighs WHOSE
+# neighbor you are).  Standard damped power iteration expressed Ray-Data-
+# native: the edge stream is materialized ONCE, each iteration is one
+# map_batches (join rank to edge source via a broadcast dict — ranks are
+# node-sized model state, like k-means centroids) + one groupby Sum.
+# Iterations are data-independent in count (fixed), so the whole loop is a
+# deterministic pipeline.
+# ---------------------------------------------------------------------------
+
+def q_dup_graph_pagerank(sf_dir: str, k: int = 5, thresh: float = 0.7,
+                         damping: float = 0.85, iters: int = 20):
+    """-> (doc_id, pagerank): damped PageRank (rounded 6) of every node of
+    the char-k-gram Jaccard >= thresh graph after ``iters`` power
+    iterations (uniform init over graph nodes), sorted by doc_id.
+
+    Scale note: ranks/degrees are broadcast per iteration (node-sized model
+    state — the same discipline as kmeans centroids / IVF lists).  For
+    graphs whose NODE TABLE outruns driver memory the rank join would move
+    into the edge shuffle (attach_columns); the dup graph's node set is the
+    duplicate subset of the corpus, orders of magnitude below row count.
+    Parity vs an independent dense numpy power iteration is gated in
+    tests/test_independent_oracles.py.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=thresh) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.concatenate((t["left_id"].to_numpy(),
+                              t["right_id"].to_numpy()))
+        return pa.table({"doc_id": pa.array(ids),
+                         "n": pa.array(np.ones(len(ids), np.int64))})
+
+    deg_rows = edges.map_batches(explode, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("n", alias_name="degree")) \
+        .take_all()   # node-sized (dup subset), driver-safe by design
+    nodes = np.array(sorted(r["doc_id"] for r in deg_rows), dtype=np.int64)
+    deg = np.array([dict((r["doc_id"], r["degree"])
+                         for r in deg_rows)[i] for i in nodes],
+                   dtype=np.float64)
+    n = len(nodes)
+    if n == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id": pa.array([], pa.int64()).to_pandas(),
+                             "pagerank": pa.array([], pa.float64())
+                             .to_pandas()})
+    rank = np.full(n, 1.0 / n)
+
+    for _ in range(iters):
+        model_ref = ray.put((nodes, rank / deg))
+
+        def contrib(t: pa.Table, _ref=model_ref) -> pa.Table:
+            nd, rd = ray.get(_ref)
+            l = t["left_id"].to_numpy()
+            r = t["right_id"].to_numpy()
+            # undirected: each edge sends mass both ways
+            src = np.concatenate((l, r))
+            dst = np.concatenate((r, l))
+            w = rd[np.searchsorted(nd, src)]
+            u, inv = np.unique(dst, return_inverse=True)
+            return pa.table({
+                "doc_id": pa.array(u),
+                "m": pa.array(np.bincount(inv, weights=w)),
+            })
+
+        agg = edges.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(Sum("m", alias_name="mass")) \
+            .take_all()
+        mass = np.zeros(n)
+        got = {r["doc_id"]: r["mass"] for r in agg}
+        for j, node in enumerate(nodes):
+            mass[j] = got.get(node, 0.0)
+        rank = (1.0 - damping) / n + damping * mass
+
+    import pandas as pd
+
+    return pd.DataFrame({"doc_id": nodes,
+                         "pagerank": np.round(rank, 6)})
