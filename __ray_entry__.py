@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.q_doc_fingerprint,
         "feature_hash": textops.q_feature_hash,
         "dup_graph_pagerank": textops.q_dup_graph_pagerank,
+        "bpe_train": textops.q_bpe_train,
         # --- similarity search (embeddings table) ---------------------------
         "embed_near_dup_ivf": vectors.q_embed_near_dup_ivf,
         "knn_ivf": vectors.q_knn_ivf,

@@ -965,3 +965,49 @@ def test_dup_graph_pagerank_vs_dense_numpy(ray_session):
         atol=1e-9)
     assert abs(got.pagerank.sum() - 1.0) < 1e-3
     assert (got.pagerank > (1 - 0.85) / n - 1e-12).all()
+
+
+def test_bpe_train_vs_dict_reference(ray_session):
+    """q_bpe_train vs a from-scratch dict-based BPE trainer (classic
+    Sennrich reference shape: dict of symbol tuples -> counts) — merge
+    sequence and pair counts must agree exactly."""
+    from collections import Counter
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_bpe_train(SF_DIR)
+    t = _docs_table()
+    wc = Counter()
+    for txt in t["text"].to_pylist():
+        if txt:
+            for w in txt.split(" "):
+                if w:
+                    wc[w + "_"] += 1
+    vocab = {tuple(w): c for w, c in wc.items()}
+    merges = []
+    for rank in range(20):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym[:-1], sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((rank, l, r, c))
+        new_vocab = {}
+        for sym, cnt in vocab.items():
+            res, j = [], 0
+            while j < len(sym):
+                if j < len(sym) - 1 and sym[j] == l and sym[j + 1] == r:
+                    res.append(l + r)
+                    j += 2
+                else:
+                    res.append(sym[j])
+                    j += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + cnt
+        vocab = new_vocab
+    assert len(got) == len(merges)
+    for row, (rank, l, r, c) in zip(got.itertuples(), merges):
+        assert (row.merge_rank, row.left, row.right, row.pair_count) \
+            == (rank, l, r, c)

@@ -4819,3 +4819,110 @@ def q_dup_graph_pagerank(sf_dir: str, k: int = 5, thresh: float = 0.7,
 
     return pd.DataFrame({"doc_id": nodes,
                          "pagerank": np.round(rank, 6)})
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — tokenizer induction from corpus word counts: the
+# standard pipeline (HF tokenizers, SentencePiece-BPE) trains on the WORD-
+# FREQUENCY table, not the raw corpus, so the distributed part is exactly
+# one partial-count groupby (corpus -> vocab-sized (word, count) table) and
+# the merge loop runs over that model-sized state — the same discipline as
+# kmeans centroids / PageRank ranks.  Merge loop itself is vectorized
+# (np.unique pair counting weighted by word counts), not a dict crawl.
+# ---------------------------------------------------------------------------
+
+def q_bpe_train(sf_dir: str, n_merges: int = 20):
+    """-> (merge_rank, left, right, pair_count): the first ``n_merges`` BPE
+    merges learned from whitespace-word counts with end-of-word marker '_'
+    (ties broken lexicographically by (left, right)), ordered by rank.
+
+    Distributed shape: ONE groupby builds the (word, count) table; training
+    state is vocab-sized.  Parity vs an independent dict-based BPE
+    reference is gated in tests/test_independent_oracles.py.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+
+    def word_counts(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, pattern=" ").flatten()
+        part = pa.table({"word": toks}).group_by(["word"]) \
+            .aggregate([("word", "count")])
+        return pa.table({"word": part["word"], "n": part["word_count"]})
+
+    wc = docs.map_batches(word_counts, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n")).take_all()
+    # model-sized state from here on (vocab table, like centroids/ranks)
+    words = [r["word"] + "_" for r in wc if r["word"]]
+    counts = np.array([r["n"] for r in wc if r["word"]], dtype=np.int64)
+
+    # symbol sequences as one flat int array + offsets; symbols interned
+    sym_of: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        if s not in sym_of:
+            sym_of[s] = len(sym_of)
+        return sym_of[s]
+
+    seqs = [np.array([intern(c) for c in w], dtype=np.int64)
+            for w in words]
+    merges = []
+    for rank in range(n_merges):
+        # vectorized weighted pair counting across all words
+        pairs_l, pairs_r, w = [], [], []
+        for s, c in zip(seqs, counts):
+            if len(s) < 2:
+                continue
+            pairs_l.append(s[:-1])
+            pairs_r.append(s[1:])
+            w.append(np.full(len(s) - 1, c, dtype=np.int64))
+        if not pairs_l:
+            break
+        pl = np.concatenate(pairs_l)
+        pr = np.concatenate(pairs_r)
+        ww = np.concatenate(w)
+        key = pl * np.int64(len(sym_of) + 1) + pr
+        u, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=ww).astype(np.int64)
+        # best pair: max count, ties lexicographic by (left, right) string
+        names = np.array(list(sym_of))
+        ul = names[(u // (len(sym_of) + 1))]
+        ur = names[(u % (len(sym_of) + 1))]
+        order = np.lexsort((ur, ul, -tot))
+        best = order[0]
+        bl, br, bc = str(ul[best]), str(ur[best]), int(tot[best])
+        merges.append((rank, bl, br, bc))
+        new_sym = intern(bl + br)
+        li, ri = sym_of[bl], sym_of[br]
+        # apply the merge to every sequence (leftmost-first within a word)
+        out = []
+        for s in seqs:
+            if len(s) < 2:
+                out.append(s)
+                continue
+            hit = (s[:-1] == li) & (s[1:] == ri)
+            if not hit.any():
+                out.append(s)
+                continue
+            res = []
+            j = 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == li and s[j + 1] == ri:
+                    res.append(new_sym)
+                    j += 2
+                else:
+                    res.append(s[j])
+                    j += 1
+            out.append(np.array(res, dtype=np.int64))
+        seqs = out
+
+    return pd.DataFrame(merges, columns=["merge_rank", "left", "right",
+                                         "pair_count"])
