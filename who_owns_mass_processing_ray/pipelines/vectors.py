@@ -1038,7 +1038,35 @@ def pca_components(sf_dir: str, k: int = PCA_COMPONENTS):
             "s2": pa.array([(m.T @ m).reshape(-1).tobytes()], pa.binary()),
         })
 
-    rows = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    def merge_group(g: pa.Table) -> pa.Table:
+        n = int(np.sum(g["n"].to_numpy()))
+        s1 = np.sum([np.frombuffer(b, np.float64)
+                     for b in g["s1"].to_pylist()], axis=0)
+        s2 = np.sum([np.frombuffer(b, np.float64)
+                     for b in g["s2"].to_pylist()], axis=0)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "s1": pa.array([s1.tobytes()], pa.binary()),
+                         "s2": pa.array([s2.tobytes()], pa.binary())})
+
+    # bounded two-level reduce (same shape as q_kmeans_fit's partial-sum
+    # merge): one partial row per batch -> <= 16 merge groups -> driver.
+    # Without it the driver would collect one 32 KB moment row per input
+    # batch — unbounded at 10^12 rows.
+    from who_owns_mass_processing_ray.functions import hashing as hx
+
+    def assign_group(t: pa.Table) -> pa.Table:
+        # moment rows arrive one per block: derive the merge group from the
+        # partial-sum content (deterministic, spreads across groups)
+        h = np.array([int(hx.splitmix64(np.frombuffer(
+            b[:8], np.uint64))[0] % np.uint64(_KM_MERGE_PARTS))
+            for b in t["s1"].to_pylist()], dtype=np.int64)
+        return t.append_column("g", pa.array(h))
+
+    rows = ds.map_batches(moments, batch_format="pyarrow") \
+        .map_batches(assign_group, batch_format="pyarrow") \
+        .groupby("g").map_groups(
+            lambda g: merge_group(g.drop_columns(["g"])),
+            batch_format="pyarrow").take_all()
     n = sum(r["n"] for r in rows)
     s1 = np.sum([np.frombuffer(r["s1"], np.float64) for r in rows], axis=0)
     d = len(s1)
