@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens": textops.q_distinct_tokens,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
         "pmi_bigrams": textops.q_pmi_bigrams,
+        "bigram_logprob": textops.q_bigram_logprob,
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": relational.q_key_skew,
         "quantile_sketch": relational.q_quantile_sketch,
         "value_histogram": relational.q_value_histogram,
+        "event_transitions": relational.q_event_transitions,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -503,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": vectors.knn_join_sql(),
         "doc_novelty": textops.doc_novelty_sql(),
         "pmi_bigrams": textops.pmi_bigrams_sql(),
+        "bigram_logprob": textops.bigram_logprob_sql(),
         "distinctive_terms": textops.distinctive_terms_sql(),
         "dup_graph_triangles": textops.dup_graph_triangles_sql(),
         "char_entropy": textops.char_entropy_sql(),
@@ -513,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": relational.key_skew_sql(),
         "quantile_sketch": relational.quantile_sketch_sql(),
         "value_histogram": relational.value_histogram_sql(),
+        "event_transitions": relational.event_transitions_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -2729,3 +2729,89 @@ def value_histogram_sql(bin_width: float = 50.0) -> str:
         FROM h JOIN t ON t.event_type = h.event_type
         ORDER BY h.event_type, h.bin_lo
     """
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transitions — P(next type | type) per user-ordered event
+# stream: the sequence-statistics prep (behavior modeling, anomaly priors)
+# over the same partition shape as sessionize (user-hash partitions, one
+# vectorized lag pass; a user's chain never splits).
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(sf_dir: str):
+    """-> (from_type, to_type, n_trans, p): per ordered user stream (ts,
+    event_id), counts of consecutive event-type transitions and the
+    row-normalized probability (rounded 4), sorted (from_type, to_type)."""
+    from ray.data.aggregate import Sum
+
+    def trans(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        n = len(uid)
+        if n < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = uid[1:] == uid[:-1]
+        f = codes[:-1][same]
+        t_ = codes[1:][same]
+        nd = len(enc.dictionary)
+        key = f * nd + t_
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "from_type": enc.dictionary.take(pa.array(u // nd)),
+            "to_type": enc.dictionary.take(pa.array(u % nd)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    counts = _read(sf_dir, "events",
+                   ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(lambda t: _event_parts(
+            t, ["event_id", "user_id", "ts", "event_type"]),
+            batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: trans(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("n", alias_name="n_trans")).materialize()
+
+    totals = {r["from_type"]: float(r["t"]) for r in
+              counts.groupby("from_type").aggregate(
+                  Sum("n_trans", alias_name="t")).take_all()}
+
+    def finish(t: pa.Table) -> pa.Table:
+        ft = t["from_type"]
+        if isinstance(ft, pa.ChunkedArray):
+            ft = ft.combine_chunks()
+        tot = np.array([totals[s.as_py()] for s in ft])
+        n = t["n_trans"].to_numpy().astype(np.float64)
+        return t.append_column("p", pa.array(round_half_away(n / tot, 4)))
+
+    return counts.map_batches(finish, batch_format="pyarrow") \
+        .sort(["from_type", "to_type"])
+
+
+def event_transitions_sql() -> str:
+    return """
+        WITH o AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events),
+        c AS (
+          SELECT event_type AS from_type, nxt AS to_type, count(*) AS n_trans
+          FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, sum(n_trans) AS tot FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n_trans,
+               round(c.n_trans * 1.0 / t.tot, 4) AS p
+        FROM c JOIN t ON t.from_type = c.from_type
+        ORDER BY c.from_type, c.to_type
+    """

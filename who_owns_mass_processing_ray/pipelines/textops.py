@@ -4926,3 +4926,158 @@ def q_bpe_train(sf_dir: str, n_merges: int = 20):
 
     return pd.DataFrame(merges, columns=["merge_rank", "left", "right",
                                          "pair_count"])
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring — order-2 extension of q_ngram_logprob:
+# P(w2|w1) = λ·c12/c1 + (1-λ)·(c2+1)/(T+V), all statistics from the corpus
+# bigram table.  Model assembly (marginal attaches) happens on the VOCAB-
+# SIZED bigram-count table; the corpus stream then pays exactly ONE
+# composite-key join against the finished model — the fluency filter a
+# curation pipeline runs when unigram scores stop separating quality.
+# ---------------------------------------------------------------------------
+
+_BILM_LAMBDA = 0.7
+
+
+def q_bigram_logprob(sf_dir: str, lam: float = _BILM_LAMBDA,
+                     num_parts: int = 32):
+    """-> (doc_id, n_bigrams, avg_logprob2): per doc with >= 2 tokens, the
+    bigram count and mean log2 interpolated bigram probability (rounded 3),
+    sorted by doc_id."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    docs = _docs(sf_dir)
+    SEP = "\x1f"
+
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(col, pattern=" ")
+        vals = lst.flatten()
+        offs = lst.offsets.to_numpy()
+        offs = offs - offs[0]
+        n = len(vals)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bg": pa.array([], pa.string())})
+        keep = np.ones(n, dtype=bool)
+        keep[np.maximum(offs[1:], 1) - 1] = False
+        keep[n - 1] = False
+        idx = np.flatnonzero(keep)
+        ids = t["doc_id"].to_numpy()
+        per_doc = np.diff(offs)
+        doc_of = np.repeat(ids, per_doc)
+        bg = pc.binary_join_element_wise(
+            vals.take(pa.array(idx)).cast(pa.string()),
+            vals.take(pa.array(idx + 1)).cast(pa.string()), SEP)
+        return pa.table({"doc_id": pa.array(doc_of[idx]), "bg": bg})
+
+    stream = docs.map_batches(doc_bigrams,
+                              batch_format="pyarrow").materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        part = t.group_by(["bg"]).aggregate([("bg", "count")])
+        return pa.table({"bg": part["bg"], "n": part["bg_count"]})
+
+    model = stream.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("bg").aggregate(Sum("n", alias_name="c12")).materialize()
+
+    def split_bg(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["bg"], pattern=SEP)
+        w1 = pc.list_element(parts, 0)
+        w2 = pc.list_element(parts, 1)
+        return pa.table({"bg": t["bg"], "c12": t["c12"],
+                         "w1": w1, "w2": w2})
+
+    model = model.map_batches(split_bg, batch_format="pyarrow") \
+        .materialize()
+    left = model.groupby("w1").aggregate(Sum("c12", alias_name="c1"))
+    right = model.groupby("w2").aggregate(Sum("c12", alias_name="c2"))
+    tv = model.map_batches(
+        lambda t: pa.table({
+            "t": pa.array([int(t["c12"].to_numpy().sum())
+                           if t.num_rows else 0], pa.int64()),
+            "v": pa.array([len(np.unique(np.asarray(
+                t["w2"].to_pylist(), dtype=object)))
+                if t.num_rows else 0], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    T = sum(r["t"] for r in tv)
+    # distinct right words across blocks: per-block distinct may overlap —
+    # recompute V exactly with one tiny groupby over the model table
+    V = right.count()
+
+    model = attach_columns(model, left, "w1", "w1", {"c1": "c1"}, num_parts)
+    model = attach_columns(model, right, "w2", "w2", {"c2": "c2"}, num_parts)
+
+    scored_model = model.map_batches(
+        lambda t: pa.table({
+            "bg": t["bg"],
+            "lp": pa.array(np.log2(
+                lam * t["c12"].to_numpy() / t["c1"].to_numpy()
+                + (1.0 - lam) * (t["c2"].to_numpy() + 1.0)
+                / float(T + V))),
+        }), batch_format="pyarrow")
+
+    with_lp = attach_columns(stream, scored_model, "bg", "bg",
+                             {"lp": "lp"}, num_parts)
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "avg_logprob2": pa.array([], pa.float64())})
+        g = g.sort_by([("doc_id", "ascending")])
+        ids = g["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lp = np.add.reduceat(g["lp"].to_numpy(), starts)
+        sizes = np.diff(np.append(starts, len(ids)))
+        return pa.table({
+            "doc_id": pa.array(ids[starts]),
+            "n_bigrams": pa.array(sizes.astype(np.int64)),
+            "avg_logprob2": pa.array(round_half_away(lp / sizes, 3)),
+        })
+
+    return with_lp.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array((t["doc_id"].to_numpy()
+                              % np.int64(num_parts)).astype(np.int32))),
+        batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: per_doc(g.drop_columns(["part"])),
+            batch_format="pyarrow").sort("doc_id")
+
+
+def bigram_logprob_sql(lam: float = _BILM_LAMBDA) -> str:
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE text IS NOT NULL),
+        bg AS (
+          SELECT doc_id, w[CAST(i AS INTEGER)] AS w1,
+                 w[CAST(i AS INTEGER) + 1] AS w2
+          FROM ws, unnest(range(1, len(w))) AS t(i)),
+        c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        l AS (SELECT w1, sum(c12) AS c1 FROM c GROUP BY 1),
+        r AS (SELECT w2, sum(c12) AS c2 FROM c GROUP BY 1),
+        n AS (SELECT sum(c12) AS t, count(DISTINCT w2) AS v FROM c),
+        m AS (
+          SELECT c.w1, c.w2,
+                 log2({lam} * c.c12 / l.c1
+                      + (1.0 - {lam}) * (r.c2 + 1.0) / (1.0 * n.t + n.v))
+                     AS lp
+          FROM c, n
+          JOIN l ON l.w1 = c.w1
+          JOIN r ON r.w2 = c.w2)
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               round(avg(m.lp), 3) AS avg_logprob2
+        FROM bg JOIN m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+        GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """
