@@ -2815,3 +2815,68 @@ def event_transitions_sql() -> str:
         FROM c JOIN t ON t.from_type = c.from_type
         ORDER BY c.from_type, c.to_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day activity profile — the seasonality diagnostic (crawl/ingest
+# load shaping, bot detection): per (event_type, hour) counts + in-type
+# share.  One partial-count pass over narrow columns.
+# ---------------------------------------------------------------------------
+
+def q_hourly_profile(sf_dir: str):
+    """-> (event_type, hour, n_events, share): events per UTC hour-of-day
+    and type with in-type share (rounded 4), sorted (event_type, hour)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        hrs = pc.hour(t["ts"]).to_numpy().astype(np.int64)
+        key = codes * 24 + hrs
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(u // 24)),
+            "hour": pa.array(u % 24),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    hist = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n_events")).materialize()
+
+    totals = {r["event_type"]: float(r["t"]) for r in
+              hist.groupby("event_type").aggregate(
+                  Sum("n_events", alias_name="t")).take_all()}
+
+    def finish(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        tot = np.array([totals[s.as_py()] for s in et])
+        n = t["n_events"].to_numpy().astype(np.float64)
+        return t.append_column(
+            "share", pa.array(round_half_away(n / tot, 4)))
+
+    return hist.map_batches(finish, batch_format="pyarrow") \
+        .sort(["event_type", "hour"])
+
+
+def hourly_profile_sql() -> str:
+    return """
+        WITH h AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, sum(n_events) AS tot FROM h GROUP BY 1)
+        SELECT h.event_type, h.hour, h.n_events,
+               round(h.n_events * 1.0 / t.tot, 4) AS share
+        FROM h JOIN t ON t.event_type = h.event_type
+        ORDER BY h.event_type, h.hour
+    """
