@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
         "pmi_bigrams": textops.q_pmi_bigrams,
         "bigram_logprob": textops.q_bigram_logprob,
+        "zipf_fit": textops.q_zipf_fit,
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
@@ -507,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_novelty": textops.doc_novelty_sql(),
         "pmi_bigrams": textops.pmi_bigrams_sql(),
         "bigram_logprob": textops.bigram_logprob_sql(),
+        "zipf_fit": textops.zipf_fit_sql(),
         "distinctive_terms": textops.distinctive_terms_sql(),
         "dup_graph_triangles": textops.dup_graph_triangles_sql(),
         "char_entropy": textops.char_entropy_sql(),

@@ -5081,3 +5081,95 @@ def bigram_logprob_sql(lam: float = _BILM_LAMBDA) -> str:
         FROM bg JOIN m ON m.w1 = bg.w1 AND m.w2 = bg.w2
         GROUP BY bg.doc_id ORDER BY bg.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent fit — per-source power-law fit of the term frequency
+# distribution (log2 freq vs log2 rank OLS): the corpus-statistics
+# diagnostic that flags synthetic/spammy slices (natural text sits near
+# slope -1; templated content is flatter or stepped).  Term counting is the
+# no-corpus-shuffle partial-count shape; ranking runs per source on the
+# vocab-sized count table; the fit is one sufficient-statistics pass
+# (q_group_regression's recipe).
+# ---------------------------------------------------------------------------
+
+def q_zipf_fit(sf_dir: str):
+    """-> (source, n_terms, zipf_slope, intercept, corr): per source, OLS
+    of log2(term count) on log2(frequency rank) over all its terms (rank
+    by count desc, term asc), rounded 6, sorted by source."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(col, pattern=" ")
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        flat = pa.table({
+            "source": src.take(pa.array(np.repeat(
+                np.arange(len(counts)), counts))),
+            "term": lst.flatten(),
+        })
+        part = flat.group_by(["source", "term"]).aggregate([("term", "count")])
+        return pa.table({"source": part["source"], "term": part["term"],
+                         "y": part["term_count"]})
+
+    counts = docs.map_batches(term_counts, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("y", alias_name="y"))
+
+    def fit(g: pa.Table) -> pa.Table:
+        # one source's vocab: rank by (count desc, term asc), then the
+        # sufficient-statistics OLS (same finish math as group_regression)
+        s = g.sort_by([("y", "descending"), ("term", "ascending")])
+        y = np.log2(s["y"].to_numpy().astype(np.float64))
+        x = np.log2(np.arange(1, len(y) + 1, dtype=np.float64))
+        n = float(len(y))
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+        cov = sxy - sx * sy / n
+        varx = sxx - sx * sx / n
+        vary = syy - sy * sy / n
+        slope = cov / varx
+        return pa.table({
+            "source": pa.array([s["source"][0].as_py()]),
+            "n_terms": pa.array([len(y)], pa.int64()),
+            "zipf_slope": pa.array(round_half_away(
+                np.array([slope]), 6)),
+            "intercept": pa.array(round_half_away(
+                np.array([sy / n - slope * sx / n]), 6)),
+            "corr": pa.array(round_half_away(
+                np.array([cov / np.sqrt(varx * vary)]), 6)),
+        })
+
+    return counts.groupby("source").map_groups(
+        fit, batch_format="pyarrow").sort("source")
+
+
+def zipf_fit_sql() -> str:
+    return """
+        WITH w AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT source, term, count(*) AS y FROM w GROUP BY 1, 2),
+        r AS (
+          SELECT source, y,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY y DESC, term) AS rank
+          FROM c)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+               round(regr_slope(log2(1.0 * y), log2(1.0 * rank)), 6)
+                   AS zipf_slope,
+               round(regr_intercept(log2(1.0 * y), log2(1.0 * rank)), 6)
+                   AS intercept,
+               round(corr(log2(1.0 * y), log2(1.0 * rank)), 6) AS corr
+        FROM r GROUP BY source ORDER BY source
+    """
