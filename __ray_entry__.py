@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": vectors.q_knn_join,
         "knn_join_ivf": vectors.q_knn_join_ivf,
         "embedding_pca": vectors.q_embedding_pca,
+        "cluster_purity": vectors.q_cluster_purity,
         # --- flagship assignment + multimodal plumbing ----------------------
         "dedup_assignment": multimodal.q_dedup_assignment,
         "audio_decode_stats": multimodal.q_audio_decode_stats,

@@ -1011,3 +1011,39 @@ def test_bpe_train_vs_dict_reference(ray_session):
     for row, (rank, l, r, c) in zip(got.itertuples(), merges):
         assert (row.merge_rank, row.left, row.right, row.pair_count) \
             == (rank, l, r, c)
+
+
+def test_cluster_purity_vs_numpy(ray_session):
+    """q_cluster_purity vs a single-process recompute: same Lloyd
+    assignments (already parity-gated), contingency + purity + NMI redone
+    with plain dict/numpy."""
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    got = vectors.q_cluster_purity(SF_DIR)
+    fit = vectors.q_kmeans_fit(SF_DIR).to_pandas()
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    m = fit.merge(emb, on="vec_id")
+    N = len(m)
+    clusters = sorted(m.cluster.unique())
+    labels = sorted(m.label.unique())
+    M = np.zeros((len(clusters), len(labels)))
+    for (c, l), n in m.groupby(["cluster", "label"]).size().items():
+        M[clusters.index(c), labels.index(l)] = n
+    purity = M.max(axis=1).sum() / N
+    P = M / N
+    pr, pc_ = P.sum(axis=1), P.sum(axis=0)
+    mi = sum(P[i, j] * np.log(P[i, j] / (pr[i] * pc_[j]))
+             for i in range(len(clusters)) for j in range(len(labels))
+             if P[i, j] > 0)
+    hr = -sum(p * np.log(p) for p in pr if p > 0)
+    hc = -sum(p * np.log(p) for p in pc_ if p > 0)
+    nmi = mi / ((hr + hc) / 2)
+    assert len(got) == len(clusters)
+    assert abs(got.overall_purity.iloc[0] - round(purity, 4)) <= 1e-9
+    assert abs(got.nmi.iloc[0] - round(nmi, 4)) <= 1e-9
+    for _, r in got.iterrows():
+        i = clusters.index(r.cluster)
+        assert r.n == int(M[i].sum())
+        assert r.majority_label == labels[int(M[i].argmax())]
+    assert 0.0 < got.nmi.iloc[0] <= 1.0

@@ -1113,3 +1113,80 @@ def q_embedding_pca(sf_dir: str, k: int = PCA_COMPONENTS):
 
     return _emb(sf_dir).map_batches(project, batch_format="pyarrow") \
         .sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Clustering evaluation — purity + NMI of the k-means partition against the
+# embeddings table's ground-truth ``label`` column: the eval loop closed
+# (fit with q_kmeans_fit's machinery, score here).  The contingency table
+# is one partial-count reduce of (cluster, label) rows — k × n_labels cells
+# of model-sized state; vectors never collect.
+# ---------------------------------------------------------------------------
+
+def q_cluster_purity(sf_dir: str, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS):
+    """-> (cluster, n, majority_label, cluster_purity, overall_purity, nmi):
+    one row per k-means cluster with its majority ground-truth label and
+    within-cluster purity, plus the corpus-level purity and normalized
+    mutual information repeated on every row (rounded 4), sorted by
+    cluster.  Rows-only; pure-numpy recompute parity gated in
+    tests/test_independent_oracles.py."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
+
+    assign = q_kmeans_fit(sf_dir, k, iters).select_columns(
+        ["vec_id", "cluster"])
+    labels = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label"])
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    joined = attach_columns(assign, labels, "vec_id", "vec_id",
+                            {"label": "label"}, 32)
+
+    def contingency(t: pa.Table) -> pa.Table:
+        c = t["cluster"].to_numpy().astype(np.int64)
+        l = t["label"].to_numpy().astype(np.int64)
+        key = c * np.int64(1 << 20) + l
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cluster": pa.array(u // (1 << 20)),
+            "label": pa.array(u % (1 << 20)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    cells = joined.map_batches(contingency, batch_format="pyarrow") \
+        .groupby(["cluster", "label"]).aggregate(Sum("n", alias_name="n")) \
+        .take_all()    # k × n_labels cells — model-sized
+
+    import pandas as pd
+
+    df = pd.DataFrame(cells)
+    N = df.n.sum()
+    piv = df.pivot_table(index="cluster", columns="label", values="n",
+                         fill_value=0, aggfunc="sum")
+    M = piv.to_numpy().astype(np.float64)
+    row = M.sum(axis=1)
+    col = M.sum(axis=0)
+    overall_purity = M.max(axis=1).sum() / N
+    # NMI (arithmetic normalization)
+    P = M / N
+    pr = row / N
+    pc_ = col / N
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mi = np.nansum(np.where(P > 0,
+                                P * np.log(P / np.outer(pr, pc_)), 0.0))
+        hr = -np.nansum(np.where(pr > 0, pr * np.log(pr), 0.0))
+        hc = -np.nansum(np.where(pc_ > 0, pc_ * np.log(pc_), 0.0))
+    nmi = mi / ((hr + hc) / 2.0) if (hr + hc) > 0 else 0.0
+    maj = piv.columns.to_numpy()[M.argmax(axis=1)]
+    return pd.DataFrame({
+        "cluster": piv.index.to_numpy().astype(np.int64),
+        "n": row.astype(np.int64),
+        "majority_label": maj.astype(np.int64),
+        "cluster_purity": np.round(M.max(axis=1) / row, 4),
+        "overall_purity": np.round(np.full(len(row), overall_purity), 4),
+        "nmi": np.round(np.full(len(row), nmi), 4),
+    }).sort_values("cluster").reset_index(drop=True)
