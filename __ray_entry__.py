@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": textops.q_pmi_bigrams,
         "bigram_logprob": textops.q_bigram_logprob,
         "zipf_fit": textops.q_zipf_fit,
+        "source_dup_matrix": textops.q_source_dup_matrix,
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
@@ -510,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": textops.pmi_bigrams_sql(),
         "bigram_logprob": textops.bigram_logprob_sql(),
         "zipf_fit": textops.zipf_fit_sql(),
+        "source_dup_matrix": textops.source_dup_matrix_sql(),
         "distinctive_terms": textops.distinctive_terms_sql(),
         "dup_graph_triangles": textops.dup_graph_triangles_sql(),
         "char_entropy": textops.char_entropy_sql(),

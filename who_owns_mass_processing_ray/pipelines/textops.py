@@ -5173,3 +5173,78 @@ def zipf_fit_sql() -> str:
                round(corr(log2(1.0 * y), log2(1.0 * rank)), 6) AS corr
         FROM r GROUP BY source ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix — near-dup pair counts by source pair:
+# the leakage diagnostic run before train/eval splits (a dup pair spanning
+# two sources means those slices are NOT independent; high off-diagonal
+# mass breaks held-out-source evaluation).  Pairs come from the exact
+# AllPairs join; sources attach via the adaptive join (narrow id streams
+# only).
+# ---------------------------------------------------------------------------
+
+def q_source_dup_matrix(sf_dir: str, k: int = 5, thresh: float = 0.7,
+                        num_parts: int = 32):
+    """-> (src_a, src_b, n_pairs): near-dup pairs (char-k-gram Jaccard >=
+    thresh) counted by unordered source pair (src_a <= src_b), sorted
+    (src_a, src_b)."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    pairs = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=thresh) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow")
+    src = _docs(sf_dir, columns=("doc_id", "source"))
+    pairs = attach_columns(pairs, src, "left_id", "doc_id",
+                           {"source": "sa"}, num_parts)
+    pairs = attach_columns(pairs, src, "right_id", "doc_id",
+                           {"source": "sb"}, num_parts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sa = np.asarray(t["sa"].to_pylist(), dtype=object)
+        sb = np.asarray(t["sb"].to_pylist(), dtype=object)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        tt = pa.table({"src_a": pa.array(lo.tolist(), pa.string()),
+                       "src_b": pa.array(hi.tolist(), pa.string())})
+        part = tt.group_by(["src_a", "src_b"]).aggregate([("src_a", "count")])
+        return pa.table({"src_a": part["src_a"], "src_b": part["src_b"],
+                         "n": part["src_a_count"]})
+
+    return pairs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["src_a", "src_b"]).aggregate(Sum("n", alias_name="n_pairs")) \
+        .sort(["src_a", "src_b"])
+
+
+def source_dup_matrix_sql(k: int = 5, thresh: float = 0.7) -> str:
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), {k}) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS u
+                FROM documents)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT i.l, i.r FROM inter i
+          JOIN sz sa ON sa.doc_id = i.l
+          JOIN sz sb ON sb.doc_id = i.r
+          WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {thresh}
+        ),
+        s AS (
+          SELECT least(da.source, db.source) AS src_a,
+                 greatest(da.source, db.source) AS src_b
+          FROM e
+          JOIN documents da ON da.doc_id = e.l
+          JOIN documents db ON db.doc_id = e.r
+        )
+        SELECT src_a, src_b, count(*) AS n_pairs
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """
