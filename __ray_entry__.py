@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": relational.q_value_histogram,
         "event_transitions": relational.q_event_transitions,
         "hourly_profile": relational.q_hourly_profile,
+        "cohort_retention": relational.q_cohort_retention,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -524,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": relational.value_histogram_sql(),
         "event_transitions": relational.event_transitions_sql(),
         "hourly_profile": relational.hourly_profile_sql(),
+        "cohort_retention": relational.cohort_retention_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

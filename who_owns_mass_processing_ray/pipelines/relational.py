@@ -2880,3 +2880,62 @@ def hourly_profile_sql() -> str:
         FROM h JOIN t ON t.event_type = h.event_type
         ORDER BY h.event_type, h.hour
     """
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users grouped by first-seen day, counted on each later
+# active day (the standard retention triangle).  User-hash partitions make
+# the per-user first-day and the distinct (cohort, offset, user) set exact
+# without any cross-partition dedup: a user's rows live in ONE partition.
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention(sf_dir: str):
+    """-> (cohort_day, day_offset, n_users): distinct users of first-seen
+    cohort ``cohort_day`` active ``day_offset`` days later, sorted
+    (cohort_day, day_offset)."""
+    from ray.data.aggregate import Sum
+
+    def cohorts(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        day = g["ts"].cast(pa.timestamp("us")).to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        first = np.repeat(day[new_u], np.diff(
+            np.append(np.flatnonzero(new_u), len(uid))))
+        off = day - first
+        key = np.unique(np.stack((first, off, uid), axis=1), axis=0)
+        f, o = key[:, 0], key[:, 1]
+        pk = np.unique(np.stack((f, o), axis=1), axis=0,
+                       return_counts=True)
+        (fo, cnt) = pk
+        return pa.table({
+            "cohort_day": pa.array(
+                fo[:, 0].astype("datetime64[D]").astype("datetime64[us]")),
+            "day_offset": pa.array(fo[:, 1]),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    out = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(lambda t: _event_parts(t, ["user_id", "ts"]),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: cohorts(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Sum("n", alias_name="n_users"))
+    return out.sort(["cohort_day", "day_offset"])
+
+
+def cohort_retention_sql() -> str:
+    return """
+        WITH d AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+        SELECT CAST(f.first_day AS TIMESTAMP) AS cohort_day,
+               date_diff('day', f.first_day, d.day) AS day_offset,
+               count(*) AS n_users
+        FROM d JOIN f ON f.user_id = d.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
