@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": textops.q_bigram_logprob,
         "zipf_fit": textops.q_zipf_fit,
         "source_dup_matrix": textops.q_source_dup_matrix,
+        "dup_size_histogram": textops.q_dup_size_histogram,
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
@@ -610,6 +611,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sel s USING (doc_id)
             WHERE s.doc_id IS NULL OR s.rn = 1
             ORDER BY d.doc_id
+        """,
+        # group-size histogram over the same components reduce
+        "dup_size_histogram": f"""
+            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace("ORDER BY 1, 2", "")}),
+            sym(a, b) AS (
+                SELECT left_id, right_id FROM base
+                UNION ALL
+                SELECT right_id, left_id FROM base
+            ),
+            reach(id, r) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+            ),
+            grp AS (
+                SELECT id AS doc_id, min(r) AS group_id
+                FROM reach GROUP BY id
+            ),
+            gs AS (SELECT group_id, count(*) AS size FROM grp GROUP BY 1)
+            SELECT size AS group_size,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(size) AS BIGINT) AS n_docs,
+                   CAST(sum(size - 1) AS BIGINT) AS n_removable
+            FROM gs GROUP BY size ORDER BY group_size
         """,
         # per-source dedup accounting on top of the same survivors reduce
         "dedup_token_report": f"""

@@ -5248,3 +5248,37 @@ def source_dup_matrix_sql(k: int = 5, thresh: float = 0.7) -> str:
         SELECT src_a, src_b, count(*) AS n_pairs
         FROM s GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster size histogram — the shape of the duplication problem: how
+# many near-dup groups of each size exist and how many removable docs each
+# size class holds (size-2 pairs vs big template families need different
+# handling).  One tiny rollup of the components output.
+# ---------------------------------------------------------------------------
+
+def q_dup_size_histogram(sf_dir: str):
+    """-> (group_size, n_groups, n_docs, n_removable): near-dup group-size
+    histogram (removable = size - 1 per group), sorted by group_size."""
+    from ray.data.aggregate import Count, Sum
+
+    groups = q_near_dup_groups(sf_dir)    # (doc_id, group_id)
+    sizes = groups.groupby("group_id").aggregate(
+        Count(alias_name="size"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["size"].to_numpy()
+        u, cnt = np.unique(s, return_counts=True)
+        return pa.table({
+            "group_size": pa.array(u.astype(np.int64)),
+            "n_groups": pa.array(cnt.astype(np.int64)),
+            "n_docs": pa.array((u * cnt).astype(np.int64)),
+            "n_removable": pa.array(((u - 1) * cnt).astype(np.int64)),
+        })
+
+    return sizes.map_batches(partial, batch_format="pyarrow") \
+        .groupby("group_size").aggregate(
+            Sum("n_groups", alias_name="n_groups"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_removable", alias_name="n_removable")) \
+        .sort("group_size")
