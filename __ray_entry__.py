@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_ivf": vectors.q_knn_join_ivf,
         "embedding_pca": vectors.q_embedding_pca,
         "cluster_purity": vectors.q_cluster_purity,
+        "ann_recall_eval": vectors.q_ann_recall_eval,
         # --- flagship assignment + multimodal plumbing ----------------------
         "dedup_assignment": multimodal.q_dedup_assignment,
         "audio_decode_stats": multimodal.q_audio_decode_stats,

@@ -1047,3 +1047,20 @@ def test_cluster_purity_vs_numpy(ray_session):
         assert r.n == int(M[i].sum())
         assert r.majority_label == labels[int(M[i].argmax())]
     assert 0.0 < got.nmi.iloc[0] <= 1.0
+
+
+def test_ann_recall_eval_consistent(ray_session):
+    """The recall report must agree with a direct recompute from the two
+    underlying query outputs, and its mean must match the suite's own
+    recall gate regime (>= 0.8)."""
+    from who_owns_mass_processing_ray.pipelines import vectors
+
+    rep = vectors.q_ann_recall_eval(SF_DIR)
+    brute = vectors.q_knn_brute(SF_DIR).to_pandas()
+    ivf = vectors.q_knn_ivf(SF_DIR).to_pandas()
+    for _, r in rep.iterrows():
+        b = set(brute[brute.query_id == r.query_id].vec_id)
+        i = set(ivf[ivf.query_id == r.query_id].vec_id)
+        assert r.n_hits == len(b & i)
+        assert abs(r.recall_at_k - round(len(b & i) / len(b), 4)) <= 1e-12
+    assert rep.recall_at_k.mean() >= 0.8

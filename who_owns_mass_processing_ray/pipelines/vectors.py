@@ -1190,3 +1190,30 @@ def q_cluster_purity(sf_dir: str, k: int = KMEANS_K,
         "overall_purity": np.round(np.full(len(row), overall_purity), 4),
         "nmi": np.round(np.full(len(row), nmi), 4),
     }).sort_values("cluster").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the index-quality report as a data product:
+# per-query recall@k of the IVF path against the exact brute-force baseline
+# (the table an ops team watches when tuning nprobe/n_lists).  Both sides
+# are the engine's own queries; the comparison is one tiny per-query set
+# intersection over <= n_queries * k rows.
+# ---------------------------------------------------------------------------
+
+def q_ann_recall_eval(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """-> (query_id, k, n_hits, recall_at_k): per query, IVF hits inside
+    the exact top-k and the recall ratio (rounded 4), sorted by query_id.
+    Rows-only (both sides are engine outputs; correctness of each side has
+    its own gates)."""
+    import pandas as pd
+
+    brute = q_knn_brute(sf_dir, n_queries, k).to_pandas()
+    ivf = q_knn_ivf(sf_dir, n_queries, k).to_pandas()
+    b = brute.groupby("query_id").vec_id.apply(set)
+    i = ivf.groupby("query_id").vec_id.apply(set)
+    rows = []
+    for q in sorted(b.index):
+        hits = len(b[q] & i.get(q, set()))
+        rows.append((int(q), k, hits, round(hits / len(b[q]), 4)))
+    return pd.DataFrame(rows, columns=["query_id", "k", "n_hits",
+                                       "recall_at_k"])
