@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_spectral": multimodal.q_audio_spectral,
         "audio_pitch": multimodal.q_audio_pitch,
         "audio_qc": multimodal.q_audio_qc,
+        "audio_vad_segments": multimodal.q_audio_vad_segments,
         "audio_shingle_near_dup": multimodal.q_audio_shingle_near_dup,
         "audio_gain_normalize": multimodal.q_audio_gain_normalize,
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,

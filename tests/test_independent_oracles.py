@@ -1064,3 +1064,57 @@ def test_ann_recall_eval_consistent(ray_session):
         assert r.n_hits == len(b & i)
         assert abs(r.recall_at_k - round(len(b & i) / len(b), 4)) <= 1e-12
     assert rep.recall_at_k.mean() >= 0.8
+
+
+def test_audio_vad_segments_vs_direct_decode(ray_session):
+    """q_audio_vad_segments vs a per-row pure recompute of the same VAD
+    rule, plus structural invariants (ordered, non-overlapping, inside the
+    clip)."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    vad = multimodal.q_audio_vad_segments(SF_DIR).to_pandas()
+    by_clip = dict(tuple(vad.groupby("clip_id")))
+    t = _docs_table()
+    n_with_segments = 0
+    C = multimodal.VadSegments
+    for i in t["doc_id"].to_pylist()[:50]:
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
+        pcm, dsr = audio.decode(buf, codec)
+        cid = f"clip-{int(i):012d}"
+        flen = max(int(dsr * C.FRAME_MS / 1000), 1)
+        nf = len(pcm) // flen
+        want = []
+        if nf >= 1:
+            x = pcm[:nf * flen].astype(np.float64).reshape(nf, flen)
+            e = (x ** 2).mean(axis=1)
+            ref = np.sort(e)[int(0.9 * (nf - 1))]
+            idx = np.flatnonzero(e >= C.REL_THRESH * ref)
+            if len(idx):
+                gaps = np.flatnonzero(np.diff(idx) > C.BRIDGE + 1)
+                starts = np.r_[idx[0], idx[gaps + 1]]
+                ends = np.r_[idx[gaps], idx[-1]] + 1
+                for s, en in zip(starts, ends):
+                    if en - s >= C.MIN_FRAMES:
+                        seg = pcm[s * flen:en * flen].astype(np.float64)
+                        want.append((int(s * flen * 1000 / dsr),
+                                     int(en * flen * 1000 / dsr),
+                                     round(float(np.sqrt((seg ** 2).mean())),
+                                           4)))
+        got = by_clip.get(cid)
+        got_rows = ([] if got is None else
+                    list(zip(got.start_ms, got.end_ms, got.rms)))
+        assert len(got_rows) == len(want), cid
+        for (gs, ge, gr), (ws, we, wr) in zip(got_rows, want):
+            assert (gs, ge) == (ws, we)
+            assert abs(gr - wr) <= 1e-12
+        if want:
+            n_with_segments += 1
+            # structural: ordered, non-overlapping, inside the clip
+            for j in range(1, len(got_rows)):
+                assert got_rows[j][0] >= got_rows[j - 1][1]
+            assert got_rows[-1][1] <= int(len(pcm) * 1000 / dsr) + 1
+    assert n_with_segments > 0

@@ -1530,3 +1530,79 @@ def q_audio_qc(sf_dir: str):
     return clips.map_batches(AudioQC, batch_format="pyarrow",
                              batch_size=64, concurrency=pool_bounds(8),
                              num_cpus=1).sort("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Energy-based VAD segmentation — 1→N speech-segment rows per clip (frame
+# energy above an adaptive threshold, short gaps bridged): the ASR-prep
+# segmenter (q_audio_silence trims EDGES; this finds every internal
+# utterance).  Actor-pool decode; only narrow segment rows leave the stage.
+# ---------------------------------------------------------------------------
+
+class VadSegments:
+    """Per clip: contiguous frames with energy >= ``rel_thresh`` × the
+    clip's 90th-percentile frame energy become speech segments; gaps of
+    <= ``bridge`` frames are bridged; segments shorter than ``min_frames``
+    are dropped.  32 ms frames."""
+
+    FRAME_MS = 32
+    REL_THRESH = 0.1
+    BRIDGE = 1
+    MIN_FRAMES = 2
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_seq, out_s, out_e, out_rms = [], [], [], [], []
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        cids = t["clip_id"].to_pylist()
+        for cid, buf, codec in zip(cids, bufs, codecs):
+            try:
+                pcm, sr = audio.decode(buf, codec)
+            except Exception:
+                continue
+            flen = max(int(sr * self.FRAME_MS / 1000), 1)
+            nf = len(pcm) // flen
+            if nf < 1:
+                continue
+            x = pcm[:nf * flen].astype(np.float64).reshape(nf, flen)
+            e = (x ** 2).mean(axis=1)
+            ref = np.sort(e)[int(0.9 * (nf - 1))]
+            act = e >= self.REL_THRESH * ref
+            # bridge short gaps: a False run of <= BRIDGE flanked by True
+            idx = np.flatnonzero(act)
+            if len(idx) == 0:
+                continue
+            gaps = np.flatnonzero(np.diff(idx) > self.BRIDGE + 1)
+            starts = np.r_[idx[0], idx[gaps + 1]]
+            ends = np.r_[idx[gaps], idx[-1]] + 1        # frame-exclusive
+            for seq, (s, en) in enumerate(zip(starts, ends)):
+                if en - s < self.MIN_FRAMES:
+                    continue
+                seg = pcm[s * flen:en * flen].astype(np.float64)
+                out_id.append(cid)
+                out_seq.append(seq)
+                out_s.append(int(s * flen * 1000 / sr))
+                out_e.append(int(en * flen * 1000 / sr))
+                out_rms.append(round(float(np.sqrt((seg ** 2).mean())), 4))
+        return pa.table({
+            "clip_id": pa.array(out_id, pa.string()),
+            "seg_seq": pa.array(out_seq, pa.int64()),
+            "start_ms": pa.array(out_s, pa.int64()),
+            "end_ms": pa.array(out_e, pa.int64()),
+            "rms": pa.array(out_rms, pa.float64()),
+        })
+
+
+def q_audio_vad_segments(sf_dir: str):
+    """-> (clip_id, seg_seq, start_ms, end_ms, rms) speech segments per
+    clip; rows-only (DSP over binary payloads — per-row recompute oracle in
+    tests/test_independent_oracles.py)."""
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(VadSegments, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort(["clip_id", "seg_seq"])
