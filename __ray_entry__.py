@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.q_event_transitions,
         "hourly_profile": relational.q_hourly_profile,
         "cohort_retention": relational.q_cohort_retention,
+        "partitioned_write_manifest": relational.q_partitioned_write_manifest,
+        "group_mad_outliers": relational.q_group_mad_outliers,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -529,6 +531,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": relational.event_transitions_sql(),
         "hourly_profile": relational.hourly_profile_sql(),
         "cohort_retention": relational.cohort_retention_sql(),
+        "partitioned_write_manifest": relational.partitioned_write_manifest_sql(),
+        "group_mad_outliers": relational.group_mad_outliers_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

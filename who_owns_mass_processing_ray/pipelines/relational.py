@@ -2939,3 +2939,144 @@ def cohort_retention_sql() -> str:
         FROM d JOIN f ON f.user_id = d.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Partitioned sink + manifest — the resumable-output contract as a query:
+# write the documents table as hash-partitioned Parquet directories (one
+# dir per partition, the layout a failed 100 TB run resumes from by
+# skipping finished partitions) and return the verification manifest
+# (per-partition rows/bytes/files).  The distributed write happens via
+# Ray's parquet sink with partition columns; the manifest is read back
+# from the filesystem, so it verifies WHAT LANDED, not what was intended.
+# ---------------------------------------------------------------------------
+
+def q_partitioned_write_manifest(sf_dir: str, num_parts: int = 8):
+    """-> (part, n_rows, n_files, n_bytes): writes documents hash-
+    partitioned by ``doc_id % num_parts`` under /tmp (fresh dir per call)
+    and manifests the landed partitions, sorted by part.  Oracle: per-
+    partition row counts are SQL (the manifest's n_rows must match the
+    data); file/byte counts are filesystem facts asserted > 0."""
+    import shutil
+
+    import pandas as pd
+
+    out_dir = f"/tmp/graft_part_write/{num_parts}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    docs.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array((t["doc_id"].to_numpy()
+                              % np.int64(num_parts)).astype(np.int32))),
+        batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["part"])
+
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in sorted(glob.glob(f"{out_dir}/part=*")):
+        part = int(d.rsplit("=", 1)[1])
+        files = glob.glob(f"{d}/*.parquet")
+        n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        rows.append((part, n_rows, len(files), n_bytes))
+    df = pd.DataFrame(rows, columns=["part", "n_rows", "n_files",
+                                     "n_bytes"]).sort_values("part")
+    # the driver compare covers (part, n_rows); files/bytes are
+    # environment-dependent — assert sane, then drop
+    assert (df.n_files > 0).all() and (df.n_bytes > 0).all()
+    return df[["part", "n_rows"]].reset_index(drop=True)
+
+
+def partitioned_write_manifest_sql(num_parts: int = 8) -> str:
+    return f"""
+        SELECT CAST(doc_id % {num_parts} AS INTEGER) AS part,
+               count(*) AS n_rows
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers — median/MAD-based anomaly gate per event type (the
+# robust alternative to q_group_zscore: one extreme value cannot move the
+# threshold).  Two exact streaming-quantile passes (functions/quantile.py —
+# never sorts or collects the column), one derived-column map between them;
+# thresholds broadcast as model-sized dicts.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.5
+_MAD_C = 1.4826
+
+
+def q_group_mad_outliers(sf_dir: str):
+    """-> (event_id, event_type, value, robust_z): events whose |value -
+    type-median| exceeds 3.5 robust sigmas (MAD × 1.4826), with the robust
+    z-score (rounded 4), sorted by event_id."""
+    from who_owns_mass_processing_ray.functions.quantile import (
+        exact_group_quantiles,
+    )
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    med = {g: v[0.5] for g, v in exact_group_quantiles(
+        ev, "event_type", "value", [0.5]).items()}
+
+    def with_dev(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        uniq = et.unique()
+        mm = np.array([med[s.as_py()] for s in uniq])
+        m = mm[pc.index_in(et, uniq).to_numpy()]
+        v = t["value"].to_numpy()
+        return t.append_column("ad", pa.array(np.abs(v - m)))
+
+    dev = ev.map_batches(with_dev, batch_format="pyarrow")
+    mad = {g: v[0.5] for g, v in exact_group_quantiles(
+        dev, "event_type", "ad", [0.5]).items()}
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        uniq = et.unique()
+        mm = np.array([med[s.as_py()] for s in uniq])
+        dd = np.array([mad[s.as_py()] for s in uniq])
+        idx = pc.index_in(et, uniq).to_numpy()
+        m, d = mm[idx], dd[idx]
+        v = t["value"].to_numpy()
+        keep = np.abs(v - m) > _MAD_K * _MAD_C * d
+        z = (v - m) / (_MAD_C * np.where(d > 0, d, 1.0))
+        out = pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value": round_half_away(t["value"], 2),
+            "robust_z": pa.array(round_half_away(z, 4)),
+        })
+        return out.filter(pa.array(keep & (d > 0)))
+
+    return dev.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
+def group_mad_outliers_sql() -> str:
+    return f"""
+        WITH m AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT e.event_id, e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS ad
+          FROM events e JOIN m ON m.event_type = e.event_type),
+        s AS (
+          SELECT event_type, quantile_cont(ad, 0.5) AS mad
+          FROM d GROUP BY 1)
+        SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
+               round((d.value - d.med) / ({_MAD_C} * s.mad), 4) AS robust_z
+        FROM d JOIN s ON s.event_type = d.event_type
+        WHERE abs(d.value - d.med) > {_MAD_K} * {_MAD_C} * s.mad
+          AND s.mad > 0
+        ORDER BY d.event_id
+    """
