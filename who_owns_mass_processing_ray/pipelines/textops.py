@@ -5282,3 +5282,63 @@ def q_dup_size_histogram(sf_dir: str):
             Sum("n_docs", alias_name="n_docs"),
             Sum("n_removable", alias_name="n_removable")) \
         .sort("group_size")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold curve — pair volume as a function of the Jaccard
+# threshold, from ONE candidate-generation pass at the lowest τ: the tuning
+# table that picks the production threshold (how many more pairs does
+# τ=0.7 admit vs 0.8?) without re-running the join per candidate value.
+# ---------------------------------------------------------------------------
+
+def q_dup_threshold_curve(sf_dir: str, k: int = 5, base: float = 0.5):
+    """-> (thresh, n_pairs): exact near-dup pair counts at each candidate
+    threshold in {0.5, 0.55, ..., 0.95}, all derived from one pass at
+    ``base``, sorted by thresh.  Counting uses the ROUNDED (4) jaccard so
+    the boundary is deterministic across engines."""
+    from ray.data.aggregate import Sum
+
+    pairs = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=base)
+    ts = np.round(np.arange(base, 0.96, 0.05), 2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        j = t["jaccard"].to_numpy()
+        n = np.array([(j >= th).sum() for th in ts], dtype=np.int64)
+        return pa.table({"thresh": pa.array(ts),
+                         "n_pairs": pa.array(n)})
+
+    return pairs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("thresh").aggregate(Sum("n_pairs", alias_name="n_pairs")) \
+        .sort("thresh")
+
+
+def dup_threshold_curve_sql(k: int = 5, base: float = 0.5) -> str:
+    ts = ", ".join(f"({round(t, 2)})"
+                   for t in np.round(np.arange(base, 0.96, 0.05), 2))
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), {k}) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS u
+                FROM documents)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS j
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.l
+          JOIN sz sb ON sb.doc_id = i.r
+          WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {base}
+        ),
+        t(thresh) AS (VALUES {ts})
+        SELECT t.thresh,
+               CAST(count(*) FILTER (WHERE p.j >= t.thresh) AS BIGINT)
+                   AS n_pairs
+        FROM t CROSS JOIN p
+        GROUP BY t.thresh ORDER BY t.thresh
+    """
