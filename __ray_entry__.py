@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash": textops.q_feature_hash,
         "dup_graph_pagerank": textops.q_dup_graph_pagerank,
         "bpe_train": textops.q_bpe_train,
+        "lang_agreement": textops.q_lang_agreement,
         # --- similarity search (embeddings table) ---------------------------
         "embed_near_dup_ivf": vectors.q_embed_near_dup_ivf,
         "knn_ivf": vectors.q_knn_ivf,

@@ -1118,3 +1118,23 @@ def test_audio_vad_segments_vs_direct_decode(ray_session):
                 assert got_rows[j][0] >= got_rows[j - 1][1]
             assert got_rows[-1][1] <= int(len(pcm) * 1000 / dsr) + 1
     assert n_with_segments > 0
+
+
+def test_lang_agreement_vs_direct_join(ray_session):
+    """q_lang_agreement vs a pandas recompute joining q_lang_id to the
+    documents metadata — exact per-source counts."""
+    import pandas as pd
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_lang_agreement(SF_DIR).to_pandas().set_index("source")
+    pred = textops.q_lang_id(SF_DIR).to_pandas()
+    meta = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "lang", "source"]).to_pandas()
+    m = meta.merge(pred[["doc_id", "lang_pred"]], on="doc_id", how="left")
+    for src, g in m.groupby("source"):
+        agree = int((g.lang_pred == g.lang).sum())
+        assert int(got.loc[src, "n_docs"]) == len(g)
+        assert int(got.loc[src, "n_agree"]) == agree
+        assert abs(got.loc[src, "agree_rate"]
+                   - round(agree / len(g), 4)) <= 1e-9

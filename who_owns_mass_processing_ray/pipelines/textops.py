@@ -5342,3 +5342,59 @@ def dup_threshold_curve_sql(k: int = 5, base: float = 0.5) -> str:
         FROM t CROSS JOIN p
         GROUP BY t.thresh ORDER BY t.thresh
     """
+
+
+# ---------------------------------------------------------------------------
+# Language-label agreement — metadata QA: the ``lang`` column audited
+# against the engine's own LangID predictions, per source.  High
+# disagreement flags either mislabeled metadata or an out-of-domain slice
+# — run before trusting lang for routing/filtering.  One actor-pool
+# prediction pass + one partial-count reduce.
+# ---------------------------------------------------------------------------
+
+def q_lang_agreement(sf_dir: str):
+    """-> (source, n_docs, n_agree, agree_rate): per source, docs whose
+    LangID prediction equals the lang column (rate rounded 4), sorted by
+    source.  Rows-only (LangID is actor-held model state); consistency vs
+    a direct q_lang_id join is gated in tests."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang", "source"])
+
+    class Agree(LangID):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pred = LangID.__call__(self, t)
+            src = t["source"]
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            enc = pc.dictionary_encode(src)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            agree = pc.equal(pred["lang_pred"], t["lang"])
+            a = pc.fill_null(agree, False).to_numpy(zero_copy_only=False)
+            nsrc = len(enc.dictionary)
+            return pa.table({
+                "source": enc.dictionary,
+                "n": pa.array(np.bincount(codes, minlength=nsrc)
+                              .astype(np.int64)),
+                "n_agree": pa.array(np.bincount(
+                    codes[a], minlength=nsrc).astype(np.int64)),
+            })
+
+    agg = docs.map_batches(Agree, batch_format="pyarrow", batch_size=256,
+                           concurrency=pool_bounds(4), num_cpus=1) \
+        .groupby("source").aggregate(Sum("n", alias_name="n_docs"),
+                                     Sum("n_agree", alias_name="n_agree"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy().astype(np.float64)
+        a = t["n_agree"].to_numpy().astype(np.float64)
+        return t.append_column(
+            "agree_rate", pa.array(round_half_away(a / np.maximum(n, 1), 4)))
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")
