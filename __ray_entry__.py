@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_matrix": textops.q_source_dup_matrix,
         "dup_size_histogram": textops.q_dup_size_histogram,
         "dup_threshold_curve": textops.q_dup_threshold_curve,
+        "domain_coverage": textops.q_domain_coverage,
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": textops.zipf_fit_sql(),
         "source_dup_matrix": textops.source_dup_matrix_sql(),
         "dup_threshold_curve": textops.dup_threshold_curve_sql(),
+        "domain_coverage": textops.domain_coverage_sql(),
         "distinctive_terms": textops.distinctive_terms_sql(),
         "dup_graph_triangles": textops.dup_graph_triangles_sql(),
         "char_entropy": textops.char_entropy_sql(),

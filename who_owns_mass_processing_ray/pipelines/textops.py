@@ -5398,3 +5398,118 @@ def q_lang_agreement(sf_dir: str):
             "agree_rate", pa.array(round_half_away(a / np.maximum(n, 1), 4)))
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+# ---------------------------------------------------------------------------
+# Domain coverage scoring — per-source fraction of the benchmark split's
+# distinct word-5-grams that the source's (non-benchmark) docs contain: the
+# coverage-driven mixing signal ("which slice best covers the target
+# domain") — decontamination's constructive twin (same gram machinery, same
+# hashed-int64 broadcast discipline: the benchmark side is 8 B/gram Arrow,
+# never a Python set; the corpus streams).
+# ---------------------------------------------------------------------------
+
+def q_domain_coverage(sf_dir: str):
+    """-> (source, n_covered, n_bench_grams, coverage): per source, how many
+    of the benchmark's distinct word-5-grams appear in it (rate rounded 4),
+    sorted by source."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n, mod = DECON_GRAM_WORDS, DECON_BENCH_MOD
+
+    def _split(t: pa.Table, bench_side: bool) -> pa.Table:
+        m = t["doc_id"].to_numpy() % mod == 0
+        return t.filter(pa.array(m if bench_side else ~m))
+
+    def emit(t: pa.Table) -> pa.Table:
+        _, grams = _word_grams(_split(t, True), n)
+        gh = hx.hash_strings(pc.unique(grams), seed=DECON_HASH_SEED)
+        return pa.table({"gh": pa.array(np.unique(gh).view(np.int64))})
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+    gram_tables = [t for t in ray.get(docs.map_batches(
+        emit, batch_format="pyarrow").materialize().to_arrow_refs())
+        if t.num_rows]
+    gh_all = (np.unique(np.concatenate(
+        [t["gh"].to_numpy() for t in gram_tables]))
+        if gram_tables else np.empty(0, np.int64))
+    n_bench = len(gh_all)
+    grams_ref = ray.put(pa.array(gh_all, pa.int64()))
+
+    def covered(t: pa.Table) -> pa.Table:
+        t = _split(t, False)
+        idx, grams = _word_grams(t, n)
+        gh = hx.hash_strings(grams, seed=DECON_HASH_SEED).view(np.int64)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        hit = pc.is_in(pa.array(gh, pa.int64()),
+                       value_set=ray.get(grams_ref)) \
+            .to_numpy(zero_copy_only=False)
+        srcs = np.asarray(src.to_pylist(), dtype=object)[idx[hit]]
+        ghh = gh[hit]
+        key = {}
+        # distinct (source, gram) within the batch, vectorized per source
+        out_s, out_g = [], []
+        for s in np.unique(srcs):
+            m = srcs == s
+            out_s.extend([s] * len(np.unique(ghh[m])))
+            out_g.extend(np.unique(ghh[m]).tolist())
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "gh": pa.array(out_g, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    cov = docs.map_batches(covered, batch_format="pyarrow") \
+        .groupby(["source", "gh"]).aggregate(Count(alias_name="ct")) \
+        .map_batches(lambda t: pa.table({
+            "source": t["source"],
+            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n_covered"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["n_covered"].to_numpy().astype(np.float64)
+        return pa.table({
+            "source": t["source"],
+            "n_covered": t["n_covered"],
+            "n_bench_grams": pa.array(
+                np.full(t.num_rows, n_bench, np.int64)),
+            "coverage": pa.array(round_half_away(
+                c / max(n_bench, 1), 4)),
+        })
+
+    return cov.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+def domain_coverage_sql() -> str:
+    n, mod = DECON_GRAM_WORDS, DECON_BENCH_MOD
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(
+                   range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + {n - 1}), ' ')
+                 )) AS gram
+          FROM tok
+        ),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {mod} = 0),
+        nb AS (SELECT count(*) AS n FROM bg),
+        sg AS (
+          SELECT DISTINCT source, gram FROM g WHERE doc_id % {mod} <> 0),
+        c AS (
+          SELECT sg.source, count(*) AS n_covered
+          FROM sg JOIN bg USING (gram) GROUP BY 1)
+        SELECT c.source, c.n_covered,
+               CAST(nb.n AS BIGINT) AS n_bench_grams,
+               round(c.n_covered * 1.0 / greatest(nb.n, 1), 4) AS coverage
+        FROM c, nb
+        ORDER BY c.source
+    """
