@@ -74,10 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounded_near_dup": textops.q_bounded_near_dup,
         "near_dup_groups": textops.q_near_dup_groups,
         "containment_pairs": textops.q_containment_pairs,
-        "containment_pairs_sa": textops.q_containment_pairs_sa,
+        "span_dedup_mask": textops.q_span_dedup_mask,
         "shared_span_pairs": textops.q_shared_span_pairs,
         "delta_dedup": textops.q_delta_dedup,
-        "delta_dedup_bloom": textops.q_delta_dedup_bloom,
+        "dedup_token_report": textops.q_dedup_token_report,
         "group_regression": relational.q_group_regression,
         "doc_novelty": textops.q_doc_novelty,
         "cross_table_link": textops.q_cross_table_link,
@@ -108,9 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
-        "span_dedup_mask": textops.q_span_dedup_mask,
         "corpus_mix": textops.q_corpus_mix,
-        "dedup_token_report": textops.q_dedup_token_report,
+        "containment_pairs_sa": textops.q_containment_pairs_sa,
+        "delta_dedup_bloom": textops.q_delta_dedup_bloom,
         "latest_by_key": relational.q_latest_by_key,
         "group_zscore": relational.q_group_zscore,
         "key_skew": relational.q_key_skew,
