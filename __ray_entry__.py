@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_histogram": textops.q_dup_size_histogram,
         "dup_threshold_curve": textops.q_dup_threshold_curve,
         "domain_coverage": textops.q_domain_coverage,
+        "incremental_components": textops.q_incremental_components,
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
@@ -622,6 +623,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sel s USING (doc_id)
             WHERE s.doc_id IS NULL OR s.rn = 1
             ORDER BY d.doc_id
+        """,
+        # incremental fold == full re-cluster at the lower threshold
+        "incremental_components": f"""
+            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace("ORDER BY 1, 2", "")}),
+            sym(a, b) AS (
+                SELECT left_id, right_id FROM base
+                UNION ALL
+                SELECT right_id, left_id FROM base
+            ),
+            reach(id, r) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS group_id
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
         # group-size histogram over the same components reduce
         "dup_size_histogram": f"""

@@ -5513,3 +5513,71 @@ def domain_coverage_sql() -> str:
         FROM c, nb
         ORDER BY c.source
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental clustering — fold NEW near-dup edges into an EXISTING cluster
+# snapshot without re-clustering history: the union of (doc -> old root)
+# star edges and the delta edge set feeds the same components reduce, so
+# yesterday's 10^12-doc clustering is represented by its (narrow) assignment
+# table, never its original edge set.  The incremental twin of
+# q_delta_dedup at the CLUSTERING level: snapshots merge when a new edge
+# bridges them.
+# ---------------------------------------------------------------------------
+
+def _cluster_int_edges(edge_tables):
+    """pa tables of (left_id, right_id) int64 -> (doc_id, group_id)
+    Dataset via the vectorized min-label components reduce."""
+    import ray.data as rd
+
+    from who_owns_mass_processing_ray.stages.components import (
+        min_label_components,
+    )
+
+    tables = [t for t in edge_tables if t.num_rows]
+    if not tables:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "group_id": pa.array([], pa.int64())}))
+    e = pa.concat_tables(tables).combine_chunks()
+    l = e["left_id"].to_numpy()
+    r = e["right_id"].to_numpy()
+    ids = np.unique(np.concatenate((l, r)))
+    lab = min_label_components(np.searchsorted(ids, l),
+                               np.searchsorted(ids, r), len(ids))
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "group_id": pa.array(ids[lab], pa.int64())}))
+
+
+def q_incremental_components(sf_dir: str, snap_thresh: float = 0.8,
+                             new_thresh: float = 0.7, k: int = 5):
+    """-> (doc_id, group_id): cluster assignments after folding the
+    lower-threshold (``new_thresh``) edge DELTA into the snapshot built at
+    ``snap_thresh`` (snapshot = components of the >= snap_thresh graph,
+    represented ONLY by its narrow (root -> doc) star edges — the
+    assignment table a prior run persisted; delta = edges with
+    new_thresh <= jaccard < snap_thresh), sorted by doc_id.  By union-find
+    algebra the result equals clustering everything at new_thresh — which
+    is exactly what the oracle checks, so the star-edge representation is
+    verified, not assumed."""
+    import ray
+
+    pairs = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=new_thresh) \
+        .materialize()
+
+    snap_tables = [t for t in ray.get(
+        pairs.filter(expr=f"jaccard >= {snap_thresh}")
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow").to_arrow_refs())]
+    snap = _cluster_int_edges(snap_tables)
+    star = snap.map_batches(
+        lambda t: pa.table({"left_id": t["group_id"],
+                            "right_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    delta = pairs.filter(expr=f"jaccard < {snap_thresh}") \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow")
+
+    merged = [t for t in ray.get(
+        star.union(delta).to_arrow_refs())]
+    return _cluster_int_edges(merged).sort("doc_id")
