@@ -56,3 +56,85 @@ class TestPerRowInvariants:
                       .column("clip_id").to_pylist())
         assert set(c2c["clip_id"]) == src_ids
         assert len(c2c) == len(src_ids)
+
+
+class TestVectorizedKernelProperties:
+    """Property tests for the pure-numpy kernels inside the round-4
+    analytics operators (hypothesis-driven, no Ray)."""
+
+    def test_triangular_decode_enumerates_all_pairs(self):
+        """The wedge decode in q_dup_graph_triangles (r -> (i, j), i < j)
+        must enumerate exactly the i<j pairs of each segment."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(min_value=2, max_value=40))
+        def check(m):
+            P = m * (m - 1) // 2
+            rr = np.arange(P, dtype=np.int64)
+            jj = np.ceil((np.sqrt(8.0 * (rr + 1) + 1) - 1) / 2) \
+                .astype(np.int64)
+            ii = rr - jj * (jj - 1) // 2
+            got = set(zip(ii.tolist(), jj.tolist()))
+            want = {(i, j) for j in range(1, m) for i in range(j)}
+            assert got == want
+
+        check()
+
+    def test_span_mask_cover_equals_interval_union(self):
+        """The diff-array/cumsum cover in q_span_dedup_mask must equal the
+        brute union of [p, p+span) intervals, for random positions."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(min_value=5, max_value=120),
+               st.lists(st.integers(min_value=0, max_value=119),
+                        max_size=20),
+               st.integers(min_value=1, max_value=30))
+        def check(ln, raw_pos, span):
+            p = np.unique([x for x in raw_pos if x < ln]).astype(np.int64)
+            diff = np.zeros(ln + 1, dtype=np.int64)
+            np.add.at(diff, p, 1)
+            np.add.at(diff, np.minimum(p + span, ln), -1)
+            cover = np.cumsum(diff[:-1]) > 0
+            want = np.zeros(ln, dtype=bool)
+            for x in p:
+                want[x:x + span] = True
+            assert (cover == want).all()
+
+        check()
+
+    def test_segment_rank_topk_matches_pandas(self):
+        """The lexsort/segment-rank per-group top-k (group_cap /
+        distinctive_terms / latest_by_key shape) must agree with a pandas
+        groupby-rank for random data."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50),
+                                  st.integers(0, 10**6)),
+                        min_size=1, max_size=200),
+               st.integers(min_value=1, max_value=5))
+        def check(rows, k):
+            import pandas as pd
+
+            g = np.array([r[0] for r in rows])
+            v = np.array([r[1] for r in rows])
+            tie = np.array([r[2] for r in rows])
+            order = np.lexsort((tie, -v, g))
+            gs = g[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1))
+            rank = np.arange(len(gs)) - np.repeat(
+                starts, np.diff(np.concatenate((starts, [len(gs)]))))
+            keep = np.sort(order[rank < k])
+            df = pd.DataFrame({"g": g, "v": v, "t": tie})
+            want = df.sort_values(["g", "v", "t"],
+                                  ascending=[True, False, True]) \
+                .groupby("g").head(k).index.to_numpy()
+            assert set(keep.tolist()) == set(want.tolist())
+
+        check()
