@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.q_doc_fingerprint,
         "feature_hash": textops.q_feature_hash,
         "dup_graph_pagerank": textops.q_dup_graph_pagerank,
+        "dup_graph_kcore": textops.q_dup_graph_kcore,
         "bpe_train": textops.q_bpe_train,
         "lang_agreement": textops.q_lang_agreement,
         # --- similarity search (embeddings table) ---------------------------

@@ -1186,3 +1186,50 @@ def test_audio_mel_stats_vs_direct_decode(ray_session):
     # the winning band's filter must respond at 1 kHz
     k = int(np.argmin(np.abs(freqs - 1000.0)))
     assert bank[int(np.argmax(mel)), k] > 0
+
+
+def test_dup_graph_kcore_vs_peeling(ray_session):
+    """q_dup_graph_kcore vs an independent dict-based peeling over the
+    same exact-Jaccard edge set (threshold 0.5 so the graph is dense
+    enough to have a 3-core)."""
+    import duckdb
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_dup_graph_kcore(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    e = con.sql("""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+                FROM documents)),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.l, i.r FROM inter i
+        JOIN sz sa ON sa.doc_id = i.l
+        JOIN sz sb ON sb.doc_id = i.r
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
+    """).df()
+    adj: dict = {}
+    for l, r in zip(e.l, e.r):
+        adj.setdefault(l, set()).add(r)
+        adj.setdefault(r, set()).add(l)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 3:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    want = {v: len(nbrs) for v, nbrs in adj.items()}
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[r.doc_id] == r.degree_in_core
+    assert len(want) > 0   # the corpus must actually have a 3-core

@@ -5581,3 +5581,69 @@ def q_incremental_components(sf_dir: str, snap_thresh: float = 0.8,
     merged = [t for t in ray.get(
         star.union(delta).to_arrow_refs())]
     return _cluster_int_edges(merged).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# k-core of the near-dup graph — iterative peeling to the maximal subgraph
+# of minimum degree k: the dense-boilerplate community detector one rung
+# above triangles (a k-core survives even when hubs are removed).  Each
+# peel round is one partial-degree reduce + one broadcast filter of the
+# narrow edge stream; rounds to fixpoint are bounded by the peel depth,
+# node state stays model-sized.
+# ---------------------------------------------------------------------------
+
+def q_dup_graph_kcore(sf_dir: str, core_k: int = 3, k: int = 5,
+                      thresh: float = 0.5):
+    """-> (doc_id, degree_in_core): members of the ``core_k``-core of the
+    char-k-gram Jaccard >= thresh graph with their within-core degree,
+    sorted by doc_id.  Parity vs an independent driver-side peeling is
+    gated in tests/test_independent_oracles.py."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=thresh) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow").materialize()
+
+    def degrees(ds):
+        def explode(t: pa.Table) -> pa.Table:
+            ids = np.concatenate((t["left_id"].to_numpy(),
+                                  t["right_id"].to_numpy()))
+            return pa.table({"doc_id": pa.array(ids),
+                             "n": pa.array(np.ones(len(ids), np.int64))})
+
+        return ds.map_batches(explode, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(Sum("n", alias_name="degree"))
+
+    cur = edges
+    while True:
+        deg_rows = degrees(cur).take_all()   # node-sized (dup subset)
+        keep = np.array(sorted(r["doc_id"] for r in deg_rows
+                               if r["degree"] >= core_k), dtype=np.int64)
+        n_nodes = len(deg_rows)
+        if len(keep) == n_nodes:
+            break
+        keep_ref = ray.put(pa.array(keep, pa.int64()))
+
+        def filt(t: pa.Table, _ref=keep_ref) -> pa.Table:
+            ks = ray.get(_ref)
+            m = pc.and_(pc.is_in(t["left_id"], value_set=ks),
+                        pc.is_in(t["right_id"], value_set=ks))
+            return t.filter(m)
+
+        cur = cur.map_batches(filt, batch_format="pyarrow").materialize()
+        if len(keep) == 0:
+            break
+
+    import ray.data as rd
+
+    final = degrees(cur).take_all()
+    if not final:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "degree_in_core": pa.array([], pa.int64())}))
+    final.sort(key=lambda r: r["doc_id"])
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in final], pa.int64()),
+        "degree_in_core": pa.array([r["degree"] for r in final],
+                                   pa.int64())}))
