@@ -1190,8 +1190,9 @@ def test_audio_mel_stats_vs_direct_decode(ray_session):
 
 def test_dup_graph_kcore_vs_peeling(ray_session):
     """q_dup_graph_kcore vs an independent dict-based peeling over the
-    same exact-Jaccard edge set (threshold 0.5 so the graph is dense
-    enough to have a 3-core)."""
+    same exact-Jaccard edge set (default core_k=2: the triangle/cycle
+    cores of this corpus — size 4 for k=3 at sf0.001 but EMPTY at sf0.01,
+    so 2 is the default that stays non-trivial at every test scale)."""
     import duckdb
 
     from who_owns_mass_processing_ray.pipelines import textops
@@ -1224,7 +1225,7 @@ def test_dup_graph_kcore_vs_peeling(ray_session):
     while changed:
         changed = False
         for v in list(adj):
-            if len(adj[v]) < 3:
+            if len(adj[v]) < 2:
                 for u in adj.pop(v):
                     adj[u].discard(v)
                 changed = True

@@ -5592,7 +5592,7 @@ def q_incremental_components(sf_dir: str, snap_thresh: float = 0.8,
 # node state stays model-sized.
 # ---------------------------------------------------------------------------
 
-def q_dup_graph_kcore(sf_dir: str, core_k: int = 3, k: int = 5,
+def q_dup_graph_kcore(sf_dir: str, core_k: int = 2, k: int = 5,
                       thresh: float = 0.5):
     """-> (doc_id, degree_in_core): members of the ``core_k``-core of the
     char-k-gram Jaccard >= thresh graph with their within-core degree,
