@@ -3453,7 +3453,7 @@ def q_dup_graph_degree(sf_dir: str, k: int = 5, thresh: float = 0.7):
     char-k-gram Jaccard >= thresh, sorted by doc_id."""
     from ray.data.aggregate import Sum
 
-    pairs = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=thresh)
+    pairs = _graph_edges(sf_dir, k, thresh)
 
     def explode(t: pa.Table) -> pa.Table:
         ids = np.concatenate((t["left_id"].to_numpy(),
@@ -5576,8 +5576,7 @@ def q_incremental_components(sf_dir: str, snap_thresh: float = 0.8,
     verified, not assumed."""
     import ray
 
-    pairs = q_ngram_jaccard_pairs(sf_dir, k=k, thresh=new_thresh) \
-        .materialize()
+    pairs = _graph_edges(sf_dir, k, new_thresh).materialize()
 
     snap_tables = [t for t in ray.get(
         pairs.filter(expr=f"jaccard >= {snap_thresh}")
