@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_histogram": textops.q_dup_size_histogram,
         "dup_threshold_curve": textops.q_dup_threshold_curve,
         "domain_coverage": textops.q_domain_coverage,
+        "vocab_growth": textops.q_vocab_growth,
         "incremental_components": textops.q_incremental_components,
         "distinctive_terms": textops.q_distinctive_terms,
         "dup_graph_triangles": textops.q_dup_graph_triangles,
@@ -526,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "source_dup_matrix": textops.source_dup_matrix_sql(),
         "dup_threshold_curve": textops.dup_threshold_curve_sql(),
         "domain_coverage": textops.domain_coverage_sql(),
+        "vocab_growth": textops.vocab_growth_sql(),
         "distinctive_terms": textops.distinctive_terms_sql(),
         "dup_graph_triangles": textops.dup_graph_triangles_sql(),
         "char_entropy": textops.char_entropy_sql(),

@@ -5660,3 +5660,101 @@ def q_dup_graph_kcore(sf_dir: str, core_k: int = 2, k: int = 5,
         "doc_id": pa.array([r["doc_id"] for r in final], pa.int64()),
         "degree_in_core": pa.array([r["degree"] for r in final],
                                    pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law) — distinct-token count as the corpus
+# grows in doc_id order: the diagnostic that sizes tokenizer vocabularies
+# and detects synthetic slices (natural text grows ~ n^beta, templated text
+# plateaus).  Order-free distributed form: a token's first appearance is
+# min(doc_id) over its occurrences — one groupby-min over narrow
+# (token-hash, doc) rows — and the curve at checkpoint c is the count of
+# tokens with first_doc <= c: a bucket histogram + driver cumsum over
+# checkpoint-sized state.
+# ---------------------------------------------------------------------------
+
+def q_vocab_growth(sf_dir: str, step: int = 50):
+    """-> (docs_seen, vocab_size): distinct word-BIGRAM vocabulary size
+    after each ``step``-doc checkpoint (doc_id order), sorted by
+    docs_seen.  Bigrams, not unigrams: the synthetic corpus's ~31-word
+    unigram vocabulary saturates within 10 docs, while its ~900 bigram
+    types keep growing — the regime Heaps' law describes."""
+    from ray.data.aggregate import Min
+
+    docs = _docs(sf_dir)
+
+    def token_first(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(col, pattern=" ")
+        vals = lst.flatten()
+        offs = lst.offsets.to_numpy()
+        offs = offs - offs[0]
+        n = len(vals)
+        if n == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "first_doc": pa.array([], pa.int64())})
+        keep = np.ones(n, dtype=bool)
+        keep[np.maximum(offs[1:], 1) - 1] = False
+        keep[n - 1] = False
+        idx = np.flatnonzero(keep)
+        bg = pc.binary_join_element_wise(
+            vals.take(pa.array(idx)).cast(pa.string()),
+            vals.take(pa.array(idx + 1)).cast(pa.string()), " ")
+        h = hx.hash_strings(bg, seed=77).view(np.int64)
+        per_doc = np.diff(offs)
+        doc = np.repeat(t["doc_id"].to_numpy(), per_doc)[idx]
+        # in-batch min doc per token
+        order = np.lexsort((doc, h))
+        hs, ds = h[order], doc[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        return pa.table({"h": pa.array(hs[first]),
+                         "first_doc": pa.array(ds[first])})
+
+    firsts = docs.map_batches(token_first, batch_format="pyarrow") \
+        .groupby("h").aggregate(Min("first_doc", alias_name="first_doc"))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = (t["first_doc"].to_numpy() // step).astype(np.int64)
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    rows = firsts.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n")).take_all()
+    rows.sort(key=lambda r: r["bucket"])
+    import pandas as pd
+
+    buckets = [r["bucket"] for r in rows]
+    counts = np.cumsum([r["n"] for r in rows])
+    return pd.DataFrame({
+        "docs_seen": [(b + 1) * step for b in buckets],
+        "vocab_size": counts.astype(np.int64),
+    })
+
+
+def vocab_growth_sql(step: int = 50) -> str:
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE text IS NOT NULL),
+        w AS (
+          SELECT doc_id,
+                 w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+                     AS tok
+          FROM ws, unnest(range(1, len(w))) AS t(i)),
+        f AS (SELECT tok, min(doc_id) AS first_doc FROM w GROUP BY 1),
+        b AS (
+          SELECT (first_doc // {step}) AS bucket, count(*) AS n
+          FROM f GROUP BY 1)
+        SELECT (bucket + 1) * {step} AS docs_seen,
+               CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+        FROM b ORDER BY docs_seen
+    """
