@@ -3080,3 +3080,72 @@ def group_mad_outliers_sql() -> str:
           AND s.mad > 0
         ORDER BY d.event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE sliding window — per event, the trailing-1-hour sum/count of
+# the user's values (peer-inclusive RANGE frame semantics, exactly SQL's
+# ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``).  The
+# row-window sibling is q_rolling_agg; time windows need a range search,
+# vectorized here with ONE global searchsorted over composite
+# (user << 43 | ts-offset) keys — sorted-by-(user, ts) rows make the
+# composite strictly ordered, so no per-user Python loop.
+# ---------------------------------------------------------------------------
+
+_SLIDE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_sliding_window_agg(sf_dir: str):
+    """-> (event_id, user_id, w_sum, w_n): trailing-1h peer-inclusive sum
+    (rounded 2) and count of the user's event values, sorted by event_id."""
+
+    def slide(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+        val = g["value"].to_numpy().astype(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "w_sum": pa.array([], pa.float64()),
+                             "w_n": pa.array([], pa.int64())})
+        off = ts - ts.min()
+        assert off.max() < (1 << 43), "ts span exceeds composite-key range"
+        key = (uid.astype(np.int64) << 43) | off
+        # peer-inclusive upper bound; lower bound clipped at the window
+        hi = np.searchsorted(key, key, side="right")
+        lo = np.searchsorted(
+            key, (uid.astype(np.int64) << 43)
+            | np.maximum(off - _SLIDE_WINDOW_US, 0), side="left")
+        cs = np.concatenate(([0.0], np.cumsum(val)))
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "w_sum": pa.array(round_half_away(cs[hi] - cs[lo], 2)),
+            "w_n": pa.array((hi - lo).astype(np.int64)),
+        })
+
+    out = _read(sf_dir, "events",
+                ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(lambda t: _event_parts(
+            t, ["event_id", "user_id", "ts", "value"]),
+            batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: slide(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    return out.sort("event_id")
+
+
+def sliding_window_agg_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               round(sum(value) OVER w, 2) AS w_sum,
+               CAST(count(*) OVER w AS BIGINT) AS w_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY event_id
+    """
