@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_write_manifest": relational.q_partitioned_write_manifest,
         "group_mad_outliers": relational.q_group_mad_outliers,
         "sliding_window_agg": relational.q_sliding_window_agg,
+        "star_join": relational.q_star_join,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -545,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_write_manifest": relational.partitioned_write_manifest_sql(),
         "group_mad_outliers": relational.group_mad_outliers_sql(),
         "sliding_window_agg": relational.sliding_window_agg_sql(),
+        "star_join": relational.star_join_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -3149,3 +3149,70 @@ def sliding_window_agg_sql() -> str:
                            AND CURRENT ROW)
         ORDER BY event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Star join (TPC-H Q3 shape) — customer ⋈ orders ⋈ lineitem with dimension
+# filters and a revenue rollup: the canonical multi-join composition
+# (join_agg is two tables; real marts chain three+).  Both joins route
+# through the adaptive broadcast/shuffle attach; revenue partials combine
+# map-side before the final tiny groupby.
+# ---------------------------------------------------------------------------
+
+def q_star_join(sf_dir: str, segment: str = "BUILDING", num_parts: int = 32):
+    """-> (o_orderkey, o_orderdate, revenue): open orders of ``segment``
+    customers with their discounted lineitem revenue (rounded 2), top 20 by
+    (revenue desc, o_orderkey), sorted that way."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr=f"c_mktsegment == '{segment}'")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'O'")
+    orders = attach_columns(orders, cust, "o_custkey", "c_custkey",
+                            {"c_mktsegment": "seg"}, num_parts)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy()
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table({"l_orderkey": pa.array(u),
+                         "rev": pa.array(np.bincount(inv, weights=rev))})
+
+    rev = li.map_batches(partial_rev, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+
+    joined = attach_columns(orders, rev, "o_orderkey", "l_orderkey",
+                            {"rev": "rev"}, num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "revenue": round_half_away(t["rev"], 2),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "o_orderkey"], descending=[True, False]) \
+        .limit(20)
+
+
+def star_join_sql(segment: str = "BUILDING") -> str:
+    return f"""
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = '{segment}' AND o_orderstatus = 'O'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, o_orderkey LIMIT 20
+    """
