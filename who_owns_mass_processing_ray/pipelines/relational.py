@@ -2426,7 +2426,9 @@ def q_latest_by_key(sf_dir: str):
     per (user, type) — ties on ts broken by larger event_id — sorted by
     (user_id, event_type)."""
     ev = _read(sf_dir, "events",
-               ["event_id", "ts", "user_id", "event_type", "value"])
+               ["event_id", "ts", "user_id", "event_type", "value"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["ts"])),
+                     batch_format="pyarrow")
     # final pass runs per USER-HASH PARTITION (all rows of a key co-locate),
     # not per key — one vectorized segment-head per partition, no per-group
     # dispatch overhead
@@ -2446,7 +2448,7 @@ def q_latest_by_key(sf_dir: str):
 def latest_by_key_sql() -> str:
     return """
         SELECT user_id, event_type, event_id, ts, round(value, 2) AS value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         QUALIFY row_number() OVER (
             PARTITION BY user_id, event_type
             ORDER BY ts DESC, event_id DESC) = 1
@@ -2469,7 +2471,9 @@ def q_group_zscore(sf_dir: str, num_parts: int = 32):
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns
 
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["value"])),
+                     batch_format="pyarrow")
 
     def moments(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy()
@@ -2518,7 +2522,7 @@ def group_zscore_sql() -> str:
                  count(*) OVER (PARTITION BY user_id) AS n,
                  sum(value) OVER (PARTITION BY user_id) AS s1,
                  sum(value * value) OVER (PARTITION BY user_id) AS s2
-          FROM events)
+          FROM events WHERE value IS NOT NULL)
         SELECT event_id, user_id, round(value, 2) AS value,
                round((value - s1 / n)
                      / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 4)
@@ -2619,7 +2623,9 @@ def q_quantile_sketch(sf_dir: str, rate: float = _QS_RATE,
         u = ((ids.astype(np.uint64) * np.uint64(_QS_MULT) + np.uint64(7))
              % np.uint64(1 << 32)).astype(np.float64)
         u = (u + 1.0) / float((1 << 32) + 1)
-        return t.select(["event_type", "value"]).filter(pa.array(u < rate))
+        keep = pa.array(u < rate)
+        out = t.select(["event_type", "value"]).filter(keep)
+        return out.filter(pc.is_valid(out["value"]))
 
     def ranks(g: pa.Table) -> pa.Table:
         v = np.sort(g["value"].to_numpy().astype(np.float64))
@@ -2645,7 +2651,8 @@ def quantile_sketch_sql(rate: float = _QS_RATE,
     return f"""
         WITH s AS (
           SELECT event_type, value FROM events
-          WHERE ((event_id * {_QS_MULT}::UBIGINT + 7) % 4294967296 + 1)
+          WHERE value IS NOT NULL
+            AND ((event_id * {_QS_MULT}::UBIGINT + 7) % 4294967296 + 1)
                 / 4294967297.0 < {rate}),
         m AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
         r AS (SELECT event_type, value,
@@ -2675,7 +2682,9 @@ def q_value_histogram(sf_dir: str, bin_width: float = 50.0):
     (event_type, bin_lo)."""
     from ray.data.aggregate import Sum
 
-    ev = _read(sf_dir, "events", ["event_type", "value"])
+    ev = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["value"])),
+                     batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
         et = t["event_type"]
@@ -2722,7 +2731,7 @@ def value_histogram_sql(bin_width: float = 50.0) -> str:
           SELECT event_type,
                  floor(value / {bin_width}) * {bin_width} AS bin_lo,
                  count(*) AS n_events
-          FROM events GROUP BY 1, 2),
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         t AS (SELECT event_type, sum(n_events) AS tot FROM h GROUP BY 1)
         SELECT h.event_type, h.bin_lo, h.n_events,
                round(h.n_events * 1.0 / t.tot, 4) AS share
