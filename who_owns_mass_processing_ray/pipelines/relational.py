@@ -3138,6 +3138,9 @@ def q_sliding_window_agg(sf_dir: str):
 
     out = _read(sf_dir, "events",
                 ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.filter(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["value"]))),
+            batch_format="pyarrow") \
         .map_batches(lambda t: _event_parts(
             t, ["event_id", "user_id", "ts", "value"]),
             batch_format="pyarrow") \
@@ -3153,6 +3156,7 @@ def sliding_window_agg_sql() -> str:
                round(sum(value) OVER w, 2) AS w_sum,
                CAST(count(*) OVER w AS BIGINT) AS w_n
         FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                            AND CURRENT ROW)
