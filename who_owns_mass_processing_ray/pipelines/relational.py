@@ -2783,6 +2783,9 @@ def q_event_transitions(sf_dir: str):
 
     counts = _read(sf_dir, "events",
                    ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(lambda t: t.filter(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_type"]))),
+            batch_format="pyarrow") \
         .map_batches(lambda t: _event_parts(
             t, ["event_id", "user_id", "ts", "event_type"]),
             batch_format="pyarrow") \
@@ -2814,7 +2817,8 @@ def event_transitions_sql() -> str:
           SELECT user_id, event_type,
                  lead(event_type) OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS nxt
-          FROM events),
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL),
         c AS (
           SELECT event_type AS from_type, nxt AS to_type, count(*) AS n_trans
           FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
@@ -2837,7 +2841,9 @@ def q_hourly_profile(sf_dir: str):
     and type with in-type share (rounded 4), sorted (event_type, hour)."""
     from ray.data.aggregate import Sum
 
-    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    ev = _read(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["ts"])),
+                     batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
         et = t["event_type"]
@@ -2882,7 +2888,7 @@ def hourly_profile_sql() -> str:
         WITH h AS (
           SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
                  count(*) AS n_events
-          FROM events GROUP BY 1, 2),
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         t AS (SELECT event_type, sum(n_events) AS tot FROM h GROUP BY 1)
         SELECT h.event_type, h.hour, h.n_events,
                round(h.n_events * 1.0 / t.tot, 4) AS share
@@ -2927,6 +2933,8 @@ def q_cohort_retention(sf_dir: str):
         })
 
     out = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["ts"])),
+                     batch_format="pyarrow") \
         .map_batches(lambda t: _event_parts(t, ["user_id", "ts"]),
                      batch_format="pyarrow") \
         .groupby("part").map_groups(
@@ -2940,7 +2948,8 @@ def q_cohort_retention(sf_dir: str):
 def cohort_retention_sql() -> str:
     return """
         WITH d AS (
-          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+          WHERE ts IS NOT NULL),
         f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
         SELECT CAST(f.first_day AS TIMESTAMP) AS cohort_day,
                date_diff('day', f.first_day, d.day) AS day_offset,
