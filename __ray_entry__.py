@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mad_outliers": relational.q_group_mad_outliers,
         "sliding_window_agg": relational.q_sliding_window_agg,
         "star_join": relational.q_star_join,
+        "scd2_intervals": relational.q_scd2_intervals,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "group_mad_outliers": relational.group_mad_outliers_sql(),
         "sliding_window_agg": relational.sliding_window_agg_sql(),
         "star_join": relational.star_join_sql(),
+        "scd2_intervals": relational.scd2_intervals_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

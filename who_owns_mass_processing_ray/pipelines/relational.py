@@ -3238,3 +3238,84 @@ def star_join_sql(segment: str = "BUILDING") -> str:
         GROUP BY 1, 2
         ORDER BY revenue DESC, o_orderkey LIMIT 20
     """
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 validity intervals — the slowly-changing-dimension build: every
+# event becomes a version row [valid_from, valid_to) per (user, type), the
+# open version carrying NULL valid_to (q_latest_by_key is the SCD-1
+# collapse of the same log).  Same user-hash partition shape, one
+# vectorized shift per partition.
+# ---------------------------------------------------------------------------
+
+def q_scd2_intervals(sf_dir: str):
+    """-> (user_id, event_type, event_id, valid_from, valid_to, value,
+    is_current): versioned rows per (user, type) ordered by (ts,
+    event_id), sorted by (user_id, event_type, valid_from, event_id)."""
+
+    def versions(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("event_type", "ascending"),
+                       ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        ts = g["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64()),
+                "is_current": pa.array([], pa.bool_()),
+            })
+        same_key = np.r_[(uid[1:] == uid[:-1]) & (codes[1:] == codes[:-1]),
+                         False]
+        vt = np.where(same_key, np.r_[ts[1:], 0], 0)
+        valid_to = pa.array(
+            np.where(same_key, vt, 0).astype("datetime64[us]"),
+            mask=~same_key)
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+            "event_id": g["event_id"],
+            "valid_from": pa.array(ts.astype("datetime64[us]")),
+            "valid_to": valid_to,
+            "value": round_half_away(g["value"], 2),
+            "is_current": pa.array(~same_key),
+        })
+
+    out = _read(sf_dir, "events",
+                ["event_id", "user_id", "ts", "event_type", "value"]) \
+        .map_batches(lambda t: t.filter(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_type"]))),
+            batch_format="pyarrow") \
+        .map_batches(lambda t: _event_parts(
+            t, ["event_id", "user_id", "ts", "event_type", "value"]),
+            batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: versions(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    return out.sort(["user_id", "event_type", "valid_from", "event_id"])
+
+
+def scd2_intervals_sql() -> str:
+    return """
+        SELECT user_id, event_type, event_id,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               round(value, 2) AS value,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+        ORDER BY user_id, event_type, valid_from, event_id
+    """
