@@ -138,3 +138,23 @@ class TestVectorizedKernelProperties:
             assert set(keep.tolist()) == set(want.tolist())
 
         check()
+
+
+def test_analytics_rerun_deterministic(ray_session):
+    """The round-4 analytics queries must be pure functions of the corpus:
+    two executions in one session (different block schedules) produce
+    identical tables."""
+    import pandas as pd
+
+    from who_owns_mass_processing_ray.pipelines import relational, textops
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (textops.q_pmi_bigrams, textops.q_span_dedup_mask,
+               textops.q_distinctive_terms, relational.q_quantile_sketch,
+               relational.q_latest_by_key):
+        a = fn(sf)
+        b = fn(sf)
+        a = a if isinstance(a, pd.DataFrame) else a.to_pandas()
+        b = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True))
