@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash": textops.q_feature_hash,
         "dup_graph_pagerank": textops.q_dup_graph_pagerank,
         "dup_graph_kcore": textops.q_dup_graph_kcore,
+        "dup_graph_modularity": textops.q_dup_graph_modularity,
         "bpe_train": textops.q_bpe_train,
         "lang_agreement": textops.q_lang_agreement,
         # --- similarity search (embeddings table) ---------------------------

@@ -1234,3 +1234,22 @@ def test_dup_graph_kcore_vs_peeling(ray_session):
     for _, r in got.iterrows():
         assert want[r.doc_id] == r.degree_in_core
     assert len(want) > 0   # the corpus must actually have a 3-core
+
+
+def test_dup_graph_modularity_vs_networkx(ray_session):
+    """Engine modularity vs networkx.algorithms.community.modularity over
+    the same graph and partition (independent implementation)."""
+    import networkx as nx
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_dup_graph_modularity(SF_DIR)
+    pairs = textops.q_minhash_near_dup(SF_DIR).to_pandas()
+    G = nx.Graph()
+    G.add_edges_from(zip(pairs.left_id, pairs.right_id))
+    comms = list(nx.connected_components(G))
+    want = nx.algorithms.community.modularity(G, comms)
+    assert int(got.n_edges.iloc[0]) == G.number_of_edges()
+    assert int(got.n_groups.iloc[0]) == len(comms)
+    assert abs(got.modularity.iloc[0] - round(want, 6)) <= 1e-6
+    assert got.modularity.iloc[0] > 0   # clustering beats chance

@@ -5758,3 +5758,46 @@ def vocab_growth_sql(step: int = 50) -> str:
                CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
         FROM b ORDER BY docs_seen
     """
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the near-dup clustering — the graph-side quality metric
+# (vector-side siblings: cluster purity/NMI).  Q = Σ_c [ e_c/m −
+# (a_c/2m)² ] over the components partition of the Jaccard graph: high Q =
+# clusters are denser than chance.  The reference's fast-greedy maximizes
+# exactly this objective, so Q also quantifies how much headroom the
+# components substitution leaves (measured precision vs fast-greedy is 1.0
+# — BASELINE.md round 2).
+# ---------------------------------------------------------------------------
+
+def q_dup_graph_modularity(sf_dir: str):
+    """-> (n_groups, n_edges, modularity): one row — component count, edge
+    count, and partition modularity (rounded 6) of the near-dup graph."""
+    import pandas as pd
+    import ray
+
+    pairs = _graph_edges(sf_dir, 5, 0.7) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow")
+    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    assign = _cluster_int_edges(tables).to_pandas()
+    if not len(assign):
+        return pd.DataFrame({"n_groups": [0], "n_edges": [0],
+                             "modularity": [0.0]})
+    grp = dict(zip(assign.doc_id, assign.group_id))
+    e = pa.concat_tables(tables).combine_chunks()
+    l = e["left_id"].to_numpy()
+    r = e["right_id"].to_numpy()
+    m = len(l)
+    gl = np.array([grp[x] for x in l])
+    gr = np.array([grp[x] for x in r])
+    groups = np.unique(assign.group_id.to_numpy())
+    gi = {g: i for i, g in enumerate(groups)}
+    e_c = np.zeros(len(groups))
+    np.add.at(e_c, [gi[g] for g in gl[gl == gr]], 1.0)
+    a_c = np.zeros(len(groups))
+    np.add.at(a_c, [gi[g] for g in gl], 1.0)
+    np.add.at(a_c, [gi[g] for g in gr], 1.0)
+    q = float((e_c / m - (a_c / (2.0 * m)) ** 2).sum())
+    return pd.DataFrame({"n_groups": [len(groups)], "n_edges": [m],
+                         "modularity": [round(q, 6)]})
