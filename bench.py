@@ -231,6 +231,53 @@ def run_scaling(repeat: int = 1) -> dict:
     return out
 
 
+# analytics set: one representative per round-4 analytics family — a
+# SEPARATE mode (the default headline JSON contract is unchanged) giving
+# future rounds a regression baseline for the operator growth
+ANALYTICS = [
+    "span_dedup_mask",       # apply-side substring dedup
+    "dup_graph_triangles",   # graph analytics (LSH edge source)
+    "dedup_token_report",    # dedup accounting composition
+    "bigram_logprob",        # order-2 LM scoring
+    "distinctive_terms",     # per-source log-odds
+    "quantile_sketch",       # hash-sample quantile sketch
+    "knn_join",              # all-vectors kNN graph
+    "bpe_train",             # tokenizer induction
+    "sliding_window_agg",    # time-RANGE window
+    "scd2_intervals",        # changelog versioning
+]
+
+
+def run_analytics(repeat: int = 1) -> dict:
+    import statistics
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict = {}
+    for name in ANALYTICS:
+        samples = []
+        for _ in range(repeat):
+            t0 = time.time()
+            r = qs[name](SF_DIR)
+            _ = r.count() if hasattr(r, "count") else len(r)
+            samples.append(round(time.time() - t0, 3))
+        times[name] = (statistics.median(samples) if repeat > 1
+                       else samples[0])
+    ray.shutdown()
+    return {"metric": "analytics_pipelines_total_sec",
+            "value": round(sum(times.values()), 3), "unit": "sec",
+            "queries": times, "sf": _sf_of(SF_DIR), "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
     repeat = 1
     if "--repeat" in sys.argv:
@@ -242,5 +289,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(repeat=repeat)))
     elif "--flagship-json" in sys.argv:
         print(json.dumps(run_bench(flagship_only=True, repeat=repeat)))
+    elif "--analytics" in sys.argv:
+        print(json.dumps(run_analytics(repeat=repeat)))
     else:
         print(json.dumps(run_bench(repeat=repeat)))
