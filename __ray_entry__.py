@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_qc": multimodal.q_audio_qc,
         "audio_vad_segments": multimodal.q_audio_vad_segments,
         "audio_mel_stats": multimodal.q_audio_mel_stats,
+        "modality_disagreement": multimodal.q_modality_disagreement,
         "audio_shingle_near_dup": multimodal.q_audio_shingle_near_dup,
         "audio_gain_normalize": multimodal.q_audio_gain_normalize,
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,

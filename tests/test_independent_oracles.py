@@ -1253,3 +1253,27 @@ def test_dup_graph_modularity_vs_networkx(ray_session):
     assert int(got.n_groups.iloc[0]) == len(comms)
     assert abs(got.modularity.iloc[0] - round(want, 6)) <= 1e-6
     assert got.modularity.iloc[0] > 0   # clustering beats chance
+
+
+def test_modality_disagreement_consistent(ray_session):
+    """The disagreement table must be the exact set algebra of its two
+    source queries, and the synthetic corpus (audio independent of text)
+    must actually produce disagreement rows."""
+    from who_owns_mass_processing_ray.pipelines import multimodal, textops
+
+    rep = multimodal.q_modality_disagreement(SF_DIR)
+    text = textops.q_minhash_near_dup(SF_DIR).to_pandas()
+    aud = multimodal.q_audio_shingle_near_dup(SF_DIR).to_pandas()
+    tset = {(int(a), int(b)) for a, b in zip(text.left_id, text.right_id)}
+    aset = {tuple(sorted((int(a.rsplit("-", 1)[1]),
+                          int(b.rsplit("-", 1)[1]))))
+            for a, b in zip(aud.left_id, aud.right_id)}
+    assert len(rep) == len(tset | aset)
+    for _, r in rep.iterrows():
+        assert r.in_text == ((r.doc_a, r.doc_b) in tset)
+        assert r.in_audio == ((r.doc_a, r.doc_b) in aset)
+        want = ("both" if r.in_text and r.in_audio
+                else ("text_only" if r.in_text else "audio_only"))
+        assert r.agreement == want
+    assert (rep.agreement != "both").any()
+    assert len(rep) > 0

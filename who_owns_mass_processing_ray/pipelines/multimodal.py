@@ -1690,3 +1690,46 @@ def q_audio_mel_stats(sf_dir: str):
     return clips.map_batches(MelStats, batch_format="pyarrow",
                              batch_size=64, concurrency=pool_bounds(8),
                              num_cpus=1).sort("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Modality disagreement — text near-dup pairs vs audio near-dup pairs over
+# the SAME clips: the transcript-QC diagnostic unique to a clip+transcript
+# corpus.  A pair similar in one modality but not the other flags either a
+# transcription error (audio dup, text differs) or a re-voiced script
+# (text dup, audio differs) — exactly the rows a labeling team reviews.
+# Both pair streams are the engine's own bucketed near-dup queries; the
+# comparison is one set operation over the (small) union of pairs.
+# ---------------------------------------------------------------------------
+
+def q_modality_disagreement(sf_dir: str):
+    """-> (doc_a, doc_b, in_text, in_audio, agreement): the union of text
+    near-dup pairs (transcript MinHash) and audio near-dup pairs
+    (shift/gain-invariant frame shingles), tagged per modality, sorted
+    (doc_a, doc_b).  Rows-only; set-consistency recompute in
+    tests/test_independent_oracles.py."""
+    import pandas as pd
+
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    text = textops.q_minhash_near_dup(sf_dir).to_pandas()
+    aud = q_audio_shingle_near_dup(sf_dir).to_pandas()
+
+    tset = {(int(a), int(b)) for a, b in zip(text.left_id, text.right_id)}
+
+    def clip_to_doc(c: str) -> int:
+        return int(c.rsplit("-", 1)[1])
+
+    aset = set()
+    for a, b in zip(aud.left_id, aud.right_id):
+        x, y = clip_to_doc(a), clip_to_doc(b)
+        aset.add((min(x, y), max(x, y)))
+
+    rows = []
+    for a, b in sorted(tset | aset):
+        it, ia = (a, b) in tset, (a, b) in aset
+        rows.append((a, b, it, ia,
+                     "both" if it and ia
+                     else ("text_only" if it else "audio_only")))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "in_text",
+                                       "in_audio", "agreement"])
