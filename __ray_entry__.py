@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": relational.q_sliding_window_agg,
         "star_join": relational.q_star_join,
         "scd2_intervals": relational.q_scd2_intervals,
+        "boilerplate_strip": textops.q_boilerplate_strip,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
         "group_quantile_trim": textops.q_group_quantile_trim,
@@ -175,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_kcore": textops.q_dup_graph_kcore,
         "dup_graph_modularity": textops.q_dup_graph_modularity,
         "bpe_train": textops.q_bpe_train,
+        "bpe_encode": textops.q_bpe_encode,
         "lang_agreement": textops.q_lang_agreement,
         # --- similarity search (embeddings table) ---------------------------
         "embed_near_dup_ivf": vectors.q_embed_near_dup_ivf,
@@ -496,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": textops.sample_stratified_sql(),
         "chunk_text": textops.chunk_text_sql(),
         "para_dedup": textops.para_dedup_sql(),
+        "boilerplate_strip": textops.boilerplate_strip_sql(),
         "pack_sequences": textops.pack_sequences_sql(),
         "regex_redact": relational.regex_redact_sql(),
         "anti_join": relational.anti_join_sql(),

@@ -1013,6 +1013,47 @@ def test_bpe_train_vs_dict_reference(ray_session):
             == (rank, l, r, c)
 
 
+def test_bpe_encode_vs_scratch_encoder(ray_session):
+    """q_bpe_encode vs a from-scratch encoder that re-tokenizes every doc
+    by applying the LEARNED merges (from the engine's own parity-gated
+    q_bpe_train) in rank order, leftmost-first — the standard BPE encode
+    loop, sharing no code with the pipeline's end-of-training-sequence
+    shortcut."""
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    got = textops.q_bpe_encode(SF_DIR).to_pandas().set_index("doc_id")
+    merges = [(row.left, row.right)
+              for row in textops.q_bpe_train(SF_DIR).itertuples()]
+
+    def encode_word(w: str) -> int:
+        sym = list(w + "_")   # marker-suffixed, split to chars like training
+        for l, r in merges:
+            j, res = 0, []
+            while j < len(sym):
+                if j < len(sym) - 1 and sym[j] == l and sym[j + 1] == r:
+                    res.append(l + r)
+                    j += 2
+                else:
+                    res.append(sym[j])
+                    j += 1
+            sym = res
+        return len(sym)
+
+    cache: dict[str, int] = {}
+    t = _docs_table()
+    for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if txt is None:
+            assert doc_id not in got.index
+            continue
+        words = [w for w in txt.split(" ") if w]
+        n_tok = sum(cache.setdefault(w, encode_word(w)) for w in words)
+        row = got.loc[doc_id]
+        assert int(row.n_words) == len(words)
+        assert int(row.n_tokens) == n_tok
+        if words:
+            assert abs(row.tokens_per_word - n_tok / len(words)) < 5e-4
+
+
 def test_cluster_purity_vs_numpy(ray_session):
     """q_cluster_purity vs a single-process recompute: same Lloyd
     assignments (already parity-gated), contingency + purity + NMI redone

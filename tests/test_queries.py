@@ -36,7 +36,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "group_zscore", "key_skew", "quantile_sketch", "span_dedup_mask", "corpus_mix", "dedup_token_report", "knn_join", "value_histogram", "event_transitions", "bigram_logprob", "hourly_profile", "zipf_fit", "source_dup_matrix", "cohort_retention", "dup_size_histogram",
           "partitioned_write_manifest", "group_mad_outliers",
           "dup_threshold_curve", "domain_coverage",
-          "incremental_components", "vocab_growth", "sliding_window_agg", "star_join", "scd2_intervals"]
+          "incremental_components", "vocab_growth", "sliding_window_agg", "star_join", "scd2_intervals",
+          "boilerplate_strip"]
 
 
 @pytest.fixture(scope="module")

@@ -1807,18 +1807,53 @@ PARA_WORDS = 16          # non-overlapping window width
 _PARA_PARTS = 32         # fixed partition count -> deterministic plan
 
 
+def _chunked_by_content(t: pa.Table, width: int) -> pa.Table:
+    """Chunk one batch and key each occurrence by its CONTENT hash partition
+    (shared by ``q_para_dedup`` and ``q_boilerplate_strip`` — both need every
+    occurrence of a span to meet its twins in one partition)."""
+    c = chunk_batch(t, width, width)
+    h = hx.hash_strings(c["chunk"])
+    return c.append_column(
+        "part", pa.array((h % _PARA_PARTS).astype(np.int32)))
+
+
+def _assemble_kept(g: pa.Table) -> pa.Table:
+    """Rebuild each doc's surviving text from flagged chunk occurrences in
+    one doc-hash partition: one sort + segmented counts + ListArray
+    ``binary_join`` — no per-doc Python (shared by ``q_para_dedup`` and
+    ``q_boilerplate_strip``)."""
+    g = g.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    ids = g["doc_id"].to_numpy()
+    keep = g["keep"].to_numpy(zero_copy_only=False)
+    new_doc = np.concatenate(([True], ids[1:] != ids[:-1]))
+    starts = np.flatnonzero(new_doc)
+    n = len(ids)
+    sizes = np.diff(np.append(starts, n))
+    # per-doc kept counts via segmented sum of the keep mask
+    kept_cum = np.concatenate(([0], np.cumsum(keep)))
+    bounds = np.append(starts, n)
+    n_kept = np.diff(kept_cum[bounds])
+    kept_chunks = g["chunk"].filter(g["keep"])
+    if isinstance(kept_chunks, pa.ChunkedArray):
+        kept_chunks = kept_chunks.combine_chunks()
+    offsets = pa.array(np.concatenate(
+        ([0], np.cumsum(n_kept))).astype(np.int32))
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(offsets, kept_chunks), " ")
+    return pa.table({
+        "doc_id": pa.array(ids[starts]),
+        "n_chunks": pa.array(sizes.astype(np.int64)),
+        "n_kept": pa.array(n_kept.astype(np.int64)),
+        "kept_text": joined,
+    })
+
+
 def q_para_dedup(sf_dir: str, width: int = PARA_WORDS):
     """doc_id, n_chunks, n_kept, kept_text after global keep-first chunk
     dedup.  Docs whose every chunk is a repeat stay in the output with
     kept_text = '' (they are exactly the docs a corpus build drops)."""
     ds = _docs(sf_dir)
     P = _PARA_PARTS
-
-    def chunked(t: pa.Table) -> pa.Table:
-        c = chunk_batch(t, width, width)
-        h = hx.hash_strings(c["chunk"])
-        return c.append_column(
-            "part", pa.array((h % P).astype(np.int32)))
 
     def flag(g: pa.Table) -> pa.Table:
         enc = pc.dictionary_encode(g["chunk"])
@@ -1839,38 +1874,13 @@ def q_para_dedup(sf_dir: str, width: int = PARA_WORDS):
             "dpart": pa.array((ids % P).astype(np.int32)),
         })
 
-    def assemble(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
-        ids = g["doc_id"].to_numpy()
-        keep = g["keep"].to_numpy(zero_copy_only=False)
-        new_doc = np.concatenate(([True], ids[1:] != ids[:-1]))
-        starts = np.flatnonzero(new_doc)
-        n = len(ids)
-        sizes = np.diff(np.append(starts, n))
-        # per-doc kept counts via segmented sum of the keep mask
-        kept_cum = np.concatenate(([0], np.cumsum(keep)))
-        bounds = np.append(starts, n)
-        n_kept = np.diff(kept_cum[bounds])
-        kept_chunks = g["chunk"].filter(g["keep"])
-        if isinstance(kept_chunks, pa.ChunkedArray):
-            kept_chunks = kept_chunks.combine_chunks()
-        offsets = pa.array(np.concatenate(
-            ([0], np.cumsum(n_kept))).astype(np.int32))
-        joined = pc.binary_join(
-            pa.ListArray.from_arrays(offsets, kept_chunks), " ")
-        return pa.table({
-            "doc_id": pa.array(ids[starts]),
-            "n_chunks": pa.array(sizes.astype(np.int64)),
-            "n_kept": pa.array(n_kept.astype(np.int64)),
-            "kept_text": joined,
-        })
-
-    out = ds.map_batches(chunked, batch_format="pyarrow") \
+    out = ds.map_batches(lambda t: _chunked_by_content(t, width),
+                         batch_format="pyarrow") \
         .groupby("part").map_groups(
             lambda g: flag(g.drop_columns(["part"])),
             batch_format="pyarrow") \
         .groupby("dpart").map_groups(
-            lambda g: assemble(g.drop_columns(["dpart"])),
+            lambda g: _assemble_kept(g.drop_columns(["dpart"])),
             batch_format="pyarrow")
     return out.sort("doc_id")
 
@@ -1909,6 +1919,113 @@ def para_dedup_sql() -> str:
                coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
                             FILTER (rn = 1), '') AS kept_text
         FROM r GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Frequency-based boilerplate removal — the CCNet/RefinedWeb line-frequency
+# filter: a span whose content occurs in >= BOILER_MIN_DOCS DISTINCT
+# documents is boilerplate (nav bars, license headers, templated footers)
+# and is stripped from EVERY document, including the first occurrence —
+# the complement of q_para_dedup's keep-first policy (dedup keeps one copy;
+# boilerplate removal keeps zero).  Capability class ≙ the reference's
+# vocabulary-driven junk removal (std_replace_blank's junk lexicon,
+# /root/reference/R/standardizers.R:189-243) with the lexicon LEARNED from
+# corpus frequency instead of hand-curated.
+#
+# Scale shape: identical two-shuffle plan as q_para_dedup (content-hash
+# partitions decide, doc-hash partitions reassemble) — the frequency test is
+# exact because every occurrence of a span lands in one partition, where
+# distinct-doc counting is one lexsort + boundary diff.  Only (hash, ids,
+# chunk strings) cross the exchanges; document bytes never shuffle.
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 3      # spans seen in >= this many distinct docs drop
+
+
+def q_boilerplate_strip(sf_dir: str, width: int = PARA_WORDS,
+                        min_docs: int = BOILER_MIN_DOCS):
+    """doc_id, n_chunks, n_boiler, kept_text after removing every chunk
+    whose content appears in >= ``min_docs`` distinct documents."""
+    ds = _docs(sf_dir)
+    P = _PARA_PARTS
+
+    def flag(g: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(g["chunk"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy()
+        ids = g["doc_id"].to_numpy()
+        # distinct docs per content code: sort by (code, doc), count
+        # (code, doc) boundary starts per code — one lexsort, no Python loop
+        order = np.lexsort((ids, codes))
+        c_s, i_s = codes[order], ids[order]
+        pair_start = np.concatenate(
+            ([True], (c_s[1:] != c_s[:-1]) | (i_s[1:] != i_s[:-1])))
+        n_docs = np.bincount(c_s[pair_start],
+                             minlength=len(enc.dictionary))
+        boiler = n_docs[codes] >= min_docs
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "chunk_idx": g["chunk_idx"],
+            "chunk": g["chunk"],
+            "keep": pa.array(~boiler),
+            "dpart": pa.array((ids % P).astype(np.int32)),
+        })
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chunks": t["n_chunks"],
+            "n_boiler": pc.subtract(t["n_chunks"], t["n_kept"]),
+            "kept_text": t["kept_text"],
+        })
+
+    out = ds.map_batches(lambda t: _chunked_by_content(t, width),
+                         batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: flag(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("dpart").map_groups(
+            lambda g: rename(_assemble_kept(g.drop_columns(["dpart"]))),
+            batch_format="pyarrow")
+    return out.sort("doc_id")
+
+
+def boilerplate_strip_sql() -> str:
+    w, k = PARA_WORDS, BOILER_MIN_DOCS
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT doc_id, w,
+                 unnest(range(0, CAST(ceil(len(w) * 1.0 / {w}) AS BIGINT)))
+                     AS chunk_idx
+          FROM tok WHERE len(w) > 0
+        ),
+        ch AS (
+          SELECT doc_id, chunk_idx,
+                 array_to_string(list_slice(w, chunk_idx * {w} + 1,
+                                            chunk_idx * {w} + {w}), ' ')
+                     AS chunk
+          FROM c
+        ),
+        f AS (
+          SELECT chunk FROM ch
+          GROUP BY chunk HAVING count(DISTINCT doc_id) >= {k}
+        )
+        SELECT ch.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) FILTER (f.chunk IS NOT NULL) AS BIGINT)
+                   AS n_boiler,
+               coalesce(string_agg(ch.chunk, ' ' ORDER BY ch.chunk_idx)
+                            FILTER (f.chunk IS NULL), '') AS kept_text
+        FROM ch LEFT JOIN f ON ch.chunk = f.chunk
+        GROUP BY ch.doc_id ORDER BY ch.doc_id
     """
 
 
@@ -4845,16 +4962,14 @@ def q_dup_graph_pagerank(sf_dir: str, k: int = 5, thresh: float = 0.7,
 # (np.unique pair counting weighted by word counts), not a dict crawl.
 # ---------------------------------------------------------------------------
 
-def q_bpe_train(sf_dir: str, n_merges: int = 20):
-    """-> (merge_rank, left, right, pair_count): the first ``n_merges`` BPE
-    merges learned from whitespace-word counts with end-of-word marker '_'
-    (ties broken lexicographically by (left, right)), ordered by rank.
-
-    Distributed shape: ONE groupby builds the (word, count) table; training
-    state is vocab-sized.  Parity vs an independent dict-based BPE
-    reference is gated in tests/test_independent_oracles.py.
-    """
-    import pandas as pd
+def _bpe_state(sf_dir: str, n_merges: int = 20):
+    """Train BPE merges from corpus word counts; returns
+    ``(merges, words, seqs)`` where ``merges`` is the learned
+    [(rank, left, right, pair_count)] list, ``words`` the distinct
+    marker-suffixed words, and ``seqs`` each word's FINAL symbol sequence
+    after all merges — i.e. the word's BPE encoding (training applies
+    merges leftmost-first in rank order, which is exactly what encoding
+    does, so the end-of-training sequences ARE the encode table)."""
     from ray.data.aggregate import Sum
 
     docs = _docs(sf_dir)
@@ -4938,8 +5053,101 @@ def q_bpe_train(sf_dir: str, n_merges: int = 20):
             out.append(np.array(res, dtype=np.int64))
         seqs = out
 
+    return merges, words, seqs
+
+
+def q_bpe_train(sf_dir: str, n_merges: int = 20):
+    """-> (merge_rank, left, right, pair_count): the first ``n_merges`` BPE
+    merges learned from whitespace-word counts with end-of-word marker '_'
+    (ties broken lexicographically by (left, right)), ordered by rank.
+
+    Distributed shape: ONE groupby builds the (word, count) table; training
+    state is vocab-sized.  Parity vs an independent dict-based BPE
+    reference is gated in tests/test_independent_oracles.py.
+    """
+    import pandas as pd
+
+    merges, _, _ = _bpe_state(sf_dir, n_merges)
     return pd.DataFrame(merges, columns=["merge_rank", "left", "right",
                                          "pair_count"])
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE ENCODE — the apply side of q_bpe_train (tokenize the whole
+# corpus with the learned merges; the step that turns a filtered corpus into
+# token counts for packing/budgeting).  Since BPE is word-internal, the
+# corpus never needs the merge loop: the trainer's end-of-training symbol
+# sequences ARE each distinct word's encoding, so the model is a vocab-sized
+# word -> token-count table, broadcast ONCE via ray.put and probed per batch
+# with one index_in + bincount — the centroid/broadcast discipline; document
+# text never shuffles and no per-row Python runs in the corpus pass.
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_encode(sf_dir: str, n_merges: int = 20):
+    """-> (doc_id, n_words, n_tokens, tokens_per_word): per non-null doc,
+    whitespace word count, total BPE token count under the learned merges,
+    and the mean tokens-per-word ratio (rounded 4), sorted by doc_id."""
+    import ray as _ray
+
+    _, words, seqs = _bpe_state(sf_dir, n_merges)
+    # strip the end-of-word marker for corpus lookup; model is vocab-sized
+    model_ref = _ray.put((
+        pa.array([w[:-1] for w in words]),
+        np.array([len(s) for s in seqs], dtype=np.int64),
+    ))
+
+    class Encode:
+        def __init__(self) -> None:
+            self.words, self.ntok = _ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            txt = t["text"]
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            t = t.filter(pc.is_valid(txt))
+            if not len(t):
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_words": pa.array([], pa.int64()),
+                                 "n_tokens": pa.array([], pa.int64()),
+                                 "tokens_per_word": pa.array([], pa.float64())})
+            col = t["text"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            la = pc.split_pattern(col, pattern=" ")
+            parent = pc.list_parent_indices(la).to_numpy()
+            flat = la.flatten()
+            nonempty = pc.greater(pc.utf8_length(flat), 0)
+            flat = flat.filter(nonempty)
+            parent = parent[nonempty.to_numpy(zero_copy_only=False)]
+            idx = pc.index_in(flat, value_set=self.words)
+            pos = idx.to_numpy(zero_copy_only=False)
+            # every corpus word is in the model (trained on this corpus);
+            # guard anyway: unseen word falls back to char count + marker
+            miss = np.isnan(pos) if pos.dtype.kind == "f" else (pos < 0)
+            pos = np.where(miss, 0, pos).astype(np.int64)
+            per_word = self.ntok[pos]
+            if miss.any():
+                lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+                per_word = np.where(miss, lens + 1, per_word)
+            n_rows = len(t)
+            n_words = np.bincount(parent, minlength=n_rows).astype(np.int64)
+            n_tokens = np.bincount(
+                parent, weights=per_word, minlength=n_rows).astype(np.int64)
+            safe = np.maximum(n_words, 1).astype(np.float64)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "n_tokens": pa.array(n_tokens),
+                "tokens_per_word": round_half_away(
+                    pa.array(n_tokens / safe), 4),
+            })
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return _docs(sf_dir).map_batches(
+        Encode, concurrency=pool_bounds(4),
+        batch_format="pyarrow").sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
