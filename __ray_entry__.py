@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_agg": relational.q_rolling_agg,
         "decontaminate": textops.q_decontaminate,
         "word_repetition": textops.q_word_repetition,
+        "ngram_repetition": textops.q_ngram_repetition,
         "ngram_topk": textops.q_ngram_topk,
         "chunk_text": textops.q_chunk_text,
         "sample_stratified": textops.q_sample_stratified,
@@ -493,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "group_quantile_trim": textops.group_quantile_trim_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "word_repetition": textops.word_repetition_sql(),
+        "ngram_repetition": textops.ngram_repetition_sql(),
         "ngram_topk": textops.ngram_topk_sql(),
         "tfidf_terms": textops.tfidf_terms_sql(),
         "sample_stratified": textops.sample_stratified_sql(),

@@ -1398,7 +1398,7 @@ def q_word_repetition(sf_dir: str):
         top = np.zeros(n_rows, np.int64)
         np.maximum.at(top, doc_u, counts)
         safe = np.maximum(n_words, 1).astype(np.float64)
-        return pa.table({
+        out = pa.table({
             "doc_id": t["doc_id"],
             "n_words": pa.array(n_words),
             "n_distinct": pa.array(n_distinct),
@@ -1406,6 +1406,10 @@ def q_word_repetition(sf_dir: str):
                 pa.array(1.0 - n_distinct / safe), 4),
             "top_frac": round_half_away(pa.array(top / safe), 4),
         })
+        # match the oracle: null/empty docs have no word rows in SQL and
+        # drop out of its GROUP BY (the null-divergence class ADVICE r3
+        # flagged in q_pack_sequences, aligned here too)
+        return out.filter(pa.array(n_words > 0))
 
     return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
 
@@ -1430,6 +1434,135 @@ def word_repetition_sql() -> str:
                round(top_cnt * 1.0 / greatest(n_words, 1), 4) AS top_frac
         FROM s
         ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style n-gram repetition fractions — the repeated-n-gram quality
+# filters from Rae et al. 2021 (Gopher, table A1): per doc, the share of
+# word n-grams occupied by the single most frequent n-gram (top-n-gram
+# fraction) and the share of n-grams that are repeats of an earlier one
+# (duplicate-n-gram fraction), for n = 2, 3, 4.  q_word_repetition is the
+# n = 1 member of the same family.  (Gopher weights by characters; this
+# uses gram counts so the DuckDB oracle is exact — same decision boundary
+# class.)  Pure map-side: one dictionary_encode + one rolling token-hash
+# pass per n (64-bit, within-doc collision prob ~ g²/2⁶⁵) + one lexsort —
+# no shuffle, document text never leaves its block.
+# ---------------------------------------------------------------------------
+
+GOPHER_NS = (2, 3, 4)
+
+
+def q_ngram_repetition(sf_dir: str):
+    """-> (doc_id, n_words, top2_frac, dup2_frac, top3_frac, dup3_frac,
+    top4_frac, dup4_frac) for every doc with >= 2 words; fractions are 0
+    where the doc is shorter than n."""
+    ds = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = t.filter(pc.is_valid(txt))
+        cols: dict[str, pa.Array] = {}
+        if not len(t):
+            empty = {"doc_id": pa.array([], pa.int64()),
+                     "n_words": pa.array([], pa.int64())}
+            for n in GOPHER_NS:
+                empty[f"top{n}_frac"] = pa.array([], pa.float64())
+                empty[f"dup{n}_frac"] = pa.array([], pa.float64())
+            return pa.table(empty)
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.utf8_split_whitespace(col)
+        parent = pc.list_parent_indices(la).to_numpy()
+        flat = la.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        n_rows = len(t)
+        n_words = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = (enc.indices.to_numpy().astype(np.uint64) if len(enc)
+                 else np.empty(0, np.uint64))
+        offsets = np.concatenate(([0], np.cumsum(n_words)))
+        cols["doc_id"] = t["doc_id"]
+        cols["n_words"] = pa.array(n_words)
+        for n in GOPHER_NS:
+            vals, ooffs = hx.token_shingle_hashes(codes, offsets, n)
+            seg = np.repeat(np.arange(n_rows), np.diff(ooffs))
+            order = np.lexsort((vals, seg))
+            v_s, s_s = vals[order], seg[order]
+            if len(v_s):
+                new_run = np.concatenate(
+                    ([True], (v_s[1:] != v_s[:-1]) | (s_s[1:] != s_s[:-1])))
+            else:
+                new_run = np.empty(0, bool)
+            run_len = np.bincount(np.cumsum(new_run) - 1) if len(v_s) \
+                else np.empty(0, np.int64)
+            run_seg = s_s[new_run]
+            distinct = np.bincount(run_seg, minlength=n_rows)
+            top = np.zeros(n_rows, np.int64)
+            np.maximum.at(top, run_seg, run_len)
+            total = np.maximum(n_words - n + 1, 0)
+            # token_shingle_hashes emits one whole-seq hash for docs with
+            # 0 < len < n; the valid mask zeroes those out
+            valid = n_words >= n
+            safe = np.maximum(total, 1).astype(np.float64)
+            cols[f"top{n}_frac"] = round_half_away(
+                pa.array(np.where(valid, top / safe, 0.0)), 4)
+            cols[f"dup{n}_frac"] = round_half_away(
+                pa.array(np.where(valid, 1.0 - distinct / safe, 0.0)), 4)
+        return pa.table(cols).filter(pa.array(n_words >= 2))
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def ngram_repetition_sql() -> str:
+    per_n = []
+    joins = []
+    sel = []
+    for n in GOPHER_NS:
+        per_n.append(f"""
+        c{n} AS (
+          SELECT doc_id, w,
+                 unnest(range(0, CAST(len(w) - {n - 1} AS BIGINT))) AS i
+          FROM base
+        ),
+        g{n} AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(w, i + 1, i + {n}), ' ') AS gram
+          FROM c{n}
+        ),
+        a{n} AS (
+          SELECT doc_id, max(c) AS mx, count(*) AS nd, sum(c) AS tot
+          FROM (SELECT doc_id, gram, count(*) AS c FROM g{n}
+                GROUP BY doc_id, gram)
+          GROUP BY doc_id
+        )""")
+        joins.append(f"LEFT JOIN a{n} USING (doc_id)")
+        sel.append(f"""
+               round(coalesce(a{n}.mx * 1.0 / a{n}.tot, 0), 4)
+                   AS top{n}_frac,
+               round(coalesce(1.0 - a{n}.nd * 1.0 / a{n}.tot, 0), 4)
+                   AS dup{n}_frac""")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        base AS (SELECT doc_id, w FROM tok WHERE len(w) >= 2),
+        {','.join(per_n)}
+        SELECT base.doc_id,
+               CAST(len(base.w) AS BIGINT) AS n_words,
+               {','.join(sel)}
+        FROM base {' '.join(joins)}
+        ORDER BY base.doc_id
     """
 
 
