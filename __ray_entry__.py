@@ -45,7 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": multimodal.q_dedup_clusters,
         "network_communities": relational.q_network_communities,
         "metacorp_rollup": relational.q_metacorp_rollup,
-        # --- slots 4-24: the 21 oracle-SQL queries unchecked in r3 ----------
+        # --- slots 4-25: the 21 oracle-SQL queries unchecked in r3, plus
+        # ngram_repetition (new, slots in beside its n=1 sibling) -----------
         "anti_join": relational.q_anti_join,
         "sessionize": relational.q_sessionize,
         "tfidf_terms": textops.q_tfidf_terms,
@@ -97,8 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": relational.q_asof_join,
         "ngram_logprob": textops.q_ngram_logprob,
         "heavy_hitters": textops.q_heavy_hitters,
+        # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001);
+        # distinct_tokens rotated here when ngram_repetition entered --------
         "distinct_tokens": textops.q_distinct_tokens,
-        # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001) -------
         "pmi_bigrams": textops.q_pmi_bigrams,
         "bigram_logprob": textops.q_bigram_logprob,
         "zipf_fit": textops.q_zipf_fit,
@@ -192,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_eval": vectors.q_ann_recall_eval,
         # --- flagship assignment + multimodal plumbing ----------------------
         "dedup_assignment": multimodal.q_dedup_assignment,
+        "duration_buckets": multimodal.q_duration_buckets,
         "audio_decode_stats": multimodal.q_audio_decode_stats,
         "audio_frames": multimodal.q_audio_frames,
         "audio_loudness": multimodal.q_audio_loudness,
@@ -507,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "network_communities": relational.network_communities_sql(),
         "metacorp_rollup": relational.metacorp_rollup_sql(),
         "speech_rate": multimodal.speech_rate_sql(),
+        "duration_buckets": multimodal.duration_buckets_sql(),
         "event_type_pivot": relational.event_type_pivot_sql(),
         "sessionize": relational.sessionize_sql(),
         "rolling_agg": relational.rolling_agg_sql(),

@@ -1733,3 +1733,111 @@ def q_modality_disagreement(sf_dir: str):
                      else ("text_only" if it else "audio_only")))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "in_text",
                                        "in_audio", "agreement"])
+
+
+# ---------------------------------------------------------------------------
+# Duration-bucketed batch packing audit — the ASR/audio analog of
+# textops.q_pack_sequences: training loaders pad every clip in a batch to
+# the batch's longest clip, so batch composition decides how much compute
+# is wasted on padding.  Standard practice (Kaldi/ESPnet/fairseq bucketing)
+# sorts by duration before batching; this query forms fixed-size batches
+# under BOTH policies — 'arrival' (clip_id order, the naive loader) and
+# 'sorted' (duration-bucketed) — and reports each padded batch's overhead,
+# making the bucketing win measurable per corpus.  Metadata-only: dur_ms
+# is a pure function of doc_id under the clip contract, so audio bytes are
+# never synthesized or decoded.  Same scale plan as pack_sequences:
+# hash-partitioned, batches form within a partition (one groupby shuffle
+# of narrow rows, no global rank, no driver sort).
+# ---------------------------------------------------------------------------
+
+BATCH_CLIPS = 16        # clips per padded training batch
+_BUCKET_PARTS = 8       # fixed partition count -> deterministic plan
+_BUCKET_KNUTH = 2654435761
+
+
+def q_duration_buckets(sf_dir: str):
+    """-> (part, policy, batch_id, n_clips, max_dur_ms, sum_dur_ms, pad_ms,
+    pad_frac) for every padded batch under each policy."""
+    from who_owns_mass_processing_ray.functions.numeric import round_half_away
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        part = (ids * _BUCKET_KNUTH) % 4294967296 % _BUCKET_PARTS
+        return pa.table({"part": pa.array(part.astype(np.int64)),
+                         "doc_id": t["doc_id"]})
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        dur = (400 + (ids % 7) * 150).astype(np.int64)
+        part = np.int64(g["part"][0].as_py())
+        out = []
+        for policy, order in (
+            ("arrival", np.argsort(ids, kind="stable")),
+            ("sorted", np.lexsort((ids, dur))),
+        ):
+            d = dur[order]
+            n = len(d)
+            batch = np.arange(n, dtype=np.int64) // BATCH_CLIPS
+            nb = int(batch[-1]) + 1 if n else 0
+            cnt = np.bincount(batch, minlength=nb).astype(np.int64)
+            mx = np.zeros(nb, np.int64)
+            np.maximum.at(mx, batch, d)
+            sm = np.bincount(batch, weights=d, minlength=nb) \
+                .astype(np.int64)
+            pad = cnt * mx - sm
+            out.append(pa.table({
+                "part": pa.array(np.full(nb, part)),
+                "policy": pa.array([policy] * nb, pa.string()),
+                "batch_id": pa.array(np.arange(nb, dtype=np.int64)),
+                "n_clips": pa.array(cnt),
+                "max_dur_ms": pa.array(mx),
+                "sum_dur_ms": pa.array(sm),
+                "pad_ms": pa.array(pad),
+                "pad_frac": round_half_away(
+                    pa.array(pad / np.maximum(cnt * mx, 1)), 4),
+            }))
+        return pa.concat_tables(out)
+
+    return docs.map_batches(prep, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack, batch_format="pyarrow") \
+        .sort(["part", "policy", "batch_id"])
+
+
+def duration_buckets_sql() -> str:
+    return f"""
+        WITH t AS (
+          SELECT CAST((doc_id * {_BUCKET_KNUTH}) % 4294967296
+                      % {_BUCKET_PARTS} AS BIGINT) AS part,
+                 doc_id,
+                 CAST(400 + (doc_id % 7) * 150 AS BIGINT) AS dur_ms
+          FROM documents
+        ),
+        r AS (
+          SELECT part, dur_ms,
+                 row_number() OVER (PARTITION BY part ORDER BY doc_id) - 1
+                   AS ra,
+                 row_number() OVER (PARTITION BY part
+                                    ORDER BY dur_ms, doc_id) - 1 AS rs
+          FROM t
+        ),
+        u AS (
+          SELECT part, 'arrival' AS policy, ra // {BATCH_CLIPS} AS batch_id,
+                 dur_ms FROM r
+          UNION ALL
+          SELECT part, 'sorted', rs // {BATCH_CLIPS}, dur_ms FROM r
+        )
+        SELECT part, policy, batch_id,
+               CAST(count(*) AS BIGINT) AS n_clips,
+               max(dur_ms) AS max_dur_ms,
+               CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms,
+               CAST(count(*) * max(dur_ms) - sum(dur_ms) AS BIGINT)
+                 AS pad_ms,
+               round((count(*) * max(dur_ms) - sum(dur_ms)) * 1.0
+                     / greatest(count(*) * max(dur_ms), 1), 4) AS pad_frac
+        FROM u GROUP BY 1, 2, 3
+        ORDER BY part, policy, batch_id
+    """
