@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": relational.q_sliding_window_agg,
         "star_join": relational.q_star_join,
         "scd2_intervals": relational.q_scd2_intervals,
+        "snapshot_diff": relational.q_snapshot_diff,
         "boilerplate_strip": textops.q_boilerplate_strip,
         "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
@@ -560,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_agg": relational.sliding_window_agg_sql(),
         "star_join": relational.star_join_sql(),
         "scd2_intervals": relational.scd2_intervals_sql(),
+        "snapshot_diff": relational.snapshot_diff_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "minhash_near_dup": _JACCARD_ORACLE,

@@ -37,7 +37,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "partitioned_write_manifest", "group_mad_outliers",
           "dup_threshold_curve", "domain_coverage",
           "incremental_components", "vocab_growth", "sliding_window_agg", "star_join", "scd2_intervals",
-          "boilerplate_strip", "ngram_repetition", "duration_buckets"]
+          "boilerplate_strip", "ngram_repetition", "duration_buckets",
+          "snapshot_diff"]
 
 
 @pytest.fixture(scope="module")

@@ -3319,3 +3319,163 @@ def scd2_intervals_sql() -> str:
                      ORDER BY ts, event_id)
         ORDER BY user_id, event_type, valid_from, event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff — the change-data-capture table compare (added / removed
+# / changed rows with per-column change attribution) every warehouse sync
+# and dataset-versioning system needs.  Complements the family: delta_dedup
+# is a content-hash anti-join, scd2_intervals versions one table over time;
+# this diffs two SNAPSHOTS row-by-key and names which columns changed.
+# Snapshots are derived deterministically from orders (old: keys with
+# k % 11 == 3 absent — "inserted later"; new: keys with k % 13 == 5 absent
+# — "deleted", price shifted +100.0 when k % 7 == 2, status rewritten to
+# 'X' when k % 17 == 4).  Scale plan: both sides stream through ONE
+# hash-partition shuffle of narrow (key, side, status, price) rows; the
+# per-partition compare is two sorted-key searchsorted alignments — no
+# broadcast, no driver collect, unchanged rows never leave the reduce.
+# ---------------------------------------------------------------------------
+
+_DIFF_PARTS = 32
+
+
+def q_snapshot_diff(sf_dir: str):
+    """-> (o_orderkey, change_type, changed_cols, old_price, new_price),
+    one row per added/removed/changed key; absent-side price is -1.0."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy().astype(np.int64)
+        status = t["o_orderstatus"]
+        if isinstance(status, pa.ChunkedArray):
+            status = status.combine_chunks()
+        price = t["o_totalprice"].to_numpy().astype(np.float64)
+
+        old_mask = keys % 11 != 3
+        new_mask = keys % 13 != 5
+        new_status = pc.if_else(
+            pa.array(keys % 17 == 4), pa.scalar("X", pa.string()), status)
+        new_price = np.where(keys % 7 == 2, price + 100.0, price)
+
+        part = (keys * 2654435761) % 4294967296 % _DIFF_PARTS
+        old_t = pa.table({
+            "part": pa.array(part[old_mask]),
+            "o_orderkey": pa.array(keys[old_mask]),
+            "side": pa.array(np.zeros(int(old_mask.sum()), np.int8)),
+            "status": status.filter(pa.array(old_mask)),
+            "price": pa.array(price[old_mask]),
+        })
+        new_t = pa.table({
+            "part": pa.array(part[new_mask]),
+            "o_orderkey": pa.array(keys[new_mask]),
+            "side": pa.array(np.ones(int(new_mask.sum()), np.int8)),
+            "status": new_status.filter(pa.array(new_mask)),
+            "price": pa.array(new_price[new_mask]),
+        })
+        return pa.concat_tables([old_t, new_t])
+
+    _EMPTY = pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "change_type": pa.array([], pa.string()),
+        "changed_cols": pa.array([], pa.string()),
+        "old_price": pa.array([], pa.float64()),
+        "new_price": pa.array([], pa.float64()),
+    })
+
+    def diff(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY
+        side = g["side"].to_numpy()
+        keys = g["o_orderkey"].to_numpy()
+        price = g["price"].to_numpy()
+        status_all = g["status"].to_numpy(zero_copy_only=False)
+
+        om, nm = side == 0, side == 1
+        ok, nk = keys[om], keys[nm]
+        oord, nord = np.argsort(ok), np.argsort(nk)
+        ok, nk = ok[oord], nk[nord]
+        op, np_ = price[om][oord], price[nm][nord]
+        ost, nst = status_all[om][oord], status_all[nm][nord]
+
+        # align: for each old key, its position in new (if present)
+        pos = np.searchsorted(nk, ok)
+        pos_c = np.minimum(pos, max(len(nk) - 1, 0))
+        in_new = (len(nk) > 0) & (nk[pos_c] == ok) if len(ok) else \
+            np.zeros(0, bool)
+        pos2 = np.searchsorted(ok, nk)
+        pos2_c = np.minimum(pos2, max(len(ok) - 1, 0))
+        in_old = (len(ok) > 0) & (ok[pos2_c] == nk) if len(nk) else \
+            np.zeros(0, bool)
+
+        rem_k, rem_p = ok[~in_new], op[~in_new]
+        add_k, add_p = nk[~in_old], np_[~in_old]
+        ci = np.flatnonzero(in_new)          # common, indexed on old side
+        cj = pos_c[ci]                        # matching new-side index
+        st_diff = ost[ci] != nst[cj]
+        pr_diff = op[ci] != np_[cj]
+        chg = st_diff | pr_diff
+        ck = ok[ci][chg]
+        cols = np.select(
+            [st_diff[chg] & pr_diff[chg], st_diff[chg]],
+            ["o_orderstatus,o_totalprice", "o_orderstatus"],
+            "o_totalprice")
+        out_k = np.concatenate([add_k, rem_k, ck])
+        out_t = np.concatenate([
+            np.full(len(add_k), "added"),
+            np.full(len(rem_k), "removed"),
+            np.full(len(ck), "changed")])
+        out_c = np.concatenate([
+            np.full(len(add_k) + len(rem_k), ""), cols])
+        out_op = np.concatenate([
+            np.full(len(add_k), -1.0), rem_p, op[ci][chg]])
+        out_np = np.concatenate([
+            add_p, np.full(len(rem_k), -1.0), np_[cj][chg]])
+        return pa.table({
+            "o_orderkey": pa.array(out_k),
+            "change_type": pa.array(out_t, pa.string()),
+            "changed_cols": pa.array(out_c, pa.string()),
+            "old_price": round_half_away(pa.array(out_op), 2),
+            "new_price": round_half_away(pa.array(out_np), 2),
+        })
+
+    return orders.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: diff(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .sort("o_orderkey")
+
+
+def snapshot_diff_sql() -> str:
+    return """
+        WITH old AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 11 <> 3
+        ),
+        new AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 17 = 4 THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 100.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 13 <> 5
+        )
+        SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               CASE WHEN old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+                    THEN ''
+                    ELSE concat_ws(',',
+                      CASE WHEN old.o_orderstatus <> new.o_orderstatus
+                           THEN 'o_orderstatus' END,
+                      CASE WHEN old.o_totalprice <> new.o_totalprice
+                           THEN 'o_totalprice' END) END AS changed_cols,
+               round(COALESCE(old.o_totalprice, -1.0), 2) AS old_price,
+               round(COALESCE(new.o_totalprice, -1.0), 2) AS new_price
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+           OR old.o_orderstatus <> new.o_orderstatus
+           OR old.o_totalprice <> new.o_totalprice
+        ORDER BY o_orderkey
+    """
