@@ -207,3 +207,46 @@ def test_transient_failure_retry(ray_session, tmp_path):
     assert (out["y"].to_numpy() == out["x"].to_numpy() * 2).all()
     # every block really did fail once before succeeding
     assert len(list(marker_dir.iterdir())) >= 1
+
+
+class TestLanceGating:
+    """io_utils.read_table_auto: Lance detection + honest gating."""
+
+    def test_lance_suffix_detected(self, tmp_path):
+        from who_owns_mass_processing_ray import io_utils
+        d = tmp_path / "clips.lance"
+        d.mkdir()
+        assert io_utils.is_lance_dataset(str(d))
+
+    def test_lance_manifest_layout_detected(self, tmp_path):
+        from who_owns_mass_processing_ray import io_utils
+        d = tmp_path / "tbl"
+        (d / "_versions").mkdir(parents=True)
+        (d / "data").mkdir()
+        assert io_utils.is_lance_dataset(str(d))
+
+    def test_parquet_dir_not_lance(self, small_corpus):
+        from who_owns_mass_processing_ray import io_utils
+        assert not io_utils.is_lance_dataset(small_corpus)
+
+    def test_lance_without_package_raises_not_implemented(self, tmp_path):
+        import pytest
+        from who_owns_mass_processing_ray import io_utils
+        d = tmp_path / "clips.lance"
+        d.mkdir()
+        try:
+            import lance  # noqa: F401
+            pytest.skip("lance installed; gating path not reachable")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError, match="pylance"):
+            io_utils.read_table_auto(str(d))
+
+    def test_parquet_path_dispatches_to_parquet(self, ray_session,
+                                                small_corpus):
+        from who_owns_mass_processing_ray import io_utils
+        import os
+        ds = io_utils.read_table_auto(os.path.join(small_corpus, "clips"),
+                                      columns=["clip_id"])
+        assert ds.columns() == ["clip_id"]
+        assert ds.count() == 400

@@ -46,13 +46,15 @@ def _auto_parts() -> int:
 
 
 def read_clips(clips_path: str):
-    """Source: Parquet directory/file of the clip input contract.  The Lance
-    format is not available in this environment (no ``lance`` package);
-    Parquet is the storage stand-in — same columnar contract, same
-    projection pushdown (``read_lance`` would slot in here 1:1)."""
-    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
+    """Source: the clip input contract (clip_id, bytes, sr_hz, dur_ms,
+    codec, transcript).  Dispatches on storage format: a Lance dataset path
+    routes through ``ray.data.read_lance`` when the ``lance`` package is
+    importable (the north-rule input format), anything else reads as
+    Parquet — the same columnar contract and projection pushdown.  See
+    ``io_utils.read_table_auto`` for the gating semantics."""
+    from who_owns_mass_processing_ray.io_utils import read_table_auto
 
-    return read_parquet_clean(clips_path)
+    return read_table_auto(clips_path)
 
 
 def dedup_pipeline(
