@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_mel_stats": multimodal.q_audio_mel_stats,
         "modality_disagreement": multimodal.q_modality_disagreement,
         "audio_shingle_near_dup": multimodal.q_audio_shingle_near_dup,
+        "audio_dtw_near_dup": multimodal.q_audio_dtw_near_dup,
         "audio_gain_normalize": multimodal.q_audio_gain_normalize,
         "cdc_chunk_dedup": multimodal.q_cdc_chunk_dedup,
         "audio_segment_rows": multimodal.q_audio_segment_rows,

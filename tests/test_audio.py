@@ -232,3 +232,76 @@ class TestSegmentRows:
             assert out["peak"][j].as_py() == pytest.approx(
                 float(abs(seg).max()), abs=1e-4)
             assert out["start_ms"][j].as_py() == j * hop * 1000 // sr
+
+
+class TestDtw:
+    """Anti-diagonal DTW DP vs an independent naive full-DP recompute,
+    plus invariance properties of the stretch-tolerant feature chain
+    (pipelines/multimodal.py DTW section)."""
+
+    @staticmethod
+    def _naive_dtw(A, B, sft):
+        import numpy as np
+        from who_owns_mass_processing_ray.pipelines.multimodal import DTW_NB
+        if sft >= 0:
+            As, Bs = A[:, :DTW_NB - sft], B[:, sft:]
+        else:
+            As, Bs = A[:, -sft:], B[:, :DTW_NB + sft]
+        def cd(a, b):
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if na == 0: na = 1.0
+            if nb == 0: nb = 1.0
+            return 1.0 - float(a @ b) / (na * nb)
+        n, m = len(As), len(Bs)
+        C = np.full((n + 1, m + 1), np.inf)
+        C[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                C[i, j] = min(C[i-1, j-1], C[i-1, j], C[i, j-1]) \
+                    + cd(As[i-1], Bs[j-1])
+        return C[n, m] / (n + m)
+
+    def test_antidiagonal_matches_naive(self):
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+        rng = np.random.default_rng(7)
+        for trial in range(4):
+            A = np.abs(rng.normal(size=(rng.integers(3, 18), mm.DTW_NB))) \
+                .astype(np.float32)
+            B = np.abs(rng.normal(size=(rng.integers(3, 18), mm.DTW_NB))) \
+                .astype(np.float32)
+            for sft in (-2, 0, 1):
+                assert mm._dtw_cost_at_shift(A, B, sft) == pytest.approx(
+                    self._naive_dtw(A, B, sft), rel=1e-6)
+        # min-over-shifts form agrees with explicit enumeration
+        assert mm._dtw_cost(A, B) == pytest.approx(
+            min(self._naive_dtw(A, B, s) for s in range(-2, 3)), rel=1e-6)
+
+    def test_ratio_keys_speed_invariant(self):
+        # resampling by r scales every frequency by r, so quantized peak
+        # log-ratios must intersect between a clip and its stretched copy
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+        sr = 16000
+        pcm = _tone(sr, 0.6, freqs=(380.0, 760.0, 1340.0), seed=3)
+        for r in (0.92, 1.08):
+            n_out = max(int(round(len(pcm) / r)), 1)
+            sp = np.interp(np.arange(n_out) * r / sr,
+                           np.arange(len(pcm)) / sr, pcm).astype(np.float32)
+            k1 = set(mm._dtw_ratio_keys(pcm, sr).tolist())
+            k2 = set(mm._dtw_ratio_keys(sp, sr).tolist())
+            assert k1 & k2, f"no shared blocking cell at r={r}"
+
+    def test_stretched_pair_cost_below_threshold(self):
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+        sr = 16000
+        pcm = _tone(sr, 0.6, freqs=(380.0, 760.0, 1340.0), seed=3)
+        A = mm._dtw_band_frames(pcm, sr)
+        for r in (0.92, 1.08):
+            n_out = max(int(round(len(pcm) / r)), 1)
+            sp = np.interp(np.arange(n_out) * r / sr,
+                           np.arange(len(pcm)) / sr, pcm).astype(np.float32)
+            B = mm._dtw_band_frames(sp, sr)
+            assert mm._dtw_cost(A, B) <= mm.DTW_THRESH
+        # unrelated content stays far
+        other = _tone(sr, 0.6, freqs=(523.0, 1569.0, 2217.0), seed=11)
+        C = mm._dtw_band_frames(other, sr)
+        assert mm._dtw_cost(A, C) > mm.DTW_THRESH

@@ -1318,3 +1318,57 @@ def test_modality_disagreement_consistent(ray_session):
         assert r.agreement == want
     assert (rep.agreement != "both").any()
     assert len(rep) > 0
+
+
+def test_audio_dtw_near_dup(ray_session):
+    """q_audio_dtw_near_dup: (1) recall 1.0 on the planted +-8%
+    speed-perturbed copies (the capability none of the other audio passes
+    has); (2) every emitted pair's cost re-verified by the independent
+    min-over-shifts brute DP (the pipeline's single-shift cost upper-bounds
+    it, so acceptance implies brute acceptance — recomputed here from the
+    decoded PCM, not trusted from the pipeline)."""
+    from who_owns_mass_processing_ray import audio
+    from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+    df = mm.q_audio_dtw_near_dup(SF_DIR).to_pandas()
+    ids = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    planted = {(f"clip-{i:012d}", f"clip-{i:012d}-sp")
+               for i in ids if i % mm.DTW_STRETCH_MOD == 0}
+    got = set(zip(df.left_id, df.right_id))
+    got |= {(b, a) for a, b in got}
+    assert planted, "corpus too small to plant stretched copies"
+    missed = [p for p in planted if p not in got]
+    assert not missed, f"planted stretched pairs missed: {missed[:5]}"
+
+    # independent re-verification of a deterministic sample of emitted
+    # pairs: recompute band frames from re-synthesized PCM and check the
+    # brute min-shift DTW cost agrees with the emitted cost within rounding
+    feats = {}
+
+    def frames_for(cid: str) -> np.ndarray:
+        if cid not in feats:
+            from who_owns_mass_processing_ray import synth
+            base = int(cid.split("-")[1])
+            params = synth._base_params(1234, base % 997)
+            sr = params["sr_hz"]
+            dur = 400 + (base % 7) * 150
+            pcm = synth._waveform(params, sr, dur)
+            if cid.endswith("-sp"):
+                r = 1.08 if (base // mm.DTW_STRETCH_MOD) % 2 else 0.92
+                n_out = max(int(round(len(pcm) / r)), 1)
+                pcm = np.interp(np.arange(n_out) * r / sr,
+                                np.arange(len(pcm)) / sr,
+                                pcm).astype(np.float32)
+            # roundtrip through the codec like the pipeline does
+            pcm2, sr2 = audio.decode(
+                audio.encode(pcm, sr, params["codec"]), params["codec"])
+            feats[cid] = mm._dtw_band_frames(pcm2, sr2)
+        return feats[cid]
+
+    sample = df.sort_values(["left_id", "right_id"]).iloc[::37]
+    for _, row in sample.iterrows():
+        brute = mm._dtw_cost(frames_for(row.left_id),
+                             frames_for(row.right_id))
+        assert brute <= row.dtw_cost + 5e-4   # single-shift >= min-shift
+        assert brute <= mm.DTW_THRESH + 5e-4

