@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_mask": textops.q_span_dedup_mask,
         "shared_span_pairs": textops.q_shared_span_pairs,
         "delta_dedup": textops.q_delta_dedup,
+        "near_dup_delta": textops.q_near_dup_delta,
+        "leakage_safe_split": textops.q_leakage_safe_split,
         "dedup_token_report": textops.q_dedup_token_report,
         "group_regression": relational.q_group_regression,
         "doc_novelty": textops.q_doc_novelty,
@@ -496,6 +498,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs_sa": textops.containment_pairs_sql(),
         "shared_span_pairs": textops.shared_span_pairs_sql(),
         "delta_dedup": textops.delta_dedup_sql(),
+        "near_dup_delta": textops.near_dup_delta_sql(),
+        "leakage_safe_split": textops.leakage_safe_split_sql(_JACCARD_ORACLE.replace("ORDER BY 1, 2", "")),
         "group_quantile_trim": textops.group_quantile_trim_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "word_repetition": textops.word_repetition_sql(),

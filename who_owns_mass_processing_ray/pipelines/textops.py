@@ -2576,6 +2576,199 @@ def delta_dedup_sql(mod: int = DELTA_SNAPSHOT_MOD) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Incremental NEAR-dup delta — the LSH counterpart of q_delta_dedup.
+# q_delta_dedup refreshes a corpus against exact duplicates; real corpus
+# refreshes also need the near-dup pass, and recomputing the full pairset
+# per refresh is the thing that does NOT scale: at 100 TB the snapshot side
+# dominates and its old<->old pairs are already known.  This operator emits
+# ONLY pairs touching an incoming doc: band buckets containing no incoming
+# member are dropped BEFORE pair expansion (the snapshot never pairs with
+# itself), and mixed-bucket expansion filters old<->old pairs out.  Work is
+# bounded by buckets the incoming batch touches — independent of snapshot
+# pair volume.  Same shingle/band config + exact-Jaccard verify as
+# q_minhash_near_dup, so precision is exact and the DuckDB oracle is the
+# same brute-force Jaccard join restricted to pairs with an incoming side.
+# ---------------------------------------------------------------------------
+
+NEARDUP_DELTA_MOD = 4    # doc_id % MOD == 0 -> the small INCOMING batch
+                         # (the other 3/4 are the already-ingested snapshot)
+
+
+def q_near_dup_delta(sf_dir: str, mod: int = NEARDUP_DELTA_MOD,
+                     cfg: DedupConfig = DOCS_CFG):
+    """Near-dup pairs (char-5-gram Jaccard >= cfg.jaccard_thresh) between an
+    incoming batch (doc_id % mod == 0) and the full corpus, old<->old pairs
+    never generated.  Output: (left_id, right_id, jaccard, link_type) with
+    link_type 'new_new' | 'new_old'."""
+    from ray.data.aggregate import Max
+
+    from who_owns_mass_processing_ray.stages import pairs as pr
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    ds = _docs(sf_dir)
+    band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
+                               batch_format="pyarrow",
+                               batch_size=cfg.batch_size,
+                               concurrency=pool_bounds(8))
+
+    num_parts = cfg.num_parts or 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        key = t["bucket_key"].to_numpy()
+        part = (key % np.uint64(num_parts)).astype(np.int32)
+        ids = t["doc_id"].to_numpy()
+        return pa.table({
+            "bucket_key": t["bucket_key"],
+            "doc_id": t["doc_id"],
+            "is_new": pa.array(ids % mod == 0),
+            "part": pa.array(part),
+        })
+
+    def expand_delta(group: pa.Table) -> pa.Table:
+        """Drop snapshot-only buckets, expand the rest, filter old<->old."""
+        group = group.drop_columns(["part"])
+        if group.num_rows:
+            tbl = group.sort_by([("bucket_key", "ascending")])
+            keys = tbl["bucket_key"].to_numpy()
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            sizes = np.diff(np.concatenate((starts, [len(keys)])))
+            seg_of = np.repeat(np.arange(len(starts)), sizes)
+            new = tbl["is_new"].to_numpy(zero_copy_only=False)
+            has_new = np.zeros(len(starts), dtype=bool)
+            np.logical_or.at(has_new, seg_of, new)
+            group = tbl.filter(pa.array(has_new[seg_of]))
+        pairs = pr.expand_partition_pairs(group, "bucket_key", "doc_id",
+                                          cfg.max_bucket,
+                                          payload_cols=["is_new"])
+        keep = pc.or_(pairs["left_is_new"], pairs["right_is_new"])
+        return pairs.filter(keep).select(["left_id", "right_id", "dropped"])
+
+    cand = band_rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(expand_delta, batch_format="pyarrow")
+    cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
+    out = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
+                           batch_format="pyarrow",
+                           batch_size=cfg.verify_batch_size)
+    out = out.groupby(["left_id", "right_id"]).aggregate(
+        Max("jaccard", alias_name="jaccard"))
+
+    def label(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy()
+        r = t["right_id"].to_numpy()
+        both = (l % mod == 0) & (r % mod == 0)
+        return t.append_column("link_type", pa.array(
+            np.where(both, "new_new", "new_old")))
+
+    return out.map_batches(label, batch_format="pyarrow") \
+        .sort(["left_id", "right_id"])
+
+
+SPLIT_BUCKETS = 20       # 18/1/1 -> 90% train, 5% val, 5% test
+SPLIT_KNUTH = 2654435761  # Knuth multiplicative hash (2^32 / phi)
+
+
+def q_leakage_safe_split(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """Dedup-aware train/val/test assignment: every member of a near-dup
+    group lands in the SAME split (otherwise eval examples leak into
+    training as near-copies — the standard contamination failure that
+    motivates dedup-before-split).  Group = connected components over the
+    exact-Jaccard pair graph (q_near_dup_groups, which has its own
+    recursive-CTE oracle); split = Knuth multiplicative hash of the group
+    root id into 20 buckets (18 train / 1 val / 1 test), so the assignment
+    is a pure function of content relations — stable under re-sharding,
+    re-ordering, and incremental corpus growth for untouched groups.
+    Scale shape: the groups side is only multi-doc dup members (small),
+    attached to the full corpus via the adaptive broadcast/shuffle join;
+    the corpus itself streams."""
+    from who_owns_mass_processing_ray.stages import joins
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    groups = q_near_dup_groups(sf_dir, cfg)
+    out = joins.attach_columns(docs, groups, "doc_id", "doc_id",
+                               {"group_id": "group_id"}, 16, how="left")
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        gcol = t["group_id"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        grp = pc.coalesce(pc.cast(gcol, pa.int64()),
+                          pa.array(ids, pa.int64())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (grp.astype(np.uint64) * np.uint64(SPLIT_KNUTH)
+             % np.uint64(2 ** 32)) % np.uint64(SPLIT_BUCKETS)
+        split = np.full(len(ids), "train", dtype=object)
+        split[b == SPLIT_BUCKETS - 2] = "val"
+        split[b == SPLIT_BUCKETS - 1] = "test"
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "group_id": pa.array(grp),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return out.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+def leakage_safe_split_sql(pairs_sql: str) -> str:
+    """``pairs_sql`` is the exact-Jaccard pair oracle (left_id, right_id,
+    no ORDER BY); group = min reachable id via the recursive CTE (the
+    near_dup_groups oracle form), singletons fall back to their own
+    doc_id."""
+    return f"""
+        WITH RECURSIVE base AS ({pairs_sql}),
+        sym(a, b) AS (
+            SELECT left_id, right_id FROM base
+            UNION ALL
+            SELECT right_id, left_id FROM base
+        ),
+        reach(id, r) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        ),
+        grp AS (SELECT id AS doc_id, min(r) AS group_id
+                FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               COALESCE(g.group_id, d.doc_id) AS group_id,
+               CASE ((COALESCE(g.group_id, d.doc_id) * {SPLIT_KNUTH})
+                     % 4294967296) % {SPLIT_BUCKETS}
+                    WHEN {SPLIT_BUCKETS - 2} THEN 'val'
+                    WHEN {SPLIT_BUCKETS - 1} THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+def near_dup_delta_sql(mod: int = NEARDUP_DELTA_MOD) -> str:
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+                FROM documents)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          WHERE a.doc_id % {mod} = 0 OR b.doc_id % {mod} = 0
+          GROUP BY 1, 2
+        )
+        SELECT i.left_id, i.right_id,
+               round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard,
+               CASE WHEN i.left_id % {mod} = 0 AND i.right_id % {mod} = 0
+                    THEN 'new_new' ELSE 'new_old' END AS link_type
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.left_id
+        JOIN sz sb ON sb.doc_id = i.right_id
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
+        ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # Per-source length winsorize — the grouped generalization of the
 # reference's 0.95-quantile unit-count gate (/root/reference/R/loaders.R:1153):
 # each corpus source has its own length distribution, so curation trims
