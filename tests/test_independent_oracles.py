@@ -1372,3 +1372,22 @@ def test_audio_dtw_near_dup(ray_session):
                              frames_for(row.right_id))
         assert brute <= row.dtw_cost + 5e-4   # single-shift >= min-shift
         assert brute <= mm.DTW_THRESH + 5e-4
+
+
+def test_near_dup_delta_band_index_parity(ray_session, tmp_path):
+    """The persisted-band-index refresh path must produce the IDENTICAL
+    pair set as the recompute-everything path — the guarantee that lets a
+    100 TB corpus build its signature index once and pay per-refresh cost
+    proportional to the delta."""
+    from who_owns_mass_processing_ray.pipelines import textops as tx
+
+    idx_dir = str(tmp_path / "band_index")
+    n = tx.build_band_index(SF_DIR, idx_dir)
+    assert n > 0
+
+    base = tx.q_near_dup_delta(SF_DIR).to_pandas()
+    indexed = tx.q_near_dup_delta(SF_DIR, band_index_dir=idx_dir).to_pandas()
+    assert len(base) == len(indexed)
+    for col in ("left_id", "right_id", "jaccard", "link_type"):
+        assert (base[col].values == indexed[col].values).all(), col
+    assert len(base) > 0

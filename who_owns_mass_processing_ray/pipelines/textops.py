@@ -2594,33 +2594,95 @@ NEARDUP_DELTA_MOD = 4    # doc_id % MOD == 0 -> the small INCOMING batch
                          # (the other 3/4 are the already-ingested snapshot)
 
 
+def build_band_index(sf_dir: str, out_dir: str,
+                     mod: int = NEARDUP_DELTA_MOD,
+                     cfg: DedupConfig = DOCS_CFG) -> int:
+    """Persist the snapshot side's LSH band rows (bucket_key, doc_id) as
+    partitioned parquet — the signature index a 100 TB corpus builds ONCE.
+    Each later ``q_near_dup_delta(band_index_dir=...)`` refresh then
+    re-shingles/minhashes only the incoming batch and streams the snapshot
+    bands back from this index: per-refresh feature cost scales with the
+    delta, not the corpus.  Returns the band-row count."""
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    snap = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % mod != 0)),
+        batch_format="pyarrow")
+    bands = snap.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
+                             batch_format="pyarrow",
+                             batch_size=cfg.batch_size,
+                             concurrency=pool_bounds(8)).materialize()
+    bands.write_parquet(out_dir)
+    return bands.count()
+
+
 def q_near_dup_delta(sf_dir: str, mod: int = NEARDUP_DELTA_MOD,
-                     cfg: DedupConfig = DOCS_CFG):
+                     cfg: DedupConfig = DOCS_CFG,
+                     band_index_dir: str | None = None):
     """Near-dup pairs (char-5-gram Jaccard >= cfg.jaccard_thresh) between an
     incoming batch (doc_id % mod == 0) and the full corpus, old<->old pairs
     never generated.  Output: (left_id, right_id, jaccard, link_type) with
-    link_type 'new_new' | 'new_old'."""
+    link_type 'new_new' | 'new_old'.
+
+    With ``band_index_dir`` (from ``build_band_index``) the snapshot's
+    signatures are READ, not recomputed — the incremental-refresh form
+    (pair set identical either way, tested)."""
     from ray.data.aggregate import Max
 
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
     from who_owns_mass_processing_ray.stages import pairs as pr
     from who_owns_mass_processing_ray.stages import pool_bounds
 
     ds = _docs(sf_dir)
-    band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
-                               batch_format="pyarrow",
-                               batch_size=cfg.batch_size,
-                               concurrency=pool_bounds(8))
+
+    def side(want_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            m = (ids % mod == 0) if want_new else (ids % mod != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    def tag(flag: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_new", pa.array(np.full(t.num_rows, flag)))
+        return f
+
+    if band_index_dir is not None:
+        # incremental refresh: ONE actor pool (incoming only), snapshot
+        # bands stream back from the persisted index
+        inc_bands = ds.map_batches(side(True), batch_format="pyarrow") \
+            .map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
+                         batch_format="pyarrow", batch_size=cfg.batch_size,
+                         concurrency=pool_bounds(8))
+        snap_bands = read_parquet_clean(band_index_dir)
+        band_rows = inc_bands.map_batches(tag(True), batch_format="pyarrow") \
+            .union(snap_bands.map_batches(tag(False),
+                                          batch_format="pyarrow"))
+    else:
+        # recompute form: one pool over the whole corpus (two concurrent
+        # pools would claim every CPU of a small session — the wedge
+        # pool_bounds exists to prevent), is_new derived from the id
+        def mark(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return t.append_column("is_new", pa.array(ids % mod == 0))
+
+        band_rows = ds.map_batches(_DocMinHashBands,
+                                   fn_constructor_args=(cfg,),
+                                   batch_format="pyarrow",
+                                   batch_size=cfg.batch_size,
+                                   concurrency=pool_bounds(8)) \
+            .map_batches(mark, batch_format="pyarrow")
 
     num_parts = cfg.num_parts or 16
 
     def add_part(t: pa.Table) -> pa.Table:
         key = t["bucket_key"].to_numpy()
         part = (key % np.uint64(num_parts)).astype(np.int32)
-        ids = t["doc_id"].to_numpy()
         return pa.table({
             "bucket_key": t["bucket_key"],
             "doc_id": t["doc_id"],
-            "is_new": pa.array(ids % mod == 0),
+            "is_new": t["is_new"],
             "part": pa.array(part),
         })
 
