@@ -1391,3 +1391,20 @@ def test_near_dup_delta_band_index_parity(ray_session, tmp_path):
     for col in ("left_id", "right_id", "jaccard", "link_type"):
         assert (base[col].values == indexed[col].values).all(), col
     assert len(base) > 0
+
+
+def test_near_dup_groups_labelprop_parity(ray_session):
+    """Forcing the distributed star-contraction path (dsu_edge_limit=0)
+    must reproduce the driver-DSU group table exactly — including numeric
+    min-root semantics through the zero-padded string ids."""
+    import dataclasses
+
+    from who_owns_mass_processing_ray.pipelines import textops as tx
+    from who_owns_mass_processing_ray.pipelines.textops import DOCS_CFG
+
+    base = tx.q_near_dup_groups(SF_DIR).to_pandas()
+    forced = tx.q_near_dup_groups(
+        SF_DIR, dataclasses.replace(DOCS_CFG, dsu_edge_limit=0)).to_pandas()
+    assert len(base) == len(forced) > 0
+    assert (base.doc_id.values == forced.doc_id.values).all()
+    assert (base.group_id.values == forced.group_id.values).all()

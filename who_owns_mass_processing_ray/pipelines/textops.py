@@ -931,20 +931,54 @@ def q_near_dup_groups(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     min-reachable-id over the exact all-pairs Jaccard graph — the clustering
     reduce itself gets an oracle, not just the pair generation
     (≙ dedupe_network + sites_to_owners,
-    /root/reference/R/deduplicaters.R:225-288, 684-710)."""
+    /root/reference/R/deduplicaters.R:225-288, 684-710).
+
+    Driver collect is GATED like the flagship: past ``cfg.dsu_edge_limit``
+    verified edges the reduce switches to the distributed star contraction
+    (zero-padded ids so lexicographic roots == the oracle's numeric min;
+    path parity tested with a forced tiny limit)."""
     import ray
+    import ray.data as rd
 
     from who_owns_mass_processing_ray.stages.components import (
+        components_labelprop,
         min_label_components,
     )
 
-    pairs = q_minhash_near_dup(sf_dir, cfg)
-    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
-    if not tables:
-        import ray.data as rd
-
+    # materialize ONCE so the edge-count gate and the consumer below don't
+    # each re-execute the LSH pipeline
+    pairs = q_minhash_near_dup(sf_dir, cfg).materialize()
+    n_edges = pairs.count()
+    if n_edges == 0:
         return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                        "group_id": pa.array([], pa.int64())}))
+    if n_edges > cfg.dsu_edge_limit:
+        # 100 TB path: same star contraction as the flagship.  Contraction
+        # roots at the LEXICOGRAPHIC min, so zero-pad ids to make string
+        # order == numeric order (group_id must equal the SQL oracle's
+        # numeric min-reachable id).
+        def to_str(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "left_id": pc.utf8_lpad(
+                    pc.cast(t["left_id"], pa.string()), 19, "0"),
+                "right_id": pc.utf8_lpad(
+                    pc.cast(t["right_id"], pa.string()), 19, "0"),
+            })
+
+        labeled = components_labelprop(
+            pairs.map_batches(to_str, batch_format="pyarrow"), cfg,
+            cfg.num_parts or 16)
+
+        def back(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(t["clip_id"], pa.int64()),
+                "group_id": pc.cast(t["root_id"], pa.int64()),
+            })
+
+        return labeled.map_batches(back, batch_format="pyarrow") \
+            .sort("doc_id")
+
+    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
     e = pa.concat_tables(tables).combine_chunks()
     l = e["left_id"].to_numpy()
     r = e["right_id"].to_numpy()
@@ -954,8 +988,6 @@ def q_near_dup_groups(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     lab = min_label_components(el, er, len(ids))
     out = pa.table({"doc_id": pa.array(ids, pa.int64()),
                     "group_id": pa.array(ids[lab], pa.int64())})
-    import ray.data as rd
-
     return rd.from_arrow(out).sort("doc_id")
 
 
