@@ -6412,20 +6412,23 @@ def q_dup_graph_modularity(sf_dir: str):
     if not len(assign):
         return pd.DataFrame({"n_groups": [0], "n_edges": [0],
                              "modularity": [0.0]})
-    grp = dict(zip(assign.doc_id, assign.group_id))
+    # vectorized id -> group mapping (assign.doc_id is sorted ascending):
+    # searchsorted probes, then group codes via a second unique pass — no
+    # per-edge Python dict lookups
+    doc_ids = assign.doc_id.to_numpy()
+    grp_of = assign.group_id.to_numpy()
     e = pa.concat_tables(tables).combine_chunks()
     l = e["left_id"].to_numpy()
     r = e["right_id"].to_numpy()
     m = len(l)
-    gl = np.array([grp[x] for x in l])
-    gr = np.array([grp[x] for x in r])
-    groups = np.unique(assign.group_id.to_numpy())
-    gi = {g: i for i, g in enumerate(groups)}
-    e_c = np.zeros(len(groups))
-    np.add.at(e_c, [gi[g] for g in gl[gl == gr]], 1.0)
-    a_c = np.zeros(len(groups))
-    np.add.at(a_c, [gi[g] for g in gl], 1.0)
-    np.add.at(a_c, [gi[g] for g in gr], 1.0)
+    gl = grp_of[np.searchsorted(doc_ids, l)]
+    gr = grp_of[np.searchsorted(doc_ids, r)]
+    groups = np.unique(grp_of)
+    cl = np.searchsorted(groups, gl)
+    cr = np.searchsorted(groups, gr)
+    e_c = np.bincount(cl[gl == gr], minlength=len(groups)).astype(float)
+    a_c = (np.bincount(cl, minlength=len(groups))
+           + np.bincount(cr, minlength=len(groups))).astype(float)
     q = float((e_c / m - (a_c / (2.0 * m)) ** 2).sum())
     return pd.DataFrame({"n_groups": [len(groups)], "n_edges": [m],
                          "modularity": [round(q, 6)]})
