@@ -2077,15 +2077,22 @@ def _env_matrices(col) -> list[np.ndarray]:
 def q_audio_dtw_near_dup(sf_dir: str, stretch_mod: int = DTW_STRETCH_MOD):
     """Time-stretch-tolerant audio near-dup pairs (left_id, right_id,
     dtw_cost) over the synth clips PLUS planted +-8% speed-perturbed
-    copies.  Non-SQL-expressible (iterative DP): the pytest gate is a
-    from-scratch full-DP brute-force parity + recall 1.0 on the planted
-    pairs (tests/test_audio.py)."""
+    copies (the planted truth for the recall gate).  Non-SQL-expressible
+    (iterative DP): the pytest gate is a from-scratch full-DP brute-force
+    parity + recall 1.0 on the planted pairs (tests/test_audio.py)."""
+    clips = clips_from_documents(sf_dir)
+    corpus = clips.union(stretched_clips(clips, stretch_mod))
+    return dtw_near_dup_pairs(corpus)
+
+
+def dtw_near_dup_pairs(corpus):
+    """The reusable operator over ANY Dataset matching the clip contract:
+    speed-invariant ratio-cell blocking -> profile prefilter -> single-shift
+    DTW verify -> distinct edges, sorted."""
     from who_owns_mass_processing_ray.pipelines.dedup import _auto_parts
     from who_owns_mass_processing_ray.stages import pairs as pr
     from who_owns_mass_processing_ray.stages import pool_bounds
 
-    clips = clips_from_documents(sf_dir)
-    corpus = clips.union(stretched_clips(clips, stretch_mod))
     feats = corpus.map_batches(
         DtwFeatures, batch_format="pyarrow", batch_size=64,
         concurrency=pool_bounds(8), num_cpus=1,
