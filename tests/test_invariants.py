@@ -6,6 +6,7 @@ allclose (SNR>=30dB) + transcript equality')."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pyarrow.parquet as pq
 
 from who_owns_mass_processing_ray import audio, synth
@@ -158,3 +159,62 @@ def test_analytics_rerun_deterministic(ray_session):
         b = b if isinstance(b, pd.DataFrame) else b.to_pandas()
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+class TestDtwProperties:
+    """Hypothesis properties for the DTW kernel family (no Ray)."""
+
+    def test_dtw_shift_symmetry(self):
+        """cost(A, B, s) == cost(B, A, -s): the cosine step matrix
+        transposes and the DP is direction-symmetric."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.integers(min_value=1, max_value=12),
+               st.integers(min_value=1, max_value=12),
+               st.integers(min_value=-2, max_value=2),
+               st.integers(min_value=0, max_value=2 ** 31 - 1))
+        def check(na, nb, s, seed):
+            rng = np.random.default_rng(seed)
+            A = np.abs(rng.normal(size=(na, mm.DTW_NB))).astype(np.float32)
+            B = np.abs(rng.normal(size=(nb, mm.DTW_NB))).astype(np.float32)
+            assert mm._dtw_cost_at_shift(A, B, s) == pytest.approx(
+                mm._dtw_cost_at_shift(B, A, -s), rel=1e-6)
+
+        check()
+
+    def test_dtw_identity_is_zero(self):
+        """cost(A, A, 0) == 0 for any non-degenerate frame sequence."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.integers(min_value=1, max_value=16),
+               st.integers(min_value=0, max_value=2 ** 31 - 1))
+        def check(n, seed):
+            rng = np.random.default_rng(seed)
+            A = (np.abs(rng.normal(size=(n, mm.DTW_NB))) + 1e-3) \
+                .astype(np.float32)
+            assert mm._dtw_cost_at_shift(A, A, 0) == pytest.approx(
+                0.0, abs=1e-6)
+
+        check()
+
+    def test_split_hash_group_consistency(self):
+        """leakage_safe_split's bucket hash: same group_id -> same bucket,
+        and the 20 buckets are all reachable (no degenerate collapse)."""
+        from who_owns_mass_processing_ray.pipelines import textops as tx
+
+        g = np.arange(0, 200_000, dtype=np.int64)
+        b = (g.astype(np.uint64) * np.uint64(tx.SPLIT_KNUTH)
+             % np.uint64(2 ** 32)) % np.uint64(tx.SPLIT_BUCKETS)
+        counts = np.bincount(b.astype(np.int64),
+                             minlength=tx.SPLIT_BUCKETS)
+        assert (counts > 0).all()
+        # roughly uniform: every bucket within 3x of the mean
+        assert counts.max() < 3 * counts.mean()
