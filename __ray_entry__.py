@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_dedup": textops.q_delta_dedup,
         "near_dup_delta": textops.q_near_dup_delta,
         "leakage_safe_split": textops.q_leakage_safe_split,
+        "curation_funnel": textops.q_curation_funnel,
         "dedup_token_report": textops.q_dedup_token_report,
         "group_regression": relational.q_group_regression,
         "doc_novelty": textops.q_doc_novelty,
@@ -500,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_dedup": textops.delta_dedup_sql(),
         "near_dup_delta": textops.near_dup_delta_sql(),
         "leakage_safe_split": textops.leakage_safe_split_sql(_JACCARD_ORACLE.replace("ORDER BY 1, 2", "")),
+        "curation_funnel": textops.curation_funnel_sql(),
         "group_quantile_trim": textops.group_quantile_trim_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "word_repetition": textops.word_repetition_sql(),

@@ -26,7 +26,7 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "chunk_text", "para_dedup", "pack_sequences", "regex_redact",
           "near_dup_keep_best", "near_dup_survivors", "anti_join",
           "event_type_pivot", "shared_span_pairs", "delta_dedup",
-          "speech_rate", "group_quantile_trim", "network_communities", "near_dup_delta", "leakage_safe_split",
+          "speech_rate", "group_quantile_trim", "network_communities", "near_dup_delta", "leakage_safe_split", "curation_funnel",
           "metacorp_rollup", "asof_join", "ngram_logprob", "heavy_hitters",
           "distinct_tokens", "group_cap", "delta_dedup_bloom", "bm25_score",
           "weighted_sample", "table_profile", "rollup_agg",

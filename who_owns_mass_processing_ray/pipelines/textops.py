@@ -122,16 +122,12 @@ def _verify_jaccard_int(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     })
 
 
-def q_minhash_near_dup(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
-    """Near-dup pairs (char-5-gram Jaccard ≥ 0.7) via MinHash+LSH blocking +
-    exact-Jaccard verify — the linear-in-rows replacement for the
-    reference's all-pairs TF-IDF cosine matrix
-    (/root/reference/R/deduplicaters.R:313-378).  At J=0.7 the 32x4 S-curve
-    catches a pair with p≈1-(1-0.7^4)^32≈0.9997; precision is exact (every
-    candidate verified)."""
+def minhash_pairs_ds(ds, cfg: DedupConfig = DOCS_CFG):
+    """LSH near-dup pairs over ANY (doc_id, text, ...) Dataset — the body
+    of q_minhash_near_dup, reusable on filtered/derived corpora (the
+    curation funnel's near-dup stage).  ``ds`` is consumed twice (bands +
+    text attach): pass a materialized Dataset when it is derived."""
     from who_owns_mass_processing_ray.stages import pairs as pr
-
-    ds = _docs(sf_dir)
     from who_owns_mass_processing_ray.stages import pool_bounds
 
     band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
@@ -149,6 +145,16 @@ def q_minhash_near_dup(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     out = out.groupby(["left_id", "right_id"]).aggregate(
         Max("jaccard", alias_name="jaccard"))
     return out.sort(["left_id", "right_id"])
+
+
+def q_minhash_near_dup(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """Near-dup pairs (char-5-gram Jaccard ≥ 0.7) via MinHash+LSH blocking +
+    exact-Jaccard verify — the linear-in-rows replacement for the
+    reference's all-pairs TF-IDF cosine matrix
+    (/root/reference/R/deduplicaters.R:313-378).  At J=0.7 the 32x4 S-curve
+    catches a pair with p≈1-(1-0.7^4)^32≈0.9997; precision is exact (every
+    candidate verified)."""
+    return minhash_pairs_ds(_docs(sf_dir), cfg)
 
 
 def _distinct_grams(t: pa.Table, k: int, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -921,6 +927,13 @@ def q_cross_table_link(sf_dir: str, thresh: float = 0.7):
     return out.sort(["a_id", "b_id"])
 
 
+def near_dup_groups_ds(ds, cfg: DedupConfig = DOCS_CFG):
+    """(doc_id, group_id) for every multi-doc near-dup group member of ANY
+    (doc_id, text, ...) Dataset — q_near_dup_groups' body, reusable on
+    derived corpora (pass a materialized Dataset)."""
+    return _groups_from_pairs(minhash_pairs_ds(ds, cfg), cfg)
+
+
 def q_near_dup_groups(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     """End-to-end near-dup CLUSTERING with a SQL oracle: LSH pairs (48x4,
     flake p≈2e-6) -> exact-Jaccard verify -> connected components -> every
@@ -937,6 +950,11 @@ def q_near_dup_groups(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     verified edges the reduce switches to the distributed star contraction
     (zero-padded ids so lexicographic roots == the oracle's numeric min;
     path parity tested with a forced tiny limit)."""
+    return _groups_from_pairs(minhash_pairs_ds(_docs(sf_dir), cfg), cfg)
+
+
+def _groups_from_pairs(pairs_ds, cfg: DedupConfig):
+    """Verified pair Dataset -> (doc_id, group_id), edge-limit gated."""
     import ray
     import ray.data as rd
 
@@ -947,7 +965,7 @@ def q_near_dup_groups(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
 
     # materialize ONCE so the edge-count gate and the consumer below don't
     # each re-execute the LSH pipeline
-    pairs = q_minhash_near_dup(sf_dir, cfg).materialize()
+    pairs = pairs_ds.materialize()
     n_edges = pairs.count()
     if n_edges == 0:
         return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
@@ -2859,6 +2877,272 @@ def near_dup_delta_sql(mod: int = NEARDUP_DELTA_MOD) -> str:
         JOIN sz sb ON sb.doc_id = i.right_id
         WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
         ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel — the Dolma/RedPajama-style composition the
+# individual operators exist FOR: quality gate -> exact dedup -> near-dup
+# keep-best -> benchmark decontamination, each stage feeding the next, with
+# a per-stage attrition report (docs + tokens surviving).  Every stage
+# reuses the engine's oracle-proven machinery (quality predicates, the
+# delta-dedup hash-partition keep-min, minhash_pairs_ds/_groups_from_pairs,
+# the near_dup_keep_best retention rule, the Decontaminate broadcast gram
+# set), and the WHOLE chain has one DuckDB oracle — so the composition is
+# hash-checked end to end, not just its pieces.
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_TOKENS = 5
+FUNNEL_MAX_AVG_WORD = 12.0
+
+
+def q_curation_funnel(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """-> (stage_idx, stage, n_docs, n_tokens): corpus attrition through
+    input -> quality -> exact_dedup -> near_dup -> decontaminate.  The
+    benchmark split (doc_id % 97 == 0) is held out of the funnel input and
+    supplies the decontamination grams, as in q_decontaminate."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages import joins, pool_bounds
+
+    # ---- stage 0: input (non-null text, bench split held out) ----------
+    def prep(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        keep = pc.and_(pc.is_valid(txt),
+                       pa.array(t["doc_id"].to_numpy() % DECON_BENCH_MOD
+                                != 0))
+        t = t.filter(keep)
+        txt = t["text"]
+        n_tok = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(txt), r"\s+")).cast(pa.int64())
+        n_nsp = pc.utf8_length(pc.replace_substring_regex(
+            txt, r"\s", "")).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "n_chars": t["n_chars"], "n_tokens": n_tok,
+                         "n_nonspace": n_nsp})
+
+    base = _docs(sf_dir, columns=("doc_id", "text", "n_chars")) \
+        .map_batches(prep, batch_format="pyarrow").materialize()
+
+    # ---- stage 1: quality gate -----------------------------------------
+    def quality(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(t["n_tokens"], FUNNEL_MIN_TOKENS),
+            pc.less_equal(
+                pc.divide(pc.cast(t["n_nonspace"], pa.float64()),
+                          pc.cast(pc.max_element_wise(
+                              t["n_tokens"], 1), pa.float64())),
+                FUNNEL_MAX_AVG_WORD))
+        return t.filter(ok)
+
+    q1 = base.map_batches(quality, batch_format="pyarrow").materialize()
+
+    # ---- stage 2: exact dedup (keep min doc_id per text) ---------------
+    num_parts = cfg.num_parts or 16
+
+    def keyed(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h1 = hx.hash_strings(col, seed=3)
+        h2 = hx.hash_strings(col, seed=77)       # 128-bit: no collision drift
+        part = (h1 % np.uint64(num_parts)).astype(np.int32)
+        return t.append_column("h1", pa.array(h1.view(np.int64))) \
+                .append_column("h2", pa.array(h2.view(np.int64))) \
+                .append_column("part", pa.array(part))
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        first = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            first[1:] = (h1[order][1:] != h1[order][:-1]) | \
+                        (h2[order][1:] != h2[order][:-1])
+        return g.take(pa.array(order[first])).drop_columns(["h1", "h2"])
+
+    q2 = q1.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("part").map_groups(keep_min, batch_format="pyarrow") \
+        .materialize()
+
+    # ---- stage 3: near-dup keep-best (longest, tiebreak min id) --------
+    groups = near_dup_groups_ds(q2, cfg)
+    with_grp = joins.attach_columns(q2, groups, "doc_id", "doc_id",
+                                    {"group_id": "group_id"}, num_parts,
+                                    how="left")
+
+    def grp_part(t: pa.Table) -> pa.Table:
+        gcol = t["group_id"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        grp = pc.coalesce(pc.cast(gcol, pa.int64()),
+                          t["doc_id"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        part = (grp.astype(np.uint64) % np.uint64(num_parts)) \
+            .astype(np.int32)
+        t = t.drop_columns(["group_id"])
+        return t.append_column("grp", pa.array(grp)) \
+                .append_column("part", pa.array(part))
+
+    def keep_best(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        grp = g["grp"].to_numpy()
+        nch = g["n_chars"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, -nch, grp))
+        first = np.ones(len(order), dtype=bool)
+        gs = grp[order]
+        if len(order) > 1:
+            first[1:] = gs[1:] != gs[:-1]
+        return g.take(pa.array(order[first])).drop_columns(["grp"])
+
+    q3 = with_grp.map_batches(grp_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(keep_best, batch_format="pyarrow") \
+        .materialize()
+
+    # ---- stage 4: decontamination (shared word-5-gram with bench) ------
+    def emit_bench(t: pa.Table) -> pa.Table:
+        bench = t.filter(pa.array(
+            t["doc_id"].to_numpy() % DECON_BENCH_MOD == 0))
+        _, grams = _word_grams(bench, DECON_GRAM_WORDS)
+        gh = hx.hash_strings(pc.unique(grams), seed=DECON_HASH_SEED)
+        return pa.table({"gh": pa.array(np.unique(gh).view(np.int64))})
+
+    gram_tables = [t for t in ray.get(
+        _docs(sf_dir).map_batches(emit_bench, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    gh_all = np.unique(np.concatenate(
+        [t["gh"].to_numpy() for t in gram_tables])) if gram_tables \
+        else np.empty(0, np.int64)
+    grams_ref = ray.put(pa.array(gh_all, pa.int64()))
+
+    def drop_contaminated(t: pa.Table) -> pa.Table:
+        doc_idx, grams = _word_grams(t, DECON_GRAM_WORDS)
+        hit_doc = np.zeros(len(t), dtype=bool)
+        if len(grams):
+            gh = hx.hash_strings(grams, seed=DECON_HASH_SEED) \
+                .view(np.int64)
+            hit = pc.is_in(pa.array(gh), value_set=ray.get(grams_ref)) \
+                .to_numpy(zero_copy_only=False)
+            np.logical_or.at(hit_doc, doc_idx[hit], True)
+        return t.filter(pa.array(~hit_doc))
+
+    q4 = q3.map_batches(drop_contaminated, batch_format="pyarrow",
+                        batch_size=1024).materialize()
+
+    # ---- attrition report ----------------------------------------------
+    rows = []
+    for idx, (name, ds) in enumerate(
+            [("input", base), ("quality", q1), ("exact_dedup", q2),
+             ("near_dup", q3), ("decontaminate", q4)]):
+        agg = ds.aggregate(Sum("n_tokens", alias_name="s"))
+        rows.append((idx, name, ds.count(), int(agg["s"] or 0)))
+    return rd.from_arrow(pa.table({
+        "stage_idx": pa.array([r[0] for r in rows], pa.int64()),
+        "stage": pa.array([r[1] for r in rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+
+
+def curation_funnel_sql() -> str:
+    return f"""
+        WITH RECURSIVE d0 AS (
+          SELECT doc_id, text, n_chars,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id % {DECON_BENCH_MOD} <> 0
+        ),
+        q1 AS (
+          SELECT * FROM d0
+          WHERE n_tokens >= {FUNNEL_MIN_TOKENS}
+            AND n_nonspace * 1.0 / greatest(n_tokens, 1)
+                <= {FUNNEL_MAX_AVG_WORD}
+        ),
+        e AS (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+              FROM q1),
+        q2 AS (SELECT doc_id, text, n_chars, n_tokens FROM e
+               WHERE doc_id = keeper),
+        g2 AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+                FROM q2)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+          FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        bp AS (
+          SELECT i.left_id, i.right_id FROM inter i
+          JOIN sz sa ON sa.doc_id = i.left_id
+          JOIN sz sb ON sb.doc_id = i.right_id
+          WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
+        ),
+        sym(a, b) AS (
+          SELECT left_id, right_id FROM bp
+          UNION ALL SELECT right_id, left_id FROM bp
+        ),
+        reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        ),
+        grp AS (SELECT id AS doc_id, min(r) AS group_id
+                FROM reach GROUP BY id),
+        q2g AS (
+          SELECT q2.*, COALESCE(g.group_id, q2.doc_id) AS grp_id
+          FROM q2 LEFT JOIN grp g ON g.doc_id = q2.doc_id
+        ),
+        sel AS (
+          SELECT *, row_number() OVER (PARTITION BY grp_id
+                      ORDER BY n_chars DESC, doc_id) AS rn
+          FROM q2g
+        ),
+        q3 AS (SELECT doc_id, text, n_tokens FROM sel WHERE rn = 1),
+        tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        gw AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(w) - 4, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' ')
+                 )) AS gram
+          FROM tok
+        ),
+        bg AS (SELECT DISTINCT gram FROM gw
+               WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        hits AS (SELECT DISTINCT gw.doc_id FROM gw JOIN bg USING (gram)
+                 WHERE gw.doc_id % {DECON_BENCH_MOD} <> 0),
+        q4 AS (SELECT * FROM q3
+               WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+                 count(*) AS n_docs,
+                 CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+          FROM d0
+          UNION ALL SELECT 1, 'quality', count(*),
+                 CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q1
+          UNION ALL SELECT 2, 'exact_dedup', count(*),
+                 CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q2
+          UNION ALL SELECT 3, 'near_dup', count(*),
+                 CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q3
+          UNION ALL SELECT 4, 'decontaminate', count(*),
+                 CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q4
+        ) ORDER BY stage_idx
     """
 
 
