@@ -2186,6 +2186,8 @@ def dtw_near_dup_pairs(corpus):
                                 batch_size=2048)
     edges = pr.distinct_edges(verified, "audio_dtw",
                               extra_num_cols=["dtw_cost"])
+    # keep ``dropped`` (pairs lost to the hot-cell cap) in the output —
+    # at scale, truncation must be visible in the result, not silent
     return edges.map_batches(
-        lambda t: t.select(["left_id", "right_id", "dtw_cost"]),
+        lambda t: t.select(["left_id", "right_id", "dtw_cost", "dropped"]),
         batch_format="pyarrow").sort(["left_id", "right_id"])
