@@ -607,8 +607,9 @@ def q_audio_shingle_near_dup(sf_dir: str):
                                 batch_size=4096)
     edges = pr.distinct_edges(verified, "audio_shingle",
                               extra_num_cols=["est_jacc"])
+    # dropped (hot-bucket cap losses) stays visible in the output
     return edges.map_batches(
-        lambda t: t.select(["left_id", "right_id", "est_jacc"]),
+        lambda t: t.select(["left_id", "right_id", "est_jacc", "dropped"]),
         batch_format="pyarrow").sort(["left_id", "right_id"])
 
 
