@@ -99,10 +99,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced stable normalize rows (green since r2/r3, still
         # pytest-checked at sf0.001) rotate to rows 51+
         "asof_join": relational.q_asof_join,
-        "ngram_logprob": textops.q_ngram_logprob,
-        "heavy_hitters": textops.q_heavy_hitters,
+        # tfidf_cosine_pairs / cosine_clusters: the reference's ACTUAL
+        # dedupe_cosine kernel reproduced exactly (new this block) — they
+        # take window slots; ngram_logprob/heavy_hitters (green last sweep)
+        # rotate to rows 51+
+        "tfidf_cosine_pairs": textops.q_tfidf_cosine_pairs,
+        "cosine_clusters": textops.q_cosine_clusters,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001);
         # distinct_tokens rotated here when ngram_repetition entered --------
+        "ngram_logprob": textops.q_ngram_logprob,
+        "heavy_hitters": textops.q_heavy_hitters,
         "distinct_tokens": textops.q_distinct_tokens,
         "pmi_bigrams": textops.q_pmi_bigrams,
         "bigram_logprob": textops.q_bigram_logprob,
@@ -571,6 +577,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": relational.snapshot_diff_sql(),
         # distinct_tokens_hll: approximate by design — gated in pytest at
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
+        "tfidf_cosine_pairs": textops.tfidf_cosine_pairs_sql(),
+        "cosine_clusters": textops.cosine_clusters_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

@@ -1408,3 +1408,105 @@ def test_near_dup_groups_labelprop_parity(ray_session):
     assert len(base) == len(forced) > 0
     assert (base.doc_id.values == forced.doc_id.values).all()
     assert (base.group_id.values == forced.group_id.values).all()
+
+
+def test_tfidf_cosine_pairs_vs_bruteforce(ray_session):
+    """Exact tf-idf cosine join vs a brute-force all-pairs numpy recompute
+    on a synthetic corpus with planted near-dups — proves the AllPairs
+    cosine prefix filter is COMPLETE (no pair lost to blocking) and the
+    weighting scheme (tf = count, idf = log10(N/df)) is what's claimed."""
+    import ray.data as rd
+
+    from who_owns_mass_processing_ray.pipelines.textops import (
+        COSINE_PAIR_THRESH,
+        cosine_pairs_ds,
+    )
+
+    rng = np.random.default_rng(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta",
+             "kappa", "lambda", "sigma"]
+    texts = []
+    for i in range(60):
+        n = int(rng.integers(6, 14))
+        texts.append(" ".join(rng.choice(words, n)))
+    # planted near-dups: single-word edits of earlier docs
+    for i in range(20):
+        base = texts[i].split()
+        j = int(rng.integers(0, len(base)))
+        base[j] = str(rng.choice(words))
+        texts.append(" ".join(base))
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    got = cosine_pairs_ds(ds).to_pandas()
+
+    # brute force: char-3-grams over whitespace-stripped text
+    k = 3
+    grams_of = []
+    for t in texts:
+        s = "".join(t.split())
+        grams_of.append([s[i:i + k] for i in range(len(s) - k + 1)]
+                        if len(s) >= k else ([s] if s else []))
+    df: dict[str, int] = {}
+    for gs in grams_of:
+        for g in set(gs):
+            df[g] = df.get(g, 0) + 1
+    n_docs = sum(1 for gs in grams_of if gs)
+    import math
+
+    vecs = []
+    for gs in grams_of:
+        tf: dict[str, int] = {}
+        for g in gs:
+            tf[g] = tf.get(g, 0) + 1
+        w = {g: c * math.log10(n_docs / df[g]) for g, c in tf.items()
+             if df[g] < n_docs}
+        nn = math.sqrt(sum(x * x for x in w.values()))
+        vecs.append((w, nn))
+    expect = {}
+    for a in range(len(texts)):
+        wa, na = vecs[a]
+        if na == 0:
+            continue
+        for b in range(a + 1, len(texts)):
+            wb, nb = vecs[b]
+            if nb == 0:
+                continue
+            dot = sum(wa[g] * wb.get(g, 0.0) for g in wa)
+            cos = dot / (na * nb)
+            if cos >= COSINE_PAIR_THRESH:
+                expect[(a, b)] = round(cos, 4)
+
+    got_pairs = {(int(r.left_id), int(r.right_id)): float(r.cosine)
+                 for r in got.itertuples()}
+    assert set(got_pairs) == set(expect)
+    assert expect, "test corpus must plant at least one qualifying pair"
+    for p, c in expect.items():
+        assert abs(got_pairs[p] - c) < 2e-4, (p, got_pairs[p], c)
+
+
+def test_cosine_clusters_match_pair_components(ray_session):
+    """q_cosine_clusters == connected components over q_tfidf_cosine_pairs
+    (python DSU recompute)."""
+    from who_owns_mass_processing_ray.pipelines.textops import (
+        q_cosine_clusters,
+        q_tfidf_cosine_pairs,
+    )
+
+    pairs = q_tfidf_cosine_pairs(SF_DIR).to_pandas()
+    groups = q_cosine_clusters(SF_DIR).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        a, b = find(int(r.left_id)), find(int(r.right_id))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    expect = {x: find(x) for x in parent}
+    got = {int(r.doc_id): int(r.group_id) for r in groups.itertuples()}
+    assert got == expect

@@ -6716,3 +6716,293 @@ def q_dup_graph_modularity(sf_dir: str):
     q = float((e_c / m - (a_c / (2.0 * m)) ** 2).sum())
     return pd.DataFrame({"n_groups": [len(groups)], "n_edges": [m],
                          "modularity": [round(q, 6)]})
+
+
+# ---------------------------------------------------------------------------
+# Exact TF-IDF char-3-gram cosine pairs ≙ dedupe_cosine — the reference's
+# ACTUAL similarity kernel (/root/reference/R/deduplicaters.R:313-378):
+# quanteda tokens(what="character") |> tokens_ngrams(n=3) |> dfm |>
+# dfm_tfidf() |> textstat_simil(method="cosine", min_simil=thresh).
+#
+# Semantics reproduced exactly: character 3-grams over the text with
+# whitespace removed (quanteda's character tokenizer drops separators),
+# tf = raw occurrence count, idf = log10(N / df) (quanteda dfm_tfidf
+# default scheme), cosine over the weighted vectors, threshold 0.85
+# (= COSINE_THRESH, /root/reference/config.R:28).  Elsewhere the engine
+# SUBSTITUTES MinHash/LSH for this kernel (the scale path, SURVEY §7.0);
+# this query proves the original kernel itself, oracle-hash-matched.
+#
+# Blocking is an EXACT AllPairs-style prefix filter adapted to cosine
+# (Bayardo et al., WWW'07): order each doc's grams globally by (df, gram)
+# ascending (rare first) and emit gram g as a blocking key only while the
+# unit-normalized suffix norm from g onward is >= thresh.  Completeness:
+# for any pair with cos >= τ, let g be the EARLIEST shared gram in the
+# global order; by Cauchy-Schwarz cos <= ||ŵa over shared|| <= s_a(pos(g))
+# (and symmetrically for b), so g must lie in BOTH prefixes and the pair
+# meets in g's bucket.  Zero pairs are lost; zero-weight grams (df == N,
+# idf == 0) are dropped outright since they contribute nothing to any dot
+# product or norm.
+#
+# Scale: the df/idf table is VOCABULARY-bounded (char-3-gram vocab <=
+# |alphabet|³ — tens of thousands of rows at any corpus size), so the
+# broadcast via ray.put is safe at 100 TB; doc rows stream through
+# map_batches; only narrow (gram, doc_id) prefix rows shuffle; hot buckets
+# ride the shared salted-pair machinery (pairs_from_bucket_rows).
+# ---------------------------------------------------------------------------
+
+COSINE_K = 3                 # reference tokens_ngrams(n = 3)
+COSINE_PAIR_THRESH = 0.85    # reference COSINE_THRESH (config.R:28)
+_COSINE_SEED = 11
+
+
+def _gram_tf(t: pa.Table, k: int, seed: int):
+    """-> (doc_ids_rep, gram_vals, tf, distinct_per_doc): like
+    _distinct_grams but also returns each gram's multiplicity."""
+    col = t["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals, offs = hx.shingle_hashes(col, k, seed=seed)
+    ids = t["doc_id"].to_numpy()
+    doc_idx = np.repeat(np.arange(len(t)), np.diff(offs))
+    order = np.lexsort((vals, doc_idx))
+    v, d = vals[order], doc_idx[order]
+    first = np.ones(len(v), dtype=bool)
+    first[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.r_[starts, len(v)]).astype(np.float64)
+    v, d = v[first], d[first]
+    counts = np.bincount(d, minlength=len(t))
+    return ids[d], v, tf, counts
+
+
+def _cosine_verify(batch: pa.Table, k: int, thresh: float, ref) -> pa.Table:
+    """Exact tf-idf cosine per candidate pair; distinct texts in the batch
+    are vectorized/weighted ONCE (dictionary memoization, same design as
+    jaccard_pairs_dict)."""
+    import ray as _ray
+
+    sorted_grams, _dfv, idfv = _ray.get(ref)
+    left, right = batch["left_text"], batch["right_text"]
+    if isinstance(left, pa.ChunkedArray):
+        left = left.combine_chunks()
+    if isinstance(right, pa.ChunkedArray):
+        right = right.combine_chunks()
+    n = len(left)
+    if n == 0:
+        return pa.table({"left_id": pa.array([], pa.int64()),
+                         "right_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    both = pa.concat_arrays([left.cast(pa.large_utf8()),
+                             right.cast(pa.large_utf8())])
+    enc = pc.fill_null(both, "").dictionary_encode()
+    n_dict = len(enc.dictionary)
+    vals, offs = hx.shingle_hashes(enc.dictionary, k, seed=_COSINE_SEED)
+    seg = np.repeat(np.arange(n_dict), np.diff(offs))
+    order = np.lexsort((vals, seg))
+    v, s = vals[order], seg[order]
+    first = np.ones(len(v), dtype=bool)
+    first[1:] = (v[1:] != v[:-1]) | (s[1:] != s[:-1])
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.r_[starts, len(v)]).astype(np.float64)
+    v, s = v[first], s[first]
+    w = tf * idfv[np.searchsorted(sorted_grams, v)]
+    pos_w = w > 0
+    v, s, w = v[pos_w], s[pos_w], w[pos_w]
+    cnt = np.bincount(s, minlength=n_dict)
+    doffs = np.zeros(n_dict + 1, np.int64)
+    np.cumsum(cnt, out=doffs[1:])
+    nrm2 = np.bincount(s, weights=w * w, minlength=n_dict)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lc, rc = codes[:n], codes[n:]
+    cosv = np.zeros(n, dtype=np.float64)
+    eq = (lc == rc) & (nrm2[lc] > 0)
+    cosv[eq] = 1.0
+    for i in np.flatnonzero(~eq):
+        a0, a1 = doffs[lc[i]], doffs[lc[i] + 1]
+        b0, b1 = doffs[rc[i]], doffs[rc[i] + 1]
+        if a1 == a0 or b1 == b0:
+            continue
+        va, wa = v[a0:a1], w[a0:a1]
+        vb, wb = v[b0:b1], w[b0:b1]
+        if a1 - a0 > b1 - b0:
+            va, wa, vb, wb = vb, wb, va, wa
+        idx = np.searchsorted(vb, va)
+        idx[idx == len(vb)] = len(vb) - 1
+        m = vb[idx] == va
+        if not m.any():
+            continue
+        dot = float((wa[m] * wb[idx[m]]).sum())
+        cosv[i] = dot / float(np.sqrt(nrm2[lc[i]] * nrm2[rc[i]]))
+    keep = cosv >= thresh
+    out = batch.filter(pa.array(keep))
+    return pa.table({
+        "left_id": out["left_id"],
+        "right_id": out["right_id"],
+        "cosine": pa.array(round_half_away(cosv[keep], 4)),
+    })
+
+
+def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH):
+    """Exact tf-idf cosine similarity join over any (doc_id, text) Dataset.
+    See the section comment for the completeness proof of the prefix
+    filter."""
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    from who_owns_mass_processing_ray.stages import pairs as pr
+
+    seed = _COSINE_SEED
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        s = pc.replace_substring_regex(t["text"], r"\s+", "")
+        keep = pc.greater(pc.utf8_length(s), 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": s}).filter(keep)
+
+    docs = ds.map_batches(prep, batch_format="pyarrow")
+    n_docs = docs.count()
+    if n_docs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"left_id": pa.array([], pa.int64()),
+                                       "right_id": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids_rep, v, _, _ = _gram_tf(t, k, seed)
+        return pa.table({
+            "gram": pa.array(v.view(np.int64)),  # bit-cast: aggs lack uint64
+            "doc_id": pa.array(ids_rep, pa.int64()),
+        })
+
+    # df table is vocabulary-bounded (<= |alphabet|^k rows) -> broadcast is
+    # safe at ANY corpus size, unlike a per-doc table
+    df_tbl = docs.map_batches(gram_rows, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Count(alias_name="df"))
+    df_parts = [x for x in ray.get(df_tbl.to_arrow_refs()) if x.num_rows]
+    df_all = pa.concat_tables(df_parts).combine_chunks()
+    gv = df_all["gram"].to_numpy().view(np.uint64)
+    order = np.argsort(gv)
+    sorted_grams = gv[order].copy()
+    dfv = df_all["df"].to_numpy()[order].astype(np.float64)
+    idfv = np.log10(float(n_docs) / dfv)
+    ref = ray.put((sorted_grams, dfv, idfv))
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        sg, dfl, idfl = ray.get(ref)
+        ids_rep, v, tf, counts = _gram_tf(t, k, seed)
+        pos = np.searchsorted(sg, v)
+        w = tf * idfl[pos]
+        dfp = dfl[pos]
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        keep0 = w > 0                      # idf == 0 grams affect nothing
+        v, ids_rep, doc_idx = v[keep0], ids_rep[keep0], doc_idx[keep0]
+        w, dfp = w[keep0], dfp[keep0]
+        if not len(v):
+            return pa.table({"bucket_key": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        norms2 = np.bincount(doc_idx, weights=w * w, minlength=len(counts))
+        what2 = (w * w) / norms2[doc_idx]  # unit-normalized squared weights
+        order = np.lexsort((v, dfp, doc_idx))
+        v, ids_rep, doc_idx = v[order], ids_rep[order], doc_idx[order]
+        what2 = what2[order]
+        cnt2 = np.bincount(doc_idx, minlength=len(counts))
+        offs = np.zeros(len(cnt2) + 1, np.int64)
+        np.cumsum(cnt2, out=offs[1:])
+        gcs = np.cumsum(what2)
+        seg_first = np.repeat(offs[:-1], cnt2)
+        # within-doc sum of positions < i
+        before = (gcs - what2) - (gcs[seg_first] - what2[seg_first])
+        total = np.bincount(doc_idx, weights=what2, minlength=len(counts))
+        suffix2 = total[doc_idx] - before
+        keep = suffix2 >= (thresh * thresh) - 1e-9
+        return pa.table({
+            "bucket_key": pa.array(v[keep]),
+            "doc_id": pa.array(ids_rep[keep], pa.int64()),
+        })
+
+    prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
+    cand = pr.pairs_from_bucket_rows(prefixes, "bucket_key", "doc_id",
+                                     max_bucket=100_000, num_parts=16)
+    cand = pr.attach_pair_features(cand, docs, "text", 16, side_key="doc_id")
+    out = cand.map_batches(_cosine_verify,
+                           fn_kwargs={"k": k, "thresh": thresh, "ref": ref},
+                           batch_format="pyarrow")
+    out = out.groupby(["left_id", "right_id"]).aggregate(
+        Max("cosine", alias_name="cosine"))
+    return out.sort(["left_id", "right_id"])
+
+
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """The reference's dedupe_cosine pair generation, exactly
+    (/root/reference/R/deduplicaters.R:313-358): tf-idf-weighted char-3-gram
+    cosine >= 0.85 over the documents table."""
+    return cosine_pairs_ds(_docs(sf_dir))
+
+
+def tfidf_cosine_pairs_sql(k: int = COSINE_K,
+                           thresh: float = COSINE_PAIR_THRESH) -> str:
+    # short docs (0 < len < k) get one whole-string gram on both sides
+    # (substr(s, 1, k) == s when len < k; shingle_hashes' whole-string
+    # convention) — strings of different length never collide
+    return f"""
+        WITH t AS (
+            SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS s
+            FROM documents WHERE text IS NOT NULL),
+        g AS (
+            SELECT doc_id, substr(s, CAST(u AS INTEGER), {k}) AS gram,
+                   count(*) AS tf
+            FROM (SELECT doc_id, s,
+                         unnest(range(1, greatest(length(s) - {k - 1},
+                                      least(length(s), 1)) + 1)) AS u
+                  FROM t)
+            GROUP BY 1, 2),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM g),
+        idf AS (SELECT gram, log10((SELECT n FROM nd) * 1.0 / count(*))
+                       AS idf
+                FROM g GROUP BY gram),
+        w AS (SELECT g.doc_id, g.gram, g.tf * i.idf AS w
+              FROM g JOIN idf i USING (gram) WHERE i.idf > 0),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY 1),
+        dot AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       sum(a.w * b.w) AS d
+                FROM w a JOIN w b ON a.gram = b.gram
+                                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT d.left_id, d.right_id,
+               round(d.d / (na.nn * nb.nn), 4) AS cosine
+        FROM dot d
+        JOIN nrm na ON na.doc_id = d.left_id
+        JOIN nrm nb ON nb.doc_id = d.right_id
+        WHERE d.d / (na.nn * nb.nn) >= {thresh}
+        ORDER BY 1, 2
+    """
+
+
+def q_cosine_clusters(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """dedupe_cosine END TO END (/root/reference/R/deduplicaters.R:313-378):
+    exact tf-idf cosine pairs -> connected components -> (doc_id, group_id)
+    for every member of a multi-doc group.  Components stand in for igraph
+    fast-greedy (measured precision 1.0 on dup structure — BASELINE.md);
+    the reduce is edge-limit gated exactly like q_near_dup_groups."""
+    return _groups_from_pairs(cosine_pairs_ds(_docs(sf_dir)), cfg)
+
+
+def cosine_clusters_sql() -> str:
+    base = tfidf_cosine_pairs_sql().replace("ORDER BY 1, 2", "")
+    return f"""
+        WITH RECURSIVE base AS ({base}),
+        sym(a, b) AS (
+            SELECT left_id, right_id FROM base
+            UNION ALL
+            SELECT right_id, left_id FROM base
+        ),
+        reach(id, r) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        )
+        SELECT id AS doc_id, min(r) AS group_id
+        FROM reach GROUP BY id ORDER BY doc_id
+    """
