@@ -75,6 +75,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": textops.q_minhash_near_dup,
         "bounded_near_dup": textops.q_bounded_near_dup,
         "near_dup_groups": textops.q_near_dup_groups,
+        # the reference's ACTUAL dedupe_cosine kernel family, reproduced
+        # exactly (new this block) — window slots; the displaced stable
+        # rows rotate to 51+ (still pytest-checked at sf0.001)
+        "tfidf_cosine_pairs": textops.q_tfidf_cosine_pairs,
+        "cosine_clusters": textops.q_cosine_clusters,
+        "cosine_cross_link": textops.q_cosine_cross_link,
+        "cosine_bounded": textops.q_cosine_bounded,
         "containment_pairs": textops.q_containment_pairs,
         "span_dedup_mask": textops.q_span_dedup_mask,
         "shared_span_pairs": textops.q_shared_span_pairs,
@@ -99,12 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced stable normalize rows (green since r2/r3, still
         # pytest-checked at sf0.001) rotate to rows 51+
         "asof_join": relational.q_asof_join,
-        # tfidf_cosine_pairs / cosine_clusters: the reference's ACTUAL
-        # dedupe_cosine kernel reproduced exactly (new this block) — they
-        # take window slots; ngram_logprob/heavy_hitters (green last sweep)
-        # rotate to rows 51+
-        "tfidf_cosine_pairs": textops.q_tfidf_cosine_pairs,
-        "cosine_clusters": textops.q_cosine_clusters,
         # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001);
         # distinct_tokens rotated here when ngram_repetition entered --------
         "ngram_logprob": textops.q_ngram_logprob,
@@ -579,6 +580,8 @@ def oracle_sql() -> dict[str, str]:
         # ±5% of the exact q_distinct_tokens instead of a SQL hash match
         "tfidf_cosine_pairs": textops.tfidf_cosine_pairs_sql(),
         "cosine_clusters": textops.cosine_clusters_sql(),
+        "cosine_cross_link": textops.cosine_cross_link_sql(),
+        "cosine_bounded": textops.cosine_bounded_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

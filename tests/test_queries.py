@@ -38,7 +38,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "dup_threshold_curve", "domain_coverage",
           "incremental_components", "vocab_growth", "sliding_window_agg", "star_join", "scd2_intervals",
           "boilerplate_strip", "ngram_repetition", "duration_buckets",
-          "snapshot_diff", "tfidf_cosine_pairs", "cosine_clusters"]
+          "snapshot_diff", "tfidf_cosine_pairs", "cosine_clusters",
+          "cosine_cross_link", "cosine_bounded"]
 
 
 @pytest.fixture(scope="module")

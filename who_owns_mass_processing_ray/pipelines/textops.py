@@ -6775,10 +6775,13 @@ def _gram_tf(t: pa.Table, k: int, seed: int):
     return ids[d], v, tf, counts
 
 
-def _cosine_verify(batch: pa.Table, k: int, thresh: float, ref) -> pa.Table:
+def _cosine_verify(batch: pa.Table, k: int, thresh: float, ref,
+                   thresh_of=None) -> pa.Table:
     """Exact tf-idf cosine per candidate pair; distinct texts in the batch
     are vectorized/weighted ONCE (dictionary memoization, same design as
-    jaccard_pairs_dict)."""
+    jaccard_pairs_dict).  ``thresh_of(left_ids, right_ids)`` optionally
+    supplies a PER-PAIR threshold array (dual-threshold class routing ≙
+    dedupe_cosine_bounded's inds_thresh; np.inf excludes a pair)."""
     import ray as _ray
 
     sorted_grams, _dfv, idfv = _ray.get(ref)
@@ -6833,7 +6836,12 @@ def _cosine_verify(batch: pa.Table, k: int, thresh: float, ref) -> pa.Table:
             continue
         dot = float((wa[m] * wb[idx[m]]).sum())
         cosv[i] = dot / float(np.sqrt(nrm2[lc[i]] * nrm2[rc[i]]))
-    keep = cosv >= thresh
+    if thresh_of is not None:
+        thr = thresh_of(batch["left_id"].to_numpy(),
+                        batch["right_id"].to_numpy())
+        keep = cosv >= thr
+    else:
+        keep = cosv >= thresh
     out = batch.filter(pa.array(keep))
     return pa.table({
         "left_id": out["left_id"],
@@ -6842,10 +6850,14 @@ def _cosine_verify(batch: pa.Table, k: int, thresh: float, ref) -> pa.Table:
     })
 
 
-def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH):
+def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH,
+                    thresh_of=None, candidate_filter=None):
     """Exact tf-idf cosine similarity join over any (doc_id, text) Dataset.
     See the section comment for the completeness proof of the prefix
-    filter."""
+    filter.  ``thresh`` is the BLOCKING threshold (use the minimum of all
+    routed thresholds — completeness needs prefixes at the loosest bound);
+    ``thresh_of`` routes per-pair verify thresholds; ``candidate_filter``
+    prunes candidate pairs (narrow id rows) BEFORE text attach + verify."""
     import ray
     from ray.data.aggregate import Count, Max
 
@@ -6925,9 +6937,12 @@ def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH):
     prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
     cand = pr.pairs_from_bucket_rows(prefixes, "bucket_key", "doc_id",
                                      max_bucket=100_000, num_parts=16)
+    if candidate_filter is not None:
+        cand = cand.map_batches(candidate_filter, batch_format="pyarrow")
     cand = pr.attach_pair_features(cand, docs, "text", 16, side_key="doc_id")
     out = cand.map_batches(_cosine_verify,
-                           fn_kwargs={"k": k, "thresh": thresh, "ref": ref},
+                           fn_kwargs={"k": k, "thresh": thresh, "ref": ref,
+                                      "thresh_of": thresh_of},
                            batch_format="pyarrow")
     out = out.groupby(["left_id", "right_id"]).aggregate(
         Max("cosine", alias_name="cosine"))
@@ -7005,4 +7020,162 @@ def cosine_clusters_sql() -> str:
         )
         SELECT id AS doc_id, min(r) AS group_id
         FROM reach GROUP BY id ORDER BY doc_id
+    """
+
+
+def _parity_cross_filter(t: pa.Table) -> pa.Table:
+    """Keep only candidate pairs spanning the even/odd table split —
+    pruned BEFORE text attach, so same-side pairs never ship text."""
+    l = t["left_id"].to_numpy()
+    r = t["right_id"].to_numpy()
+    return t.filter(pa.array((l % 2) != (r % 2)))
+
+
+def q_cosine_cross_link(sf_dir: str):
+    """``dedupe_cosine_join`` with the reference's TRUE kernel
+    (/root/reference/R/deduplicaters.R:380-444): tf-idf char-3-gram cosine
+    >= 0.85 pairs linking table A (even doc_ids) to table B (odd doc_ids)
+    — the owners↔companies cross-table link, oriented (a_id, b_id).
+    q_cross_table_link is the MinHash/Jaccard scale substitution of the
+    same chain; this query proves the literal kernel, oracle-matched."""
+    from ray.data.aggregate import Max
+
+    pairs = cosine_pairs_ds(_docs(sf_dir),
+                            candidate_filter=_parity_cross_filter)
+
+    def orient(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy()
+        r = t["right_id"].to_numpy()
+        a = np.where(l % 2 == 0, l, r)
+        b = np.where(l % 2 == 0, r, l)
+        return pa.table({"a_id": pa.array(a, pa.int64()),
+                         "b_id": pa.array(b, pa.int64()),
+                         "cosine": t["cosine"]})
+
+    return pairs.map_batches(orient, batch_format="pyarrow") \
+        .groupby(["a_id", "b_id"]).aggregate(Max("cosine",
+                                                 alias_name="cosine")) \
+        .sort(["a_id", "b_id"])
+
+
+def cosine_cross_link_sql() -> str:
+    base = tfidf_cosine_pairs_sql()
+    return base.replace(
+        "AND a.doc_id < b.doc_id",
+        "AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1",
+    ).replace("AS left_id", "AS a_id").replace("AS right_id", "AS b_id") \
+     .replace("d.left_id", "d.a_id").replace("d.right_id", "d.b_id")
+
+
+def _bounded_cosine_thresh(l_ids: np.ndarray, r_ids: np.ndarray) -> np.ndarray:
+    """Per-pair routed thresholds ≙ dedupe_cosine_bounded's COSINE_THRESH /
+    inds_thresh split (/root/reference/R/deduplicaters.R:446-539 +
+    config.R:28-29): inst class (doc_id % 3 == 0, the established stand-in
+    for the inst|trust flag) pairs at 0.85, individual pairs at 0.95,
+    cross-class pairs never merge (inf)."""
+    l_inst = l_ids % 3 == 0
+    r_inst = r_ids % 3 == 0
+    thr = np.where(l_inst, BOUND_INST_THRESH, BOUND_IND_THRESH)
+    return np.where(l_inst == r_inst, thr, np.inf)
+
+
+def q_cosine_bounded(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """``dedupe_cosine_bounded`` with the TRUE kernel, end to end
+    (/root/reference/R/deduplicaters.R:446-539): class-routed tf-idf
+    cosine pairs (0.85 inst / 0.95 ind, never cross-class) -> GLOBAL
+    per-class cosine components (the reference clusters first) -> compound
+    (bounding_key, cosine_group) intersection — similarity merges only
+    within a shared bounding key.  The bound is DERIVED FROM THE RECORD
+    like the reference's standardized address (first whitespace token ≙
+    addr_id; an independent attribute like ``source`` would make every
+    compound group a singleton).  Emits every member of a multi-doc
+    compound group with group id = min member doc_id.
+    q_bounded_near_dup is the Jaccard∧Hamming scale substitution; this is
+    the literal chain, oracle-matched."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    pairs = cosine_pairs_ds(_docs(sf_dir),
+                            thresh=BOUND_INST_THRESH,  # loosest: complete
+                            thresh_of=_bounded_cosine_thresh)
+    assign = _groups_from_pairs(pairs, cfg)           # (doc_id, group_id)
+    docs_bound = _docs(sf_dir)
+    with_bound = joins.attach_columns(assign, docs_bound, "doc_id", "doc_id",
+                                      {"text": "text"}, 16, how="inner")
+
+    def compound_key(t: pa.Table) -> pa.Table:
+        tok = pc.struct_field(
+            pc.extract_regex(pc.fill_null(t["text"], ""), r"^(?P<tok>\S+)"),
+            "tok")
+        sk = hx.hash_strings(pc.fill_null(tok, ""))
+        gk = t["group_id"].to_numpy()
+        ck = hx.splitmix64(sk ^ gk.view(np.uint64)).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "group_id": t["group_id"],
+                         "ckey": pa.array(ck)})
+
+    keyed = with_bound.map_batches(compound_key, batch_format="pyarrow") \
+        .materialize()   # consumed twice (group table + member attach)
+    groups = keyed.groupby("ckey").aggregate(
+        Min("doc_id", alias_name="bound_group_id"),
+        Count(alias_name="n_members"))
+    groups = groups.filter(expr="n_members > 1")
+    out = joins.attach_columns(keyed, groups, "ckey", "ckey",
+                               {"bound_group_id": "bound_group_id",
+                                "n_members": "n_members"}, 16, how="inner")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "bound_group_id": t["bound_group_id"].cast(pa.int64()),
+            "n_members": t["n_members"].cast(pa.int64()),
+        })
+
+    out = out.map_batches(project, batch_format="pyarrow")
+    if out.count() == 0:     # typed empty result (schema survives)
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "bound_group_id": pa.array([], pa.int64()),
+            "n_members": pa.array([], pa.int64())}))
+    return out.sort("doc_id")
+
+
+def _bounded_cosine_pairs_sql() -> str:
+    """Routed pair CTE body (no trailing ORDER BY): same tf-idf base with
+    class routing folded into the join + threshold."""
+    base = tfidf_cosine_pairs_sql().replace("ORDER BY 1, 2", "")
+    base = base.replace(
+        "AND a.doc_id < b.doc_id",
+        "AND a.doc_id < b.doc_id AND (a.doc_id % 3 = 0) = (b.doc_id % 3 = 0)")
+    return base.replace(
+        f">= {COSINE_PAIR_THRESH}",
+        f">= CASE WHEN d.left_id % 3 = 0 THEN {BOUND_INST_THRESH} "
+        f"ELSE {BOUND_IND_THRESH} END")
+
+
+def cosine_bounded_sql() -> str:
+    return f"""
+        WITH RECURSIVE base AS ({_bounded_cosine_pairs_sql()}),
+        sym(a, b) AS (
+            SELECT left_id, right_id FROM base
+            UNION ALL
+            SELECT right_id, left_id FROM base
+        ),
+        reach(id, r) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        ),
+        grp AS (SELECT id AS doc_id, min(r) AS cg FROM reach GROUP BY id),
+        cmp AS (SELECT g.doc_id,
+                       regexp_extract(d.text, '^(\\S+)', 1) AS bound_key,
+                       g.cg
+                FROM grp g JOIN documents d USING (doc_id)),
+        bg AS (SELECT bound_key, cg, min(doc_id) AS bound_group_id,
+                      count(*) AS n_members
+               FROM cmp GROUP BY 1, 2 HAVING count(*) > 1)
+        SELECT c.doc_id, b.bound_group_id, b.n_members
+        FROM cmp c JOIN bg b ON b.bound_key = c.bound_key AND b.cg = c.cg
+        ORDER BY c.doc_id
     """
