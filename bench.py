@@ -245,6 +245,7 @@ ANALYTICS = [
     "bpe_train",             # tokenizer induction
     "sliding_window_agg",    # time-RANGE window
     "scd2_intervals",        # changelog versioning
+    "tfidf_cosine_pairs",    # the reference's true cosine kernel (exact)
 ]
 
 

@@ -1510,3 +1510,54 @@ def test_cosine_clusters_match_pair_components(ray_session):
     expect = {x: find(x) for x in parent}
     got = {int(r.doc_id): int(r.group_id) for r in groups.itertuples()}
     assert got == expect
+
+
+def test_constellation_offset_recovery_kernel():
+    """The landmark voting kernel recovers WHERE a snippet sits in a
+    non-stationary signal: white noise, snippet = samples [s0:s1), the
+    modal (t1_clip - t1_snippet) must equal s0 // HOP exactly."""
+    from who_owns_mass_processing_ray.pipelines.multimodal import (
+        AMH_HOP,
+        AMH_SR,
+        constellation_landmarks,
+    )
+
+    rng = np.random.default_rng(7)
+    pcm = rng.normal(0, 0.3, size=AMH_SR * 4).astype(np.float32)  # 4 s
+    s0 = 37 * AMH_HOP                     # hop-aligned snippet start
+    snip = pcm[s0: s0 + AMH_SR * 2]
+    ch, ct = constellation_landmarks(pcm, AMH_SR)
+    qh, qt = constellation_landmarks(snip, AMH_SR)
+    assert len(ch) and len(qh)
+    order = np.argsort(ch, kind="stable")
+    ch, ct = ch[order], ct[order]
+    lo = np.searchsorted(ch, qh, side="left")
+    hi = np.searchsorted(ch, qh, side="right")
+    offsets = []
+    for i in range(len(qh)):
+        for j in range(lo[i], hi[i]):
+            offsets.append(int(ct[j]) - int(qt[i]))
+    vals, counts = np.unique(np.array(offsets), return_counts=True)
+    best = int(vals[np.argmax(counts)])
+    assert best == s0 // AMH_HOP, (best, s0 // AMH_HOP)
+    # the true offset must dominate: sharper than any competitor by 3x
+    runner = np.sort(counts)[-2] if len(counts) > 1 else 0
+    assert counts.max() >= 3 * max(runner, 1)
+
+
+def test_constellation_match_recall(ray_session):
+    """Corpus gate at sf0.001: >= 85% of query snippets match a clip of
+    their own waveform-equivalence class (doc_id % 997 — the synth corpus
+    reuses base params, so identical-audio twins are legitimate hits)."""
+    from who_owns_mass_processing_ray.pipelines.multimodal import (
+        q_audio_constellation_match,
+    )
+
+    out = q_audio_constellation_match(SF_DIR).to_pandas()
+    assert len(out) >= 20
+    ok = sum((int(r.query_id[5:]) % 997) == (int(r.clip_id[5:]) % 997)
+             for r in out.itertuples())
+    assert ok / len(out) >= 0.85, f"{ok}/{len(out)}"
+    # determinism: rerun equality
+    again = q_audio_constellation_match(SF_DIR).to_pandas()
+    assert out.equals(again)

@@ -2192,3 +2192,232 @@ def dtw_near_dup_pairs(corpus):
     return edges.map_batches(
         lambda t: t.select(["left_id", "right_id", "dtw_cost", "dropped"]),
         batch_format="pyarrow").sort(["left_id", "right_id"])
+
+
+# ---------------------------------------------------------------------------
+# Constellation (landmark-pair) audio fingerprint search — Shazam-style
+# (Wang, ISMIR 2003): per frame, the top-2 spectral peak bins; landmarks =
+# (anchor_bin, target_bin, frame_delta) hashes pairing an anchor frame's
+# peaks with the peaks of the next CONST_FANOUT_T frames; matching = an
+# inverted landmark index probed by query-snippet landmarks with OFFSET
+# VOTING (a true match concentrates its votes at one time offset; noise
+# matches scatter).  This is a different capability class from
+# q_audio_snippet_search's run-hash tokens: landmark pairs localize in
+# TIME, so the vote histogram recovers WHERE the snippet sits in the clip,
+# and isolated corrupted frames cost only their own landmarks.
+#
+# Scale shape: corpus landmark rows are narrow (hash, clip, t1) and stream
+# through one map_batches; the QUERY side is small by definition of search
+# (like q_audio_snippet_search / knn queries) and is broadcast once via
+# ray.put as three sorted arrays; per-batch probing is one searchsorted
+# range expansion; votes pre-aggregate in-batch (np.unique) before the
+# only shuffle — a tiny (query, clip, offset) groupby.  Bytes never
+# shuffle.  Rows-only driver check (codec decode is not SQL-expressible);
+# the offset-recovery kernel gate and the corpus recall gate live in
+# tests/test_independent_oracles.py.
+# ---------------------------------------------------------------------------
+
+CONST_PEAKS = 2          # peaks per frame (top-2, guard-masked like AMH)
+CONST_FANOUT_T = 3       # anchor pairs with peaks of the next 1..3 frames
+CONST_PARENT_MOD = 17    # clips contributing a query snippet
+CONST_MIN_VOTES = 4      # suppress matches below this vote count
+CONST_SEED = 31337
+
+
+def constellation_landmarks(pcm: np.ndarray, sr: int
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """-> (lhash:uint64[], t1:int64[]) landmark hashes + anchor frame times
+    of one clip on the shared AMH 8 kHz / 512 / 256 grid."""
+    if len(pcm) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    if sr != AMH_SR:
+        n_out = max(int(round(len(pcm) * AMH_SR / sr)), 1)
+        t_in = np.arange(len(pcm)) / sr
+        t_out = np.arange(n_out) / AMH_SR
+        pcm = np.interp(t_out, t_in, pcm)
+    if len(pcm) < AMH_FRAME:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    x = pcm.astype(np.float64)
+    starts = np.arange(0, len(x) - AMH_FRAME + 1, AMH_HOP)
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(len(starts), AMH_FRAME),
+        strides=(x.strides[0] * AMH_HOP, x.strides[0]))
+    spec = np.abs(np.fft.rfft(frames * np.hanning(AMH_FRAME), axis=1))
+    spec[:, :3] = 0.0                      # kill DC / sub-audio bins
+    n_bins = spec.shape[1]
+    b1 = spec.argmax(axis=1)
+    cols = np.arange(n_bins)[None, :]
+    masked = np.where(np.abs(cols - b1[:, None]) <= AMH_PEAK_GUARD,
+                      0.0, spec)
+    b2 = masked.argmax(axis=1)
+    peaks = np.stack([b1, b2], axis=1).astype(np.uint64)  # (nf, 2)
+    nf = len(starts)
+    if nf <= CONST_FANOUT_T:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    hashes, times = [], []
+    for dt in range(1, CONST_FANOUT_T + 1):
+        f1 = peaks[:-dt]                   # (nf-dt, 2) anchor peaks
+        f2 = peaks[dt:]                    # (nf-dt, 2) target peaks
+        # all 2x2 anchor-target combos per frame pair
+        a = np.repeat(f1, CONST_PEAKS, axis=1).reshape(-1)
+        b = np.tile(f2, (1, CONST_PEAKS)).reshape(-1)
+        packed = (a << np.uint64(18)) | (b << np.uint64(4)) | np.uint64(dt)
+        hashes.append(hx.splitmix64(packed ^ np.uint64(CONST_SEED)))
+        times.append(np.repeat(np.arange(nf - dt, dtype=np.int64),
+                               CONST_PEAKS * CONST_PEAKS))
+    return np.concatenate(hashes), np.concatenate(times)
+
+
+class _ConstellationRows:
+    """Actor pool: decode -> landmark rows.  ``snippet`` mode emits the
+    middle-half excerpt's landmarks (the planted query)."""
+
+    def __init__(self, snippet: bool = False):
+        self.codecs = audio.CODECS
+        self.snippet = snippet
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        cids = t["clip_id"].to_pylist()
+        out_h, out_t, out_id = [], [], []
+        for i in range(len(t)):
+            try:
+                pcm, sr = audio.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            if self.snippet:
+                n = len(pcm)
+                pcm = pcm[n // 4: 3 * n // 4]
+            h, t1 = constellation_landmarks(pcm, sr)
+            if not len(h):
+                continue
+            out_h.append(h)
+            out_t.append(t1)
+            out_id.extend([cids[i]] * len(h))
+        if not out_h:
+            return pa.table({"lhash": pa.array([], pa.int64()),
+                             "t1": pa.array([], pa.int64()),
+                             "clip_id": pa.array([], pa.string())})
+        return pa.table({
+            "lhash": pa.array(np.concatenate(out_h).view(np.int64)),
+            "t1": pa.array(np.concatenate(out_t)),
+            "clip_id": pa.array(out_id, pa.string()),
+        })
+
+
+def q_audio_constellation_match(sf_dir: str):
+    """-> (query_id, clip_id, votes, offset_frames): for each query snippet
+    (middle half of clips with doc_id % CONST_PARENT_MOD == 0), the best-
+    matching corpus clip by landmark OFFSET VOTING — votes = the largest
+    single-offset count for that (query, clip), the Shazam decision
+    statistic; ties break to min clip_id / min offset (deterministic)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    clips = clips_from_documents(sf_dir)
+
+    def is_parent(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["clip_id"], 5, 17),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % CONST_PARENT_MOD == 0))
+
+    parents = clips.map_batches(is_parent, batch_format="pyarrow")
+    q_rows = parents.map_batches(_ConstellationRows,
+                                 fn_constructor_kwargs={"snippet": True},
+                                 batch_format="pyarrow", batch_size=32,
+                                 concurrency=pool_bounds(8), num_cpus=1)
+    # query side: small by construction (1/MOD of clips, middle halves) —
+    # broadcast once as sorted arrays
+    q_parts = [x for x in ray.get(q_rows.to_arrow_refs()) if x.num_rows]
+    if not q_parts:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.string()),
+            "clip_id": pa.array([], pa.string()),
+            "votes": pa.array([], pa.int64()),
+            "offset_frames": pa.array([], pa.int64())}))
+    qt = pa.concat_tables(q_parts).combine_chunks()
+    qh = qt["lhash"].to_numpy().view(np.uint64)
+    qtime = qt["t1"].to_numpy()
+    enc = pc.dictionary_encode(qt["clip_id"])
+    q_codes = enc.combine_chunks().indices.to_numpy().astype(np.int64) \
+        if isinstance(enc, pa.ChunkedArray) else \
+        enc.indices.to_numpy().astype(np.int64)
+    q_names = (enc.combine_chunks().dictionary if
+               isinstance(enc, pa.ChunkedArray) else enc.dictionary)
+    order = np.argsort(qh, kind="stable")
+    q_ref = ray.put((qh[order], qtime[order], q_codes[order],
+                     q_names.to_pylist()))
+
+    corpus_rows = clips.map_batches(_ConstellationRows,
+                                    batch_format="pyarrow", batch_size=32,
+                                    concurrency=pool_bounds(8), num_cpus=1)
+
+    def probe(t: pa.Table) -> pa.Table:
+        sqh, sqt, sqc, names = ray.get(q_ref)
+        h = t["lhash"].to_numpy().view(np.uint64)
+        t1 = t["t1"].to_numpy()
+        cenc = pc.dictionary_encode(t["clip_id"].combine_chunks()
+                                    if isinstance(t["clip_id"],
+                                                  pa.ChunkedArray)
+                                    else t["clip_id"])
+        c_codes = cenc.indices.to_numpy().astype(np.int64)
+        c_names = cenc.dictionary.to_pylist()
+        lo = np.searchsorted(sqh, h, side="left")
+        hi = np.searchsorted(sqh, h, side="right")
+        cnt = hi - lo
+        has = cnt > 0
+        if not has.any():
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "clip_id": pa.array([], pa.string()),
+                             "offset_frames": pa.array([], pa.int64()),
+                             "votes": pa.array([], pa.int64())})
+        lo, cnt = lo[has], cnt[has]
+        rep_t1 = np.repeat(t1[has], cnt)
+        rep_c = np.repeat(c_codes[has], cnt)
+        total = int(cnt.sum())
+        qpos = lo.repeat(cnt) + (np.arange(total)
+                                 - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        offs = rep_t1 - sqt[qpos]
+        qcode = sqc[qpos]
+        # in-batch pre-aggregation: votes per (query, clip, offset)
+        trip = np.stack([qcode, rep_c, offs], axis=1)
+        uniq, votes = np.unique(trip, axis=0, return_counts=True)
+        return pa.table({
+            "query_id": pa.array([names[int(q)] for q in uniq[:, 0]],
+                                 pa.string()),
+            "clip_id": pa.array([c_names[int(c)] for c in uniq[:, 1]],
+                                pa.string()),
+            "offset_frames": pa.array(uniq[:, 2], pa.int64()),
+            "votes": pa.array(votes.astype(np.int64)),
+        })
+
+    votes = corpus_rows.map_batches(probe, batch_format="pyarrow")
+    agg = votes.groupby(["query_id", "clip_id", "offset_frames"]) \
+        .aggregate(Sum("votes", alias_name="votes"))
+
+    def pick_best(g: pa.Table) -> pa.Table:
+        v = g["votes"].to_numpy()
+        cid = g["clip_id"].to_pylist()
+        off = g["offset_frames"].to_numpy()
+        order = np.lexsort((off, cid, -v))   # max votes, then min id/offset
+        i = order[0]
+        if v[i] < CONST_MIN_VOTES:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "clip_id": pa.array([], pa.string()),
+                             "votes": pa.array([], pa.int64()),
+                             "offset_frames": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array([g["query_id"][0].as_py()], pa.string()),
+            "clip_id": pa.array([cid[i]], pa.string()),
+            "votes": pa.array([int(v[i])], pa.int64()),
+            "offset_frames": pa.array([int(off[i])], pa.int64()),
+        })
+
+    return agg.groupby("query_id").map_groups(pick_best,
+                                              batch_format="pyarrow") \
+        .sort("query_id")
