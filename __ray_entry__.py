@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_doc_fingerprint,
         "feature_hash": textops.q_feature_hash,
+        "quality_lr_filter": textops.q_quality_lr_filter,
         "dup_graph_pagerank": textops.q_dup_graph_pagerank,
         "dup_graph_kcore": textops.q_dup_graph_kcore,
         "dup_graph_modularity": textops.q_dup_graph_modularity,

@@ -1561,3 +1561,49 @@ def test_constellation_match_recall(ray_session):
     # determinism: rerun equality
     again = q_audio_constellation_match(SF_DIR).to_pandas()
     assert out.equals(again)
+
+
+def test_quality_lr_vs_numpy_irls(ray_session):
+    """Distributed IRLS == full-batch numpy IRLS (same features, ridge,
+    iteration count) — coefficients and per-doc probabilities must agree;
+    the fitted model must beat a majority-class baseline on its own
+    training labels (the features genuinely predict lang)."""
+    import pyarrow.compute as pc
+
+    from who_owns_mass_processing_ray.pipelines.textops import (
+        _LR_ITERS,
+        _LR_RIDGE,
+        _lr_feature_matrix,
+        fit_quality_lr,
+        q_quality_lr_filter,
+    )
+
+    tab = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    X, y, ids = _lr_feature_matrix(tab)
+
+    beta = np.zeros(5)
+    for _ in range(_LR_ITERS):
+        eta = X @ beta
+        p = 1.0 / (1.0 + np.exp(-np.clip(eta, -30, 30)))
+        w = np.maximum(p * (1.0 - p), 1e-6)
+        z = eta + (y - p) / w
+        G = X.T @ (X * w[:, None]) + _LR_RIDGE * np.eye(5)
+        beta = np.linalg.solve(G, X.T @ (w * z))
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(tab)
+    got_beta = fit_quality_lr(ds)
+    np.testing.assert_allclose(got_beta, beta, rtol=1e-6, atol=1e-8)
+
+    out = q_quality_lr_filter(SF_DIR).to_pandas()
+    p_full = 1.0 / (1.0 + np.exp(-np.clip(X @ beta, -30, 30)))
+    expect = {int(i): round(float(v), 4)
+              for i, v in zip(ids.to_pylist(), p_full)}
+    assert len(out) == len(expect)
+    for r in out.itertuples():
+        assert abs(float(r.p_en) - expect[int(r.doc_id)]) <= 2e-4
+    acc = float(np.mean((p_full >= 0.5) == (y > 0.5)))
+    base = max(float(y.mean()), 1.0 - float(y.mean()))
+    assert acc > base, (acc, base)

@@ -7179,3 +7179,92 @@ def cosine_bounded_sql() -> str:
         FROM cmp c JOIN bg b ON b.bound_key = c.bound_key AND b.cg = c.cg
         ORDER BY c.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic-regression quality filter — model-BASED curation
+# beyond the rule-based quality_score heuristics (the CCNet/fastText-style
+# "train a small classifier, score every doc" stage of a training-data
+# pipeline).  Fitting is IRLS/Newton with RIDGE, distributed the standard
+# GLM way (one streaming pass per iteration): each batch contributes its
+# 5x5 Gram X'WX and 5-vector X'Wz sufficient statistics; the driver solves
+# the 5x5 system.  No driver-side row collection ever — per-iteration
+# reduce payload is 30 floats per batch regardless of corpus size, and the
+# final scoring pass streams.  Fully deterministic (fixed iterations, no
+# RNG); labels are lang=='en' so the fit is reproducible from the table.
+# ---------------------------------------------------------------------------
+
+_LR_RIDGE = 1e-3
+_LR_ITERS = 6
+_LR_STOPWORDS = r"\b(the|a|of|and|in|to|is|on|for|with)\b"
+
+
+def _lr_feature_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """-> (X[n,5], y[n], doc_id): intercept, mean word len, punct ratio,
+    stopword ratio, log1p(n_chars)."""
+    t = t.filter(pc.is_valid(t["text"]))
+    txt = t["text"]
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    toks = pc.list_value_length(pc.utf8_split_whitespace(txt)) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    toks = np.maximum(toks, 1.0)
+    punct = pc.count_substring_regex(txt, r"[^\w\s]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    stop = pc.count_substring_regex(pc.utf8_lower(txt), _LR_STOPWORDS) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    mean_wl = (n_chars - (toks - 1.0)) / toks
+    X = np.stack([np.ones(len(n_chars)), mean_wl,
+                  punct / np.maximum(n_chars, 1.0), stop / toks,
+                  np.log1p(n_chars)], axis=1)
+    y = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    return X, y, t["doc_id"]
+
+
+def fit_quality_lr(ds, iters: int = _LR_ITERS, ridge: float = _LR_RIDGE
+                   ) -> np.ndarray:
+    """IRLS fit over a (doc_id, text, lang) Dataset -> beta[5]."""
+    beta = np.zeros(5, dtype=np.float64)
+    for _ in range(iters):
+        b = beta.copy()
+
+        def partials(t: pa.Table, _b=b) -> pa.Table:
+            X, y, _ = _lr_feature_matrix(t)
+            eta = X @ _b
+            p = 1.0 / (1.0 + np.exp(-np.clip(eta, -30, 30)))
+            w = np.maximum(p * (1.0 - p), 1e-6)
+            z = eta + (y - p) / w
+            G = X.T @ (X * w[:, None])          # 5x5
+            v = X.T @ (w * z)                   # 5
+            flat = np.concatenate([G.reshape(-1), v])
+            return pa.table({f"s{i}": pa.array([flat[i]])
+                             for i in range(30)})
+
+        sums = ds.map_batches(partials, batch_format="pyarrow") \
+            .sum([f"s{i}" for i in range(30)])
+        flat = np.array([sums[f"sum(s{i})"] for i in range(30)])
+        G = flat[:25].reshape(5, 5) + ridge * np.eye(5)
+        beta = np.linalg.solve(G, flat[25:])
+    return beta
+
+
+def q_quality_lr_filter(sf_dir: str):
+    """-> (doc_id, p_en, pred): per-doc probability from the distributed
+    IRLS logistic fit of lang=='en' on the rule-based quality features —
+    sorted, rounded 4.  Rows-only for the driver (iterative model fitting
+    is not SQL-expressible); full-batch numpy IRLS parity + accuracy gate
+    in tests/test_independent_oracles.py."""
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    beta = fit_quality_lr(ds)
+
+    def score(t: pa.Table) -> pa.Table:
+        X, _, ids = _lr_feature_matrix(t)
+        p = 1.0 / (1.0 + np.exp(-np.clip(X @ beta, -30, 30)))
+        return pa.table({
+            "doc_id": ids,
+            "p_en": pa.array(round_half_away(p, 4)),
+            "pred": pa.array(p >= 0.5),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
