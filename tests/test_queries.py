@@ -39,7 +39,7 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "incremental_components", "vocab_growth", "sliding_window_agg", "star_join", "scd2_intervals",
           "boilerplate_strip", "ngram_repetition", "duration_buckets",
           "snapshot_diff", "tfidf_cosine_pairs", "cosine_clusters",
-          "cosine_cross_link", "cosine_bounded"]
+          "cosine_cross_link", "cosine_bounded", "cascade_match"]
 
 
 @pytest.fixture(scope="module")
@@ -192,3 +192,16 @@ def test_hll_high_cardinality_regime():
     np.maximum.at(half[0], idx[: n // 2], rank[: n // 2])
     np.maximum.at(half[1], idx[n // 2:], rank[n // 2:])
     assert np.array_equal(np.maximum(half[0], half[1]), regs[0])
+
+
+def test_cascade_match_shuffle_fallback(ray_session):
+    """q_cascade_match with broadcast_limit=0 (forced co-partitioned path,
+    the 100 TB shape) must equal the broadcast path row for row."""
+    from who_owns_mass_processing_ray.pipelines import relational
+
+    bc = relational.q_cascade_match(SF_DIR).to_pandas()
+    sh = relational.q_cascade_match(SF_DIR, broadcast_limit=0).to_pandas()
+    bc = bc.sort_values("event_id").reset_index(drop=True)
+    sh = sh.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, sh)
+    assert len(bc) > 0

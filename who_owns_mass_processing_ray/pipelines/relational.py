@@ -275,90 +275,165 @@ def q_split_rows(sf_dir: str):
     return out.sort(["doc_id", "word"])
 
 
-def q_cascade_match(sf_dir: str):
+def _cascade_side(otbl: pa.Table):
+    """orders table -> (sorted unique users, segment starts, keys, prices)
+    with per-user rows ordered (latest o_orderdate, ties min o_orderkey)."""
+    otbl = otbl.combine_chunks().sort_by(
+        [("o_custkey", "ascending"), ("o_orderdate", "descending"),
+         ("o_orderkey", "ascending")])
+    u = otbl["o_custkey"].to_numpy()
+    change = np.flatnonzero(u[1:] != u[:-1]) + 1
+    starts = np.concatenate(([0], change, [len(u)]))
+    return (u[starts[:-1]], starts, otbl["o_orderkey"].to_numpy(),
+            otbl["o_totalprice"].to_numpy())
+
+
+def _cascade_probe(t: pa.Table, side, strict: bool) -> pa.Table:
+    """Vectorized probe: searchsorted into the per-user segments; the
+    strict pass walks the k-th order of every still-unmatched event in
+    lock-step (bounded by max orders/user), all numpy — no per-row
+    Python (the r1 per-row loop died here)."""
+    su, seg_starts, keys, prices = side
+    users = t["user_id"].to_numpy()
+    vals = t["value"].to_numpy()
+    n = len(t)
+    matched = np.full(n, -1, dtype=np.int64)
+    pos = np.searchsorted(su, users)
+    found = (pos < len(su))
+    found[found] = su[pos[found]] == users[found]
+    s = np.where(found, seg_starts[np.where(found, pos, 0)], 0)
+    e = np.where(found, seg_starts[np.where(found, pos, 0) + 1], 0)
+    if not strict:
+        matched[found] = keys[s[found]]   # latest date, min key
+    else:
+        idx = s.copy()
+        active = found.copy()
+        while active.any():
+            cur = idx[active]
+            ok = prices[cur] >= 100.0 * vals[active]
+            hit_rows = np.flatnonzero(active)[ok]
+            matched[hit_rows] = keys[cur[ok]]
+            idx[active] += 1
+            active &= (matched < 0) & (idx < e)
+    return pa.table({
+        "event_id": t["event_id"],
+        "user_id": t["user_id"],
+        "value": t["value"],
+        "matched_order": pa.array(matched),
+    })
+
+
+def _cascade_hits(matched_tbl: pa.Table, strict: bool) -> pa.Table:
+    m = matched_tbl["matched_order"].to_numpy()
+    keep = m >= 0
+    out = matched_tbl.filter(pa.array(keep))
+    return pa.table({
+        "event_id": out["event_id"],
+        "matched_order": out["matched_order"],
+        "matched_strict": pa.array(np.full(out.num_rows, strict)),
+    })
+
+
+def q_cascade_match(sf_dir: str, broadcast_limit: int | None = None):
     """Cascading fallback match ≙ ``dedupe_address_to_address_seq``'s
     multi-pass loosening cascade (/root/reference/R/deduplicaters.R:10-56)
     and the route-transform-reunite bind_rows pattern: pass 1 matches each
     event to its user's latest order with ``o_totalprice >= 100*value``
     (strict key); rows left unmatched are FORWARDED to pass 2, which drops
     the price predicate; results re-unite.  Deterministic: latest
-    o_orderdate, ties by min o_orderkey.  The orders side is broadcast once
-    (ray.put) as per-user sorted arrays."""
+    o_orderdate, ties by min o_orderkey.
+
+    ADAPTIVE side handling (the joins.attach_columns pattern): the orders
+    side broadcasts once (ray.put, per-user sorted arrays) while it fits
+    ``broadcast_limit``; past the limit NOTHING collects on the driver —
+    both tables hash-partition on user_id and each partition runs the
+    identical probe kernel locally (both passes inside the group, since
+    matching is per-user).  Forced-path parity is tested
+    (tests/test_queries.py::test_cascade_match_shuffle_fallback)."""
     import ray
 
-    # Broadcast side: the projected orders table, gathered from the Dataset's
-    # own blocks (NOT a driver pq.read_table — the read stays distributed and
-    # column-pruned), sorted once with Arrow's C kernel, and shipped as flat
-    # numpy arrays + per-user segment offsets.  Above joins.BROADCAST_ROW_LIMIT
-    # rows this side must become a partitioned Dataset.join keyed on user —
-    # the same adaptive swap stages/joins.attach_columns performs.
+    from who_owns_mass_processing_ray.stages import joins
+
+    if broadcast_limit is None:
+        broadcast_limit = joins.BROADCAST_ROW_LIMIT
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
                                       "o_orderdate", "o_totalprice"])
-    side_tables = [t for t in ray.get(orders.to_arrow_refs()) if t.num_rows]
-    otbl = pa.concat_tables(side_tables).combine_chunks().sort_by(
-        [("o_custkey", "ascending"), ("o_orderdate", "descending"),
-         ("o_orderkey", "ascending")])
-    u = otbl["o_custkey"].to_numpy()
-    change = np.flatnonzero(u[1:] != u[:-1]) + 1
-    starts = np.concatenate(([0], change, [len(u)]))
-    side_ref = ray.put((u[starts[:-1]],                 # sorted unique users
-                        starts,
-                        otbl["o_orderkey"].to_numpy(),
-                        otbl["o_totalprice"].to_numpy()))
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
-    def probe(t: pa.Table, strict: bool) -> pa.Table:
-        """Vectorized probe: searchsorted into the per-user segments; the
-        strict pass walks the k-th order of every still-unmatched event in
-        lock-step (bounded by max orders/user), all numpy — no per-row
-        Python (the r1 per-row loop died here)."""
-        su, seg_starts, keys, prices = ray.get(side_ref)
-        users = t["user_id"].to_numpy()
-        vals = t["value"].to_numpy()
-        n = len(t)
-        matched = np.full(n, -1, dtype=np.int64)
-        pos = np.searchsorted(su, users)
-        found = (pos < len(su))
-        found[found] = su[pos[found]] == users[found]
-        s = np.where(found, seg_starts[np.where(found, pos, 0)], 0)
-        e = np.where(found, seg_starts[np.where(found, pos, 0) + 1], 0)
-        if not strict:
-            matched[found] = keys[s[found]]   # latest date, min key
-        else:
-            idx = s.copy()
-            active = found.copy()
-            while active.any():
-                cur = idx[active]
-                ok = prices[cur] >= 100.0 * vals[active]
-                hit_rows = np.flatnonzero(active)[ok]
-                matched[hit_rows] = keys[cur[ok]]
-                idx[active] += 1
-                active &= (matched < 0) & (idx < e)
+    if orders.count() <= broadcast_limit:
+        side_tables = [t for t in ray.get(orders.to_arrow_refs())
+                       if t.num_rows]
+        side_ref = ray.put(_cascade_side(pa.concat_tables(side_tables)))
+
+        def probe(t: pa.Table, strict: bool) -> pa.Table:
+            return _cascade_probe(t, ray.get(side_ref), strict)
+
+        pass1 = events.map_batches(lambda t: probe(t, True),
+                                   batch_format="pyarrow").materialize()
+        hit1 = pass1.filter(expr="matched_order >= 0").map_batches(
+            lambda t: _cascade_hits(t, True), batch_format="pyarrow")
+        # forward the unmatched remainder to the looser pass (route-reunite)
+        hit2 = pass1.filter(expr="matched_order < 0").map_batches(
+            lambda t: _cascade_probe(t, ray.get(side_ref), False),
+            batch_format="pyarrow").map_batches(
+            lambda t: _cascade_hits(t, False), batch_format="pyarrow")
+        return hit1.union(hit2).sort("event_id")
+
+    # shuffle path: co-partition on user, run both passes per partition
+    num_parts = 32
+    date_type = orders.schema().base_schema.field("o_orderdate").type
+
+    def tag_orders(t: pa.Table) -> pa.Table:
         return pa.table({
-            "event_id": t["event_id"],
-            "user_id": t["user_id"],
-            "value": t["value"],
-            "matched_order": pa.array(matched),
+            "user_id": t["o_custkey"].cast(pa.int64()),
+            "event_id": pa.nulls(len(t), pa.int64()),
+            "value": pa.nulls(len(t), pa.float64()),
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_orderdate": t["o_orderdate"],
+            "o_totalprice": t["o_totalprice"].cast(pa.float64()),
+            "part": pa.array((t["o_custkey"].to_numpy() % num_parts)
+                             .astype(np.int32)),
         })
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
-    pass1 = events.map_batches(lambda t: probe(t, True),
-                               batch_format="pyarrow").materialize()
-    hit1 = pass1.filter(expr="matched_order >= 0").map_batches(
-        lambda t: pa.table({
-            "event_id": t["event_id"],
-            "matched_order": t["matched_order"],
-            "matched_strict": pa.array([True] * len(t)),
-        }), batch_format="pyarrow")
-    # forward the unmatched remainder to the looser pass (route-reunite)
-    rest = pass1.filter(expr="matched_order < 0").map_batches(
-        lambda t: probe(t, False), batch_format="pyarrow")
-    hit2 = rest.map_batches(
-        lambda t: pa.table({
-            "event_id": t["event_id"],
-            "matched_order": t["matched_order"],
-            "matched_strict": pa.array([False] * len(t)),
-        }), batch_format="pyarrow").filter(expr="matched_order >= 0")
-    return hit1.union(hit2).sort("event_id")
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "value": t["value"].cast(pa.float64()),
+            "o_orderkey": pa.nulls(len(t), pa.int64()),
+            "o_orderdate": pa.nulls(len(t), date_type),
+            "o_totalprice": pa.nulls(len(t), pa.float64()),
+            "part": pa.array((t["user_id"].to_numpy() % num_parts)
+                             .astype(np.int32)),
+        })
+
+    union = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(events.map_batches(tag_events, batch_format="pyarrow"))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        is_ev = pc.is_valid(g["event_id"])
+        ev = g.filter(is_ev).select(["event_id", "user_id", "value"])
+        if ev.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "matched_order": pa.array([], pa.int64()),
+                             "matched_strict": pa.array([], pa.bool_())})
+        od = g.filter(pc.invert(is_ev))
+        od = pa.table({"o_custkey": od["user_id"],
+                       "o_orderkey": od["o_orderkey"],
+                       "o_orderdate": od["o_orderdate"],
+                       "o_totalprice": od["o_totalprice"]})
+        side = _cascade_side(od)
+        p1 = _cascade_probe(ev, side, True)
+        hits = [_cascade_hits(p1, True)]
+        rest = p1.filter(pc.less(p1["matched_order"], 0))
+        if rest.num_rows:
+            hits.append(_cascade_hits(_cascade_probe(rest, side, False),
+                                      False))
+        return pa.concat_tables(hits)
+
+    return union.groupby("part").map_groups(
+        lambda g: per_part(g.drop_columns(["part"])),
+        batch_format="pyarrow").sort("event_id")
 
 
 def q_window_agg(sf_dir: str):
