@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_clusters": textops.q_cosine_clusters,
         "cosine_cross_link": textops.q_cosine_cross_link,
         "cosine_bounded": textops.q_cosine_bounded,
+        "cosine_metacorps": textops.q_cosine_metacorps,
         "containment_pairs": textops.q_containment_pairs,
         "span_dedup_mask": textops.q_span_dedup_mask,
         "shared_span_pairs": textops.q_shared_span_pairs,
@@ -584,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_clusters": textops.cosine_clusters_sql(),
         "cosine_cross_link": textops.cosine_cross_link_sql(),
         "cosine_bounded": textops.cosine_bounded_sql(),
+        "cosine_metacorps": textops.cosine_metacorps_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "cross_table_link": _CROSS_LINK_ORACLE,

@@ -39,7 +39,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "incremental_components", "vocab_growth", "sliding_window_agg", "star_join", "scd2_intervals",
           "boilerplate_strip", "ngram_repetition", "duration_buckets",
           "snapshot_diff", "tfidf_cosine_pairs", "cosine_clusters",
-          "cosine_cross_link", "cosine_bounded", "cascade_match"]
+          "cosine_cross_link", "cosine_bounded", "cascade_match",
+          "cosine_metacorps"]
 
 
 @pytest.fixture(scope="module")

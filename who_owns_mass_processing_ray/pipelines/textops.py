@@ -7268,3 +7268,62 @@ def q_quality_lr_filter(sf_dir: str):
         })
 
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def q_cosine_metacorps(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """The ``metacorps_cosine`` output table with the TRUE kernel
+    (/root/reference/R/deduplicaters.R:1032-1075 + dedupe_text_mode
+    :290-311): cosine clusters -> per-cluster canonical text election
+    (the MODE text; ties break to the lexicographically smallest text —
+    the deterministic replacement for the reference's arrange-order
+    dependence, SURVEY §4) plus member count.
+    -> (group_id, n_members, canonical_text), sorted by group_id."""
+    from who_owns_mass_processing_ray.stages import joins
+
+    assign = _groups_from_pairs(cosine_pairs_ds(_docs(sf_dir)), cfg)
+    with_text = joins.attach_columns(assign, _docs(sf_dir), "doc_id",
+                                     "doc_id", {"text": "text"}, 16,
+                                     how="inner")
+
+    def elect(g: pa.Table) -> pa.Table:
+        txt = g["text"].to_pylist()
+        vals, counts = np.unique(np.array(txt, dtype=object),
+                                 return_counts=True)
+        i = np.lexsort((vals, -counts))[0]   # max count, tie min text
+        return pa.table({
+            "group_id": pa.array([g["group_id"][0].as_py()], pa.int64()),
+            "n_members": pa.array([g.num_rows], pa.int64()),
+            "canonical_text": pa.array([str(vals[i])], pa.string()),
+        })
+
+    return with_text.groupby("group_id").map_groups(
+        elect, batch_format="pyarrow").sort("group_id")
+
+
+def cosine_metacorps_sql() -> str:
+    base = tfidf_cosine_pairs_sql().replace("ORDER BY 1, 2", "")
+    return f"""
+        WITH RECURSIVE base AS ({base}),
+        sym(a, b) AS (
+            SELECT left_id, right_id FROM base
+            UNION ALL
+            SELECT right_id, left_id FROM base
+        ),
+        reach(id, r) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        ),
+        grp AS (SELECT id AS doc_id, min(r) AS group_id
+                FROM reach GROUP BY id),
+        m AS (SELECT g.group_id, d.text, count(*) AS ct
+              FROM grp g JOIN documents d USING (doc_id)
+              GROUP BY 1, 2),
+        sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_members
+               FROM grp GROUP BY 1)
+        SELECT m.group_id, sz.n_members, m.text AS canonical_text
+        FROM m JOIN sz USING (group_id)
+        QUALIFY row_number() OVER (PARTITION BY m.group_id
+                                   ORDER BY m.ct DESC, m.text ASC) = 1
+        ORDER BY m.group_id
+    """
