@@ -6859,7 +6859,7 @@ def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH,
     ``thresh_of`` routes per-pair verify thresholds; ``candidate_filter``
     prunes candidate pairs (narrow id rows) BEFORE text attach + verify."""
     import ray
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Count
 
     from who_owns_mass_processing_ray.stages import pairs as pr
 
@@ -6932,20 +6932,91 @@ def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH,
         return pa.table({
             "bucket_key": pa.array(v[keep]),
             "doc_id": pa.array(ids_rep[keep], pa.int64()),
+            "snorm": pa.array(np.sqrt(suffix2[keep])),
         })
 
+    # Positional (PPJoin-style) candidate prune, COMPLETE: for a pair with
+    # cos >= τ, its earliest shared gram g* sits in both prefixes and
+    # Cauchy-Schwarz gives cos <= s_a(g*)·s_b(g*), so the MAX over the
+    # pair's bucket co-occurrences of the suffix-norm product is >= τ.
+    # Pairs whose max product stays below τ cannot qualify and never ship
+    # text or reach verify.  (Measured on the zipf sf0.1 corpus: 7.78 M
+    # raw candidates -> far fewer verified; see BASELINE.md.)
+    def expand_with_prune(group: pa.Table) -> pa.Table:
+        tbl = group.sort_by([("bucket_key", "ascending"),
+                             ("doc_id", "ascending")])
+        keys = tbl["bucket_key"].to_numpy()
+        if not len(keys):
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64())})
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(keys)])))
+        seg_of_pair, li, lj, _dropped = pr._triangular_pairs(sizes, 100_000)
+        base = starts[seg_of_pair]
+        left_idx, right_idx = base + li, base + lj
+        ids = tbl["doc_id"].to_numpy()
+        sn = tbl["snorm"].to_numpy()
+        prod = sn[left_idx] * sn[right_idx]
+        l, r = ids[left_idx], ids[right_idx]
+        order = np.lexsort((r, l))
+        ls, rs, ps = l[order], r[order], prod[order]
+        seg = np.flatnonzero(np.r_[True, (ls[1:] != ls[:-1])
+                                   | (rs[1:] != rs[:-1])])
+        maxp = np.maximum.reduceat(ps, seg)
+        keep = maxp >= thresh - 1e-9
+        return pa.table({
+            "left_id": pa.array(ls[seg][keep], pa.int64()),
+            "right_id": pa.array(rs[seg][keep], pa.int64()),
+        })
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["bucket_key"].to_numpy() % np.uint64(16)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
     prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
-    cand = pr.pairs_from_bucket_rows(prefixes, "bucket_key", "doc_id",
-                                     max_bucket=100_000, num_parts=16)
+    cand = prefixes.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: expand_with_prune(g.drop_columns(["part"])),
+            batch_format="pyarrow")
     if candidate_filter is not None:
         cand = cand.map_batches(candidate_filter, batch_format="pyarrow")
+
+    # global narrow-pair dedup BEFORE text attach: unlike the LSH flagship
+    # (3.5% duplication — global dedup measured a LOSS there, BASELINE.md),
+    # gram-bucket candidates recur across partitions heavily (measured 24%
+    # at sf0.1, and 8x among verified rows pre-dedup); dropping them here
+    # avoids shipping duplicate ~1 KB text pairs and re-verifying them,
+    # and makes the verified set unique by construction (no post groupby).
+    def pre_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int32()))
+        l = t["left_id"].to_numpy()
+        r = t["right_id"].to_numpy()
+        key = l.astype(np.uint64) * np.uint64(1 << 32) ^ r.astype(np.uint64)
+        part = (hx.splitmix64(key) % np.uint64(32)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def distinct_part(g: pa.Table) -> pa.Table:
+        l = g["left_id"].to_numpy()
+        r = g["right_id"].to_numpy()
+        o = np.lexsort((r, l))
+        ls, rs = l[o], r[o]
+        seg = np.flatnonzero(np.r_[True, (ls[1:] != ls[:-1])
+                                   | (rs[1:] != rs[:-1])])
+        return pa.table({"left_id": pa.array(ls[seg], pa.int64()),
+                         "right_id": pa.array(rs[seg], pa.int64())})
+
+    cand = cand.map_batches(pre_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: distinct_part(g.drop_columns(["part"])),
+            batch_format="pyarrow")
     cand = pr.attach_pair_features(cand, docs, "text", 16, side_key="doc_id")
     out = cand.map_batches(_cosine_verify,
                            fn_kwargs={"k": k, "thresh": thresh, "ref": ref,
                                       "thresh_of": thresh_of},
-                           batch_format="pyarrow")
-    out = out.groupby(["left_id", "right_id"]).aggregate(
-        Max("cosine", alias_name="cosine"))
+                           batch_format="pyarrow",
+                           batch_size=DOCS_CFG.verify_batch_size)
     return out.sort(["left_id", "right_id"])
 
 
