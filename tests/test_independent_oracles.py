@@ -1607,3 +1607,88 @@ def test_quality_lr_vs_numpy_irls(ray_session):
     acc = float(np.mean((p_full >= 0.5) == (y > 0.5)))
     base = max(float(y.mean()), 1.0 - float(y.mean()))
     assert acc > base, (acc, base)
+
+
+def test_audio_curation_funnel_vs_brute(ray_session):
+    """The funnel's per-stage attrition vs a per-row brute recompute:
+    synthesize every clip directly, gate on duration, dedup exact bytes
+    with a dict, all-pairs signature-agreement near-dup + python DSU +
+    keep-longest."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    ids = sorted(int(x) for x in docs["doc_id"].to_pylist())
+    rows = []
+    for i in ids:
+        params = synth._base_params(1234, i % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (i % 7) * 150
+        pcm = synth._waveform(params, sr, dur)
+        rows.append((f"clip-{i:012d}", audio.encode(pcm, sr, codec),
+                     sr, dur, codec))
+    n0, d0 = len(rows), sum(r[3] for r in rows)
+    qc = [r for r in rows if r[3] >= mm.FUNNEL_MIN_DUR_MS]
+    n1, d1 = len(qc), sum(r[3] for r in qc)
+    seen: dict[bytes, str] = {}
+    exact = []
+    for r in sorted(qc, key=lambda r: r[0]):     # min clip_id kept
+        if r[1] not in seen:
+            seen[r[1]] = r[0]
+            exact.append(r)
+    n2, d2 = len(exact), sum(r[3] for r in exact)
+
+    sigs = {}
+    for cid, buf, sr, dur, codec in exact:
+        pcm, sr2 = audio.decode(buf, codec)
+        toks = mm._frame_tokens(pcm, sr2)
+        if not len(toks):
+            sigs[cid] = None
+            continue
+        offs = np.array([0, len(toks)], np.int64)
+        vals, o2 = hx.token_shingle_hashes(toks, offs, mm.AMH_K,
+                                           seed=mm.AMH_SEED)
+        sigs[cid] = hx.minhash_signatures(vals, o2, mm.AMH_PERM,
+                                          mm.AMH_SEED)[0]
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cids = [r[0] for r in exact]
+    for a in range(len(cids)):
+        for b in range(a + 1, len(cids)):
+            sa, sb = sigs[cids[a]], sigs[cids[b]]
+            if sa is None or sb is None:
+                continue
+            if (sa == sb).mean() >= mm.AMH_THRESH:
+                ra, rb = find(cids[a]), find(cids[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    by_root: dict[str, list] = {}
+    dur_of = {r[0]: r[3] for r in exact}
+    survivors = set()
+    for cid in cids:
+        if cid in parent:
+            by_root.setdefault(find(cid), []).append(cid)
+        else:
+            survivors.add(cid)
+    for root, members in by_root.items():
+        members.sort(key=lambda c: (-dur_of[c], c))
+        survivors.add(members[0])
+    n3 = len(survivors)
+    d3 = sum(dur_of[c] for c in survivors)
+
+    got = mm.q_audio_curation_funnel(SF_DIR).to_pandas() \
+        .set_index("stage")
+    expect = {"input": (n0, d0, 0), "qc": (n1, d1, n0 - n1),
+              "exact": (n2, d2, n1 - n2), "near": (n3, d3, n2 - n3)}
+    for stage, (n, d, rm) in expect.items():
+        assert int(got.loc[stage, "n_clips"]) == n, (stage, n)
+        assert int(got.loc[stage, "total_dur_ms"]) == d, (stage, d)
+        assert int(got.loc[stage, "n_removed"]) == rm, (stage, rm)
+    assert n0 - n3 > 0, "funnel must remove something at sf0.001"

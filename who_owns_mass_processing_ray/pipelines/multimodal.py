@@ -558,10 +558,15 @@ def _sig_matrix(col) -> np.ndarray:
 def q_audio_shingle_near_dup(sf_dir: str):
     """Verified shift/gain-invariant audio near-dup pairs
     (left_id, right_id, est_jacc)."""
+    return audio_shingle_pairs_ds(clips_from_documents(sf_dir))
+
+
+def audio_shingle_pairs_ds(clips):
+    """The q_audio_shingle_near_dup body over ANY clip-contract Dataset —
+    reusable on filtered/derived corpora (the audio curation funnel)."""
     from who_owns_mass_processing_ray.stages import pairs as pr
     from who_owns_mass_processing_ray.stages import pool_bounds
 
-    clips = clips_from_documents(sf_dir)
     feats = clips.map_batches(
         AudioShingleSig, batch_format="pyarrow", batch_size=64,
         concurrency=pool_bounds(8), num_cpus=1,
@@ -2421,3 +2426,138 @@ def q_audio_constellation_match(sf_dir: str):
     return agg.groupby("query_id").map_groups(pick_best,
                                               batch_format="pyarrow") \
         .sort("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio curation funnel — the audio analog of textops.q_curation_funnel
+# (the Dolma/RedPajama-style staged composition, on the clip table):
+# duration QC gate -> exact content dedup (bytes hash, keep min clip_id)
+# -> shingle near-dup keep-best (longest survivor per component, tie min
+# id) with per-stage clip + duration attrition.  Every stage reuses
+# machinery that carries its own gates (audio_shingle_pairs_ds, the
+# flagship's star-contraction components past the edge limit); bytes never
+# shuffle — only hashes, band keys, and narrow id rows.
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_DUR_MS = 500     # ASR-style duration floor
+
+
+def q_audio_curation_funnel(sf_dir: str):
+    """-> (stage, n_clips, total_dur_ms, n_removed) for stages
+    input -> qc -> exact -> near, rows-only for the driver (codec decode);
+    per-stage brute recompute in tests/test_independent_oracles.py."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.stages import joins
+    from who_owns_mass_processing_ray.stages.components import (
+        components_labelprop,
+    )
+
+    clips = clips_from_documents(sf_dir)
+
+    def meta(t: pa.Table) -> pa.Table:
+        return t.select(["clip_id", "dur_ms"])
+
+    def stage_stats(ds) -> tuple[int, int]:
+        agg = ds.map_batches(meta, batch_format="pyarrow") \
+            .map_batches(lambda t: pa.table({
+                "n": pa.array([len(t)], pa.int64()),
+                "d": pa.array([int(t["dur_ms"].to_numpy()
+                               .astype(np.int64).sum())], pa.int64())}),
+                batch_format="pyarrow").sum(["n", "d"])
+        return int(agg["sum(n)"]), int(agg["sum(d)"])
+
+    n0, d0 = stage_stats(clips)
+
+    qc = clips.filter(expr=f"dur_ms >= {FUNNEL_MIN_DUR_MS}")
+    n1, d1 = stage_stats(qc)
+
+    # exact content dedup: 64-bit bytes hash, keep min clip_id per hash
+    def keyed(t: pa.Table) -> pa.Table:
+        h = hx.hash_strings(t["bytes"]).view(np.int64)
+        return pa.table({"clip_id": t["clip_id"], "key": pa.array(h)})
+
+    keys = qc.map_batches(keyed, batch_format="pyarrow").materialize()
+    keep_min = keys.groupby("key").aggregate(Min("clip_id",
+                                                 alias_name="keep_id"))
+    kept_ids = joins.attach_columns(keys, keep_min, "key", "key",
+                                    {"keep_id": "keep_id"}, 16, how="inner")
+    kept_ids = kept_ids.filter(expr="clip_id == keep_id") \
+        .select_columns(["clip_id"]).materialize()
+    exact = joins.attach_columns(qc, kept_ids, "clip_id", "clip_id",
+                                 {"clip_id": "keep"}, 16,
+                                 how="inner").materialize()
+    n2, d2 = stage_stats(exact)
+
+    # near-dup keep-best on the exact survivors (pairs over the SURVIVOR
+    # subset — the funnel property, not a global pair reuse)
+    pairs = audio_shingle_pairs_ds(exact).materialize()
+    n_edges = pairs.count()
+    if n_edges == 0:
+        near = exact
+    elif n_edges > MM_CFG.dsu_edge_limit:
+        labeled = components_labelprop(
+            pairs.map_batches(lambda t: t.select(["left_id", "right_id"]),
+                              batch_format="pyarrow"),
+            MM_CFG, MM_CFG.num_parts or 16)
+        grp = labeled                                # (clip_id, root_id)
+        grp_src = "labelprop"
+    else:
+        tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        e = pa.concat_tables(tabs).combine_chunks()
+        l = e["left_id"].to_pylist()
+        r = e["right_id"].to_pylist()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(l, r):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted(parent)
+        grp = rd.from_arrow(pa.table({
+            "clip_id": pa.array(rows, pa.string()),
+            "root_id": pa.array([find(x) for x in rows], pa.string())}))
+        grp_src = "dsu"
+    if n_edges:
+        # keep the LONGEST member per component (tie: min clip_id); clips
+        # outside any component always survive
+        withg = joins.attach_columns(exact.map_batches(meta,
+                                                       batch_format="pyarrow"),
+                                     grp, "clip_id", "clip_id",
+                                     {"root_id": "root_id"}, 16, how="left")
+
+        def pick(g: pa.Table) -> pa.Table:
+            d = g["dur_ms"].to_numpy()
+            cid = g["clip_id"].to_pylist()
+            i = np.lexsort((cid, -d.astype(np.int64)))[0]
+            return pa.table({"clip_id": pa.array([cid[i]], pa.string())})
+
+        withg = withg.materialize()
+        grouped = withg.map_batches(
+            lambda t: t.filter(pc.is_valid(t["root_id"])),
+            batch_format="pyarrow") \
+            .groupby("root_id").map_groups(pick, batch_format="pyarrow")
+        single = withg.map_batches(
+            lambda t: t.filter(pc.is_null(t["root_id"]))
+            .select(["clip_id"]), batch_format="pyarrow")
+        survivors = single.union(grouped).materialize()
+        near = joins.attach_columns(exact, survivors, "clip_id", "clip_id",
+                                    {"clip_id": "keep"}, 16, how="inner")
+    n3, d3 = stage_stats(near)
+
+    rep = pa.table({
+        "stage": pa.array(["input", "qc", "exact", "near"], pa.string()),
+        "n_clips": pa.array([n0, n1, n2, n3], pa.int64()),
+        "total_dur_ms": pa.array([d0, d1, d2, d3], pa.int64()),
+        "n_removed": pa.array([0, n0 - n1, n1 - n2, n2 - n3], pa.int64()),
+    })
+    return rd.from_arrow(rep)
