@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_hll": textops.q_distinct_tokens_hll,
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,
+        "video_frame_sample_stub": multimodal.q_video_frame_sample_stub,
     }
 
 

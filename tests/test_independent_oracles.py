@@ -330,6 +330,36 @@ def test_image_stub_vs_recompute(ray_session):
         assert int(got.loc[cid, "height"]) == 64 + (h >> 32) % 1024
 
 
+def test_video_stub_vs_recompute(ray_session):
+    """The marked video frame-sample stub: fan-out layout (one row per
+    sampled frame), timestamps, fake-probed fps, and frame indices must all
+    be an exact pure function of (payload prefix, dur_ms)."""
+    from who_owns_mass_processing_ray import audio, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+
+    got = multimodal.q_video_frame_sample_stub(SF_DIR).to_pandas()
+    assert not got["decoded"].any()        # stub marker stays visible
+    by_clip = dict(tuple(got.groupby("clip_id", sort=False)))
+    t = _docs_table()
+    checked = 0
+    for i in t["doc_id"].to_pylist()[:60]:
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
+        h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
+        fps = (24, 25, 30)[h % 3]
+        k = min(dur // 200 + 1, 8)
+        g = by_clip[f"clip-{int(i):012d}"].sort_values("ts_ms")
+        assert len(g) == k
+        assert list(g["ts_ms"]) == [j * 200 for j in range(k)]
+        assert set(g["fps"]) == {fps}
+        assert list(g["frame_idx"]) == [j * 200 * fps // 1000
+                                        for j in range(k)]
+        checked += 1
+    assert checked == 60
+
+
 def test_audio_loudness_silence_vs_direct_decode(ray_session):
     """q_audio_loudness and q_audio_silence vs a direct per-row decode
     recompute — exact equality on every checked row."""

@@ -214,6 +214,67 @@ def q_image_decode_stub(sf_dir: str):
                              concurrency=pool_bounds(4)).sort("clip_id")
 
 
+def q_video_frame_sample_stub(sf_dir: str, stride_ms: int = 200,
+                              max_frames: int = 8):
+    """Marked STUB for video frame sampling (no ffmpeg/opencv in this
+    container) — completes the image/audio/video multimodal triad.
+
+    The Ray-side plumbing is real and is the part that matters at 100 TB:
+    an actor-pool ``map_batches`` stage with a VARIABLE per-row fan-out
+    (each clip explodes into one row per sampled frame — the layout a real
+    frame sampler feeds to a vision encoder), frame timestamps derived
+    from the REAL ``dur_ms`` metadata at a fixed ``stride_ms`` hop capped
+    at ``max_frames`` per clip, and a deterministic fake container parse
+    (fps chosen from the payload prefix hash standing in for the codec
+    header).  Swap ``_fake_probe`` / the ``decoded=False`` marker for an
+    ffmpeg probe + frame decode on a cluster with the libs installed;
+    batch_size stays small because real decoded frames are wide.
+
+    Output: (clip_id, frame_idx, ts_ms, fps, decoded) one row per sampled
+    frame, sorted by (clip_id, frame_idx)."""
+    clips = clips_from_documents(sf_dir)
+
+    class VideoFrameSampleStub:
+        FPS_TABLE = (24, 25, 30)  # fake codec-header parse picks one
+
+        @classmethod
+        def _fake_probe(cls, buf: bytes) -> int:
+            h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
+            return cls.FPS_TABLE[h % len(cls.FPS_TABLE)]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bufs = t["bytes"].to_pylist()
+            fps = np.array([self._fake_probe(b) for b in bufs],
+                           dtype=np.int32)
+            dur = t["dur_ms"].to_numpy().astype(np.int64)
+            # sampled frame count per clip: one frame every stride_ms,
+            # capped — vectorized fan-out via repeat + arange-by-segment
+            k = np.minimum(dur // stride_ms + 1,
+                           max_frames).astype(np.int64)
+            total = int(k.sum())
+            row_of = np.repeat(np.arange(len(k)), k)
+            # within-clip sample index 0..k_i-1
+            starts = np.concatenate(([0], np.cumsum(k)[:-1]))
+            local = np.arange(total) - np.repeat(starts, k)
+            ts_ms = local * stride_ms
+            frame_idx = (ts_ms * fps[row_of]) // 1000
+            ids = t["clip_id"].to_numpy(zero_copy_only=False)[row_of]
+            return pa.table({
+                "clip_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(frame_idx.astype(np.int64)),
+                "ts_ms": pa.array(ts_ms.astype(np.int64)),
+                "fps": pa.array(fps[row_of]),
+                "decoded": pa.array(np.zeros(total, bool)),  # stub marker
+            })
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return clips.map_batches(VideoFrameSampleStub, batch_format="pyarrow",
+                             batch_size=64,
+                             concurrency=pool_bounds(4)) \
+        .sort(["clip_id", "frame_idx"])
+
+
 class LoudnessStats:
     """Actor-pool loudness stage (the audio-normalization preprocessing a
     training corpus runs before feature extraction): per clip RMS dBFS,
