@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,
         "video_frame_sample_stub": multimodal.q_video_frame_sample_stub,
+        "dup_members": textops.q_dup_members,
     }
 
 
@@ -418,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, g.group_id, g.group_size
             FROM k JOIN g USING (key) ORDER BY doc_id
         """,
+        "dup_members": textops.DUP_MEMBERS_SQL,
         "cascade_match": """
             WITH cand AS (
                 SELECT e.event_id, o.o_orderkey, o.o_orderdate,

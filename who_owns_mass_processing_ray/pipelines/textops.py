@@ -84,6 +84,88 @@ def q_exact_dedup(sf_dir: str, key_chars: int = 40):
     return out.select_columns(["doc_id", "group_id", "group_size"]).sort("doc_id")
 
 
+def q_dup_members(sf_dir: str, num_parts: int = 32, key_chars: int = 40):
+    """Distributed group-collect (the ``string_agg`` aggregation class): for
+    each duplicate group (>1 member; same ``key_chars``-char prefix key as
+    ``q_exact_dedup``), the sorted comma-joined member doc_ids — the
+    manifest a dedup pipeline hands to a reviewer or a downstream delete
+    job.
+
+    Scale shape: the full text never shuffles — each batch reduces to
+    (doc_id, h1, h2) where (h1, h2) is a 128-bit content hash, rows
+    hash-partition on h1, and each partition collects its groups with one
+    lexsort + run-length segmentation + an Arrow ``ListArray`` build +
+    ``pc.binary_join`` (no Python loop over groups).  Collected lists are
+    only materialized for >1-member groups, so output volume is bounded by
+    the duplicate subset, not the corpus.
+
+    Output: (group_id = min member doc_id, n_members, members) sorted by
+    group_id."""
+    ds = _docs(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))   # match oracle: non-null only
+        txt = pc.utf8_slice_codeunits(t["text"], 0, key_chars)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h1 = hx.hash_strings(txt, seed=4051)
+        h2 = hx.hash_strings(txt, seed=9257)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            # int64 bit-cast: uint64 must not cross Ray shuffles
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "part": pa.array((h1 % np.uint64(num_parts)).astype(np.int32)),
+        })
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def collect(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        ids_s, h1_s, h2_s = ids[order], h1[order], h2[order]
+        change = np.flatnonzero((h1_s[1:] != h1_s[:-1])
+                                | (h2_s[1:] != h2_s[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(ids_s)])))
+        big = sizes > 1
+        if not big.any():
+            return pa.table({"group_id": pa.array([], pa.int64()),
+                             "n_members": pa.array([], pa.int64()),
+                             "members": pa.array([], pa.string())})
+        seg_of_row = np.repeat(np.arange(len(sizes)), sizes)
+        kept = big[seg_of_row]
+        ids_kept = ids_s[kept]
+        sizes_kept = sizes[big]
+        offsets = np.concatenate(([0], np.cumsum(sizes_kept)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pc.cast(pa.array(ids_kept), pa.string()))
+        return pa.table({
+            "group_id": pa.array(ids_kept[offsets[:-1]]),
+            "n_members": pa.array(sizes_kept.astype(np.int64)),
+            "members": pc.binary_join(lists, ","),
+        })
+
+    return rows.groupby("part").map_groups(
+        collect, batch_format="pyarrow").sort("group_id")
+
+
+DUP_MEMBERS_SQL = """
+    SELECT min(doc_id) AS group_id,
+           count(*) AS n_members,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS members
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY substr(text, 1, 40)
+    HAVING count(*) > 1
+    ORDER BY group_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (the flagship machinery on documents)
 # ---------------------------------------------------------------------------
