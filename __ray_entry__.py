@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stub": multimodal.q_image_decode_stub,
         "video_frame_sample_stub": multimodal.q_video_frame_sample_stub,
         "dup_members": textops.q_dup_members,
+        "minhash_calibration": textops.q_minhash_calibration,
     }
 
 

@@ -360,6 +360,67 @@ def test_video_stub_vs_recompute(ray_session):
     assert checked == 60
 
 
+def test_minhash_calibration_vs_brute(ray_session):
+    """q_minhash_calibration vs a full in-process recompute: same bands ->
+    same candidate buckets -> distinct pairs -> signature-agreement estimate
+    + exact distinct-gram Jaccard -> identical bins, counts, and 4-decimal
+    means."""
+    import numpy as np
+
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.pipelines import textops
+    from who_owns_mass_processing_ray.pipelines.textops import DOCS_CFG as cfg
+
+    got = textops.q_minhash_calibration(SF_DIR).to_pandas() \
+        .set_index("bin_lo")
+
+    t = _docs_table()
+    col = t["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals, offs = hx.shingle_hashes(col, cfg.shingle_k, seed=cfg.seed)
+    sig = hx.minhash_signatures(vals, offs, cfg.num_perm, cfg.seed)
+    bands = hx.band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows, seed=cfg.seed)
+    ids = t["doc_id"].to_numpy()
+    keep = np.diff(offs) > 0
+    sig_of = {int(i): sig[k] for k, i in enumerate(ids)}
+    grams_of = {int(ids[k]): set(vals[offs[k]:offs[k + 1]].tolist())
+                for k in range(len(ids))}
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for k in np.flatnonzero(keep):
+        for b in bands[k]:
+            buckets[int(b)].append(int(ids[k]))
+    pairs = set()
+    for members in buckets.values():
+        assert len(members) <= cfg.max_bucket   # no salting path at sf0.001
+        m = sorted(set(members))
+        for x in range(len(m)):
+            for y in range(x + 1, len(m)):
+                pairs.add((m[x], m[y]))
+
+    bins = defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    for a, b in pairs:
+        est = float((sig_of[a] == sig_of[b]).mean())
+        ga, gb = grams_of[a], grams_of[b]
+        exact = len(ga & gb) / len(ga | gb) if (ga or gb) else 0.0
+        k = min(int(est / 0.05), 19)
+        row = bins[k]
+        row[0] += 1
+        row[1] += est
+        row[2] += exact
+        row[3] += abs(est - exact)
+    assert len(got) == len(bins)
+    for k, (n, se, sx, sa) in bins.items():
+        lo = round(k * 0.05, 2)
+        assert int(got.loc[lo, "n_pairs"]) == n
+        assert abs(got.loc[lo, "mean_est"] - round(se / n, 4)) <= 1e-9
+        assert abs(got.loc[lo, "mean_exact"] - round(sx / n, 4)) <= 1e-9
+        assert abs(got.loc[lo, "mae"] - round(sa / n, 4)) <= 1e-9
+
+
 def test_audio_loudness_silence_vs_direct_decode(ray_session):
     """q_audio_loudness and q_audio_silence vs a direct per-row decode
     recompute — exact equality on every checked row."""

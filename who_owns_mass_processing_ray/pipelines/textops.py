@@ -239,6 +239,94 @@ def q_minhash_near_dup(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     return minhash_pairs_ds(_docs(sf_dir), cfg)
 
 
+def q_minhash_calibration(sf_dir: str, cfg: DedupConfig = DOCS_CFG,
+                          bin_width: float = 0.05):
+    """MinHash estimator calibration — measure, don't guess: over the
+    distinct LSH candidate set, compare the signature-based Jaccard
+    ESTIMATE (fraction of agreeing MinHash components, the quantity the
+    banding S-curve is built on) against the EXACT distinct-5-gram Jaccard,
+    binned by estimate.  The output is the empirical calibration curve +
+    per-bin mean absolute error — the evidence that the flagship's
+    approximation is tight enough for its 0.7 threshold at THIS corpus's
+    text statistics, refreshable on any new corpus before trusting the
+    banding config.
+
+    Scale shape: candidates come from the same salted bucket machinery as
+    the flagship (never all-pairs); the pair set is made globally distinct
+    BEFORE stats so multi-band hits don't double-count; texts attach via
+    the adaptive pair-feature join; per-batch stats reduce to ≤ ``1/bin_width``
+    partial rows (bincount partials), so the final groupby moves a few
+    dozen rows regardless of corpus size.
+
+    Output: (bin_lo, n_pairs, mean_est, mean_exact, mae) sorted by bin_lo.
+    Not SQL-expressible (MinHash permutations); brute-force parity test in
+    tests/test_independent_oracles.py."""
+    from ray.data.aggregate import Count, Sum
+
+    from who_owns_mass_processing_ray.stages import pairs as pr
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    ds = _docs(sf_dir)
+    nbins = int(round(1.0 / bin_width))
+
+    band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
+                               batch_format="pyarrow",
+                               batch_size=cfg.batch_size,
+                               concurrency=pool_bounds(8))
+    cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
+                                     cfg.max_bucket, cfg.num_parts or 16)
+    pairs = cand.groupby(["left_id", "right_id"]) \
+        .aggregate(Count(alias_name="_n")) \
+        .select_columns(["left_id", "right_id"])
+    feat = pr.attach_pair_features(pairs, ds, "text", 16, side_key="doc_id")
+
+    def stats(t: pa.Table) -> pa.Table:
+        lt, rt = t["left_text"], t["right_text"]
+        if isinstance(lt, pa.ChunkedArray):
+            lt = lt.combine_chunks()
+        if isinstance(rt, pa.ChunkedArray):
+            rt = rt.combine_chunks()
+        exact = hx.jaccard_pairs_dict(lt, rt, cfg.shingle_k, seed=cfg.seed)
+        lv, lo = hx.shingle_hashes(lt, cfg.shingle_k, seed=cfg.seed)
+        rv, ro = hx.shingle_hashes(rt, cfg.shingle_k, seed=cfg.seed)
+        sl = hx.minhash_signatures(lv, lo, cfg.num_perm, cfg.seed)
+        sr = hx.minhash_signatures(rv, ro, cfg.num_perm, cfg.seed)
+        est = (sl == sr).mean(axis=1)
+        b = np.minimum((est / bin_width).astype(np.int64), nbins - 1)
+        n = np.bincount(b, minlength=nbins)
+        se = np.bincount(b, weights=est, minlength=nbins)
+        sx = np.bincount(b, weights=exact, minlength=nbins)
+        sa = np.bincount(b, weights=np.abs(est - exact), minlength=nbins)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "bin": pa.array(nz.astype(np.int64)),
+            "n": pa.array(n[nz].astype(np.int64)),
+            "se": pa.array(se[nz]),
+            "sx": pa.array(sx[nz]),
+            "sa": pa.array(sa[nz]),
+        })
+
+    agg = feat.map_batches(stats, batch_format="pyarrow") \
+        .groupby("bin").aggregate(
+            Sum("n", alias_name="n_pairs"), Sum("se", alias_name="se"),
+            Sum("sx", alias_name="sx"), Sum("sa", alias_name="sa"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy()
+        n = t["n_pairs"].to_numpy().astype(np.float64)
+        return pa.table({
+            "bin_lo": pa.array(np.round(b * bin_width, 2)),
+            "n_pairs": t["n_pairs"],
+            "mean_est": pa.array(round_half_away(
+                t["se"].to_numpy() / n, 4)),
+            "mean_exact": pa.array(round_half_away(
+                t["sx"].to_numpy() / n, 4)),
+            "mae": pa.array(round_half_away(t["sa"].to_numpy() / n, 4)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("bin_lo")
+
+
 def _distinct_grams(t: pa.Table, k: int, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (doc_ids_rep, gram_vals, doc_gram_counts): distinct k-gram hashes
     per doc, fully vectorized (segment sort + boundary mask)."""
