@@ -280,7 +280,13 @@ def run_analytics(repeat: int = 1) -> dict:
 
 
 if __name__ == "__main__":
-    repeat = 1
+    # default repeat=3 for the headline bench so the per-round record
+    # carries medians + spread (round-3 verdict: single-shot numbers left
+    # a 24% host-noise swing unattributable); scaling/analytics keep
+    # repeat=1 by default (each leg pair is already ~8 min).
+    default_repeat = 1 if ("--scaling" in sys.argv
+                           or "--analytics" in sys.argv) else 3
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", default_repeat))
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     if "--scaling-worker" in sys.argv:
