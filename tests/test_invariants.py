@@ -107,6 +107,53 @@ class TestVectorizedKernelProperties:
 
         check()
 
+    def test_collect_dup_members_matches_pandas(self):
+        """The group-collect kernel (_collect_dup_members) must agree with a
+        pandas groupby string_agg recompute for random (doc_id, h1, h2)
+        rows with forced key collisions — including duplicate doc_ids
+        within a group and all-singleton inputs."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 10**6),
+                                  st.integers(0, 6),
+                                  st.integers(0, 3)),
+                        max_size=120))
+        def check(rows):
+            import pandas as pd
+            import pyarrow as pa
+
+            from who_owns_mass_processing_ray.pipelines.textops import (
+                _collect_dup_members,
+            )
+
+            g = pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "h1": pa.array([r[1] for r in rows], pa.int64()),
+                "h2": pa.array([r[2] for r in rows], pa.int64()),
+            })
+            got = _collect_dup_members(g).to_pandas() \
+                .sort_values("group_id").reset_index(drop=True)
+            df = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                               "h1": [r[1] for r in rows],
+                               "h2": [r[2] for r in rows]})
+            want = df.sort_values("doc_id").groupby(["h1", "h2"]).agg(
+                group_id=("doc_id", "min"),
+                n_members=("doc_id", "size"),
+                members=("doc_id",
+                         lambda s: ",".join(str(x) for x in s)))
+            want = want[want["n_members"] > 1] \
+                .sort_values("group_id").reset_index(drop=True)
+            assert len(got) == len(want)
+            if len(want):
+                assert got["group_id"].tolist() == want["group_id"].tolist()
+                assert got["n_members"].tolist() == \
+                    want["n_members"].tolist()
+                assert got["members"].tolist() == want["members"].tolist()
+
+        check()
+
     def test_segment_rank_topk_matches_pandas(self):
         """The lexsort/segment-rank per-group top-k (group_cap /
         distinctive_terms / latest_by_key shape) must agree with a pandas

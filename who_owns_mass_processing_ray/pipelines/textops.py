@@ -119,38 +119,42 @@ def q_dup_members(sf_dir: str, num_parts: int = 32, key_chars: int = 40):
         })
 
     rows = ds.map_batches(keyed, batch_format="pyarrow")
-
-    def collect(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy()
-        h1 = g["h1"].to_numpy()
-        h2 = g["h2"].to_numpy()
-        order = np.lexsort((ids, h2, h1))
-        ids_s, h1_s, h2_s = ids[order], h1[order], h2[order]
-        change = np.flatnonzero((h1_s[1:] != h1_s[:-1])
-                                | (h2_s[1:] != h2_s[:-1])) + 1
-        starts = np.concatenate(([0], change))
-        sizes = np.diff(np.concatenate((starts, [len(ids_s)])))
-        big = sizes > 1
-        if not big.any():
-            return pa.table({"group_id": pa.array([], pa.int64()),
-                             "n_members": pa.array([], pa.int64()),
-                             "members": pa.array([], pa.string())})
-        seg_of_row = np.repeat(np.arange(len(sizes)), sizes)
-        kept = big[seg_of_row]
-        ids_kept = ids_s[kept]
-        sizes_kept = sizes[big]
-        offsets = np.concatenate(([0], np.cumsum(sizes_kept)))
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()),
-            pc.cast(pa.array(ids_kept), pa.string()))
-        return pa.table({
-            "group_id": pa.array(ids_kept[offsets[:-1]]),
-            "n_members": pa.array(sizes_kept.astype(np.int64)),
-            "members": pc.binary_join(lists, ","),
-        })
-
     return rows.groupby("part").map_groups(
-        collect, batch_format="pyarrow").sort("group_id")
+        _collect_dup_members, batch_format="pyarrow").sort("group_id")
+
+
+def _collect_dup_members(g: pa.Table) -> pa.Table:
+    """One partition's group-collect kernel: (doc_id, h1, h2[, part]) rows
+    -> (group_id, n_members, members) for >1-member (h1, h2) groups.
+    Pure numpy/Arrow; property-tested against a pandas recompute in
+    tests/test_invariants.py."""
+    ids = g["doc_id"].to_numpy()
+    h1 = g["h1"].to_numpy()
+    h2 = g["h2"].to_numpy()
+    order = np.lexsort((ids, h2, h1))
+    ids_s, h1_s, h2_s = ids[order], h1[order], h2[order]
+    change = np.flatnonzero((h1_s[1:] != h1_s[:-1])
+                            | (h2_s[1:] != h2_s[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    sizes = np.diff(np.concatenate((starts, [len(ids_s)])))
+    big = sizes > 1
+    if not big.any():
+        return pa.table({"group_id": pa.array([], pa.int64()),
+                         "n_members": pa.array([], pa.int64()),
+                         "members": pa.array([], pa.string())})
+    seg_of_row = np.repeat(np.arange(len(sizes)), sizes)
+    kept = big[seg_of_row]
+    ids_kept = ids_s[kept]
+    sizes_kept = sizes[big]
+    offsets = np.concatenate(([0], np.cumsum(sizes_kept)))
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pc.cast(pa.array(ids_kept), pa.string()))
+    return pa.table({
+        "group_id": pa.array(ids_kept[offsets[:-1]]),
+        "n_members": pa.array(sizes_kept.astype(np.int64)),
+        "members": pc.binary_join(lists, ","),
+    })
 
 
 DUP_MEMBERS_SQL = """
