@@ -349,9 +349,12 @@ def test_video_stub_vs_recompute(ray_session):
         buf = audio.encode(synth._waveform(params, sr, dur), sr, codec)
         h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
         fps = (24, 25, 30)[h % 3]
-        k = min(dur // 200 + 1, 8)
+        k = min((dur - 1) // 200 + 1, 8)   # every ts strictly < dur
         g = by_clip[f"clip-{int(i):012d}"].sort_values("ts_ms")
         assert len(g) == k
+        assert (g["ts_ms"] < dur).all()   # no sample past the clip end
+        assert (g["frame_idx"] < dur * fps // 1000 + (dur * fps % 1000 > 0)
+                ).all()                   # frame_idx within decoded range
         assert list(g["ts_ms"]) == [j * 200 for j in range(k)]
         assert set(g["fps"]) == {fps}
         assert list(g["frame_idx"]) == [j * 200 * fps // 1000

@@ -243,13 +243,23 @@ def q_video_frame_sample_stub(sf_dir: str, stride_ms: int = 200,
             return cls.FPS_TABLE[h % len(cls.FPS_TABLE)]
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    "clip_id": pa.array([], pa.string()),
+                    "frame_idx": pa.array([], pa.int64()),
+                    "ts_ms": pa.array([], pa.int64()),
+                    "fps": pa.array([], pa.int32()),
+                    "decoded": pa.array([], pa.bool_()),
+                })
             bufs = t["bytes"].to_pylist()
             fps = np.array([self._fake_probe(b) for b in bufs],
                            dtype=np.int32)
             dur = t["dur_ms"].to_numpy().astype(np.int64)
             # sampled frame count per clip: one frame every stride_ms,
-            # capped — vectorized fan-out via repeat + arange-by-segment
-            k = np.minimum(dur // stride_ms + 1,
+            # capped; ceil(dur/stride) keeps every sample ts strictly
+            # inside the clip (ts == dur would be one frame past the end
+            # for clips whose duration is a stride multiple)
+            k = np.minimum((dur - 1) // stride_ms + 1,
                            max_frames).astype(np.int64)
             total = int(k.sum())
             row_of = np.repeat(np.arange(len(k)), k)

@@ -208,21 +208,32 @@ def _verify_jaccard_int(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     })
 
 
-def minhash_pairs_ds(ds, cfg: DedupConfig = DOCS_CFG):
-    """LSH near-dup pairs over ANY (doc_id, text, ...) Dataset — the body
-    of q_minhash_near_dup, reusable on filtered/derived corpora (the
-    curation funnel's near-dup stage).  ``ds`` is consumed twice (bands +
-    text attach): pass a materialized Dataset when it is derived."""
+def _doc_candidates(ds, cfg: DedupConfig):
+    """The flagship's LSH candidate stage over a (doc_id, text) Dataset:
+    per-actor MinHash banding -> salted bucket pair expansion.  Shared by
+    minhash_pairs_ds and q_minhash_calibration so the calibration curve
+    measures the EXACT candidate distribution the near-dup threshold rides
+    on — any banding/bucketing tuning changes both automatically."""
     from who_owns_mass_processing_ray.stages import pairs as pr
     from who_owns_mass_processing_ray.stages import pool_bounds
 
     band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
                                batch_format="pyarrow", batch_size=cfg.batch_size,
                                concurrency=pool_bounds(8))
+    return pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
+                                     cfg.max_bucket, cfg.num_parts or 16)
+
+
+def minhash_pairs_ds(ds, cfg: DedupConfig = DOCS_CFG):
+    """LSH near-dup pairs over ANY (doc_id, text, ...) Dataset — the body
+    of q_minhash_near_dup, reusable on filtered/derived corpora (the
+    curation funnel's near-dup stage).  ``ds`` is consumed twice (bands +
+    text attach): pass a materialized Dataset when it is derived."""
+    from who_owns_mass_processing_ray.stages import pairs as pr
+
     from ray.data.aggregate import Max
 
-    cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
-                                     cfg.max_bucket, cfg.num_parts or 16)
+    cand = _doc_candidates(ds, cfg)
     cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
     out = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
                            batch_format="pyarrow",
@@ -256,33 +267,41 @@ def q_minhash_calibration(sf_dir: str, cfg: DedupConfig = DOCS_CFG,
     banding config.
 
     Scale shape: candidates come from the same salted bucket machinery as
-    the flagship (never all-pairs); the pair set is made globally distinct
-    BEFORE stats so multi-band hits don't double-count; texts attach via
-    the adaptive pair-feature join; per-batch stats reduce to ≤ ``1/bin_width``
-    partial rows (bincount partials), so the final groupby moves a few
-    dozen rows regardless of corpus size.
+    the flagship (``_doc_candidates`` — shared code, so the curve measures
+    the exact candidate distribution the threshold rides on); the pair set
+    is made globally distinct BEFORE stats via the coarse-partition
+    vectorized edge dedup (``pairs.distinct_edges`` — per-key Ray groupby
+    on a pre-verify candidate set is the measured anti-pattern,
+    stages/pairs.py); texts attach via the adaptive pair-feature join;
+    per-batch signatures are computed once per DISTINCT text and gathered
+    by dictionary code (hot docs recur ~100x per candidate batch —
+    same memoization jaccard_pairs_dict uses); per-batch stats reduce to
+    ≤ ``1/bin_width`` partial rows (bincount partials), so the final
+    groupby moves a few dozen rows regardless of corpus size.
 
     Output: (bin_lo, n_pairs, mean_est, mean_exact, mae) sorted by bin_lo.
     Not SQL-expressible (MinHash permutations); brute-force parity test in
     tests/test_independent_oracles.py."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages import pairs as pr
-    from who_owns_mass_processing_ray.stages import pool_bounds
 
     ds = _docs(sf_dir)
     nbins = int(round(1.0 / bin_width))
 
-    band_rows = ds.map_batches(_DocMinHashBands, fn_constructor_args=(cfg,),
-                               batch_format="pyarrow",
-                               batch_size=cfg.batch_size,
-                               concurrency=pool_bounds(8))
-    cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
-                                     cfg.max_bucket, cfg.num_parts or 16)
-    pairs = cand.groupby(["left_id", "right_id"]) \
-        .aggregate(Count(alias_name="_n")) \
+    cand = _doc_candidates(ds, cfg)
+    pairs = pr.distinct_edges(cand, "cal") \
         .select_columns(["left_id", "right_id"])
     feat = pr.attach_pair_features(pairs, ds, "text", 16, side_key="doc_id")
+
+    def _sigs_per_distinct(col: pa.Array) -> np.ndarray:
+        """Signatures for each row of ``col``, computed once per distinct
+        text and gathered back by dictionary code."""
+        enc = pc.dictionary_encode(col)
+        vals, offs = hx.shingle_hashes(enc.dictionary, cfg.shingle_k,
+                                       seed=cfg.seed)
+        sig = hx.minhash_signatures(vals, offs, cfg.num_perm, cfg.seed)
+        return sig[enc.indices.to_numpy()]
 
     def stats(t: pa.Table) -> pa.Table:
         lt, rt = t["left_text"], t["right_text"]
@@ -291,11 +310,7 @@ def q_minhash_calibration(sf_dir: str, cfg: DedupConfig = DOCS_CFG,
         if isinstance(rt, pa.ChunkedArray):
             rt = rt.combine_chunks()
         exact = hx.jaccard_pairs_dict(lt, rt, cfg.shingle_k, seed=cfg.seed)
-        lv, lo = hx.shingle_hashes(lt, cfg.shingle_k, seed=cfg.seed)
-        rv, ro = hx.shingle_hashes(rt, cfg.shingle_k, seed=cfg.seed)
-        sl = hx.minhash_signatures(lv, lo, cfg.num_perm, cfg.seed)
-        sr = hx.minhash_signatures(rv, ro, cfg.num_perm, cfg.seed)
-        est = (sl == sr).mean(axis=1)
+        est = (_sigs_per_distinct(lt) == _sigs_per_distinct(rt)).mean(axis=1)
         b = np.minimum((est / bin_width).astype(np.int64), nbins - 1)
         n = np.bincount(b, minlength=nbins)
         se = np.bincount(b, weights=est, minlength=nbins)

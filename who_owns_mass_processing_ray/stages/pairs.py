@@ -269,11 +269,19 @@ def distinct_edges(edges_ds, kind: str, extra_num_cols: list[str] | None = None,
 
     num_cols = ["dropped"] + list(extra_num_cols or [])
 
+    def _id_hash(col) -> np.ndarray:
+        # ids are strings in the audio pipeline, int64 in the doc queries
+        if pa.types.is_integer(col.type):
+            return hx.splitmix64(
+                col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        return hx.hash_strings(col)
+
     def pre(t: pa.Table) -> pa.Table:
         t = _dedup_pair_table(t.select(["left_id", "right_id"] + num_cols),
                               num_cols)
-        h = hx.hash_strings(t["left_id"]) * np.uint64(3) \
-            + hx.hash_strings(t["right_id"])
+        with np.errstate(over="ignore"):
+            h = _id_hash(t["left_id"]) * np.uint64(3) \
+                + _id_hash(t["right_id"])
         part = (h % np.uint64(num_parts)).astype(np.int32)
         return t.append_column("part", pa.array(part))
 
