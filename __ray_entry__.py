@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample_stub": multimodal.q_video_frame_sample_stub,
         "dup_members": textops.q_dup_members,
         "minhash_calibration": textops.q_minhash_calibration,
+        "simhash_calibration": multimodal.q_simhash_calibration,
     }
 
 

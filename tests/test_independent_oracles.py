@@ -424,6 +424,80 @@ def test_minhash_calibration_vs_brute(ray_session):
         assert abs(got.loc[lo, "mae"] - round(sa / n, 4)) <= 1e-9
 
 
+def test_simhash_calibration_vs_brute(ray_session):
+    """q_simhash_calibration vs a full in-process recompute: per-clip
+    decode -> spectral feature vector + fingerprint, multi-index buckets
+    (prod _band_rows on the brute fingerprints), distinct pairs, hamming +
+    true cosine, identical per-distance bins and 4-decimal means."""
+    import numpy as np
+
+    from who_owns_mass_processing_ray import audio as au, synth
+    from who_owns_mass_processing_ray.pipelines import multimodal
+    from who_owns_mass_processing_ray.pipelines.multimodal import MM_CFG as cfg
+    from who_owns_mass_processing_ray.stages import audio_fp
+
+    got = multimodal.q_simhash_calibration(SF_DIR).to_pandas() \
+        .set_index("hamming")
+
+    t = _docs_table()
+    ids, fps, feats = [], [], {}
+    for i in t["doc_id"].to_pylist():
+        params = synth._base_params(1234, int(i) % 997)
+        sr, codec = params["sr_hz"], params["codec"]
+        dur = 400 + (int(i) % 7) * 150
+        buf = au.encode(synth._waveform(params, sr, dur), sr, codec)
+        pcm, dsr = au.decode(buf, codec)
+        e = au.band_energies(pcm, dsr, cfg.fp_num_bands,
+                             cfg.fp_fmin_hz, cfg.fp_fmax_hz)
+        v = np.diff(np.log(e + 1e-12)) * np.sqrt(np.maximum(e[1:], e[:-1]))
+        cid = f"clip-{int(i):012d}"
+        ids.append(cid)
+        fps.append(au.simhash_from_features(v, cfg.simhash_bits, cfg.seed))
+        feats[cid] = v
+
+    rows = audio_fp._band_rows(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "fp": pa.array(np.array(fps, dtype=np.uint64)),
+        "decode_ok": pa.array([True] * len(ids)),
+    }), cfg)
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for key, cid in zip(rows["bucket_key"].to_pylist(),
+                        rows["clip_id"].to_pylist()):
+        buckets[key].append(cid)
+    fp_of = dict(zip(ids, fps))
+    pairs = set()
+    for members in buckets.values():
+        assert len(members) <= cfg.max_bucket
+        m = sorted(set(members))
+        for x in range(len(m)):
+            for y in range(x + 1, len(m)):
+                pairs.add((m[x], m[y]))
+
+    bits = cfg.simhash_bits
+    bins = defaultdict(lambda: [0, 0.0, 0.0])
+    for a, b in pairs:
+        d = int(au.hamming64(np.array([fp_of[a]], np.uint64),
+                             np.array([fp_of[b]], np.uint64))[0])
+        va, vb = feats[a], feats[b]
+        den = max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30)
+        tc = float((va * vb).sum() / den)
+        est = float(np.cos(np.pi * d / bits))
+        row = bins[d]
+        row[0] += 1
+        row[1] += tc
+        row[2] += abs(est - tc)
+    assert len(got) == len(bins)
+    for d, (n, sc, sa) in bins.items():
+        assert int(got.loc[d, "n_pairs"]) == n
+        assert abs(got.loc[d, "est_cos"]
+                   - np.round(np.cos(np.pi * d / bits), 4)) <= 1e-9
+        assert abs(got.loc[d, "mean_true_cos"]
+                   - np.round(sc / n, 4)) <= 1e-9
+        assert abs(got.loc[d, "mae"] - np.round(sa / n, 4)) <= 1e-9
+
+
 def test_audio_loudness_silence_vs_direct_decode(ray_session):
     """q_audio_loudness and q_audio_silence vs a direct per-row decode
     recompute — exact equality on every checked row."""

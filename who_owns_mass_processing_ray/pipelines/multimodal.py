@@ -285,6 +285,159 @@ def q_video_frame_sample_stub(sf_dir: str, stride_ms: int = 200,
         .sort(["clip_id", "frame_idx"])
 
 
+class _FeatVecStage:
+    """Actor pool: decode once, emit the SimHash fingerprint AND the
+    weighted log-delta spectral feature vector it was hashed from — the
+    quantity whose pairwise angle the fingerprint's hamming distance
+    estimates (audio.audio_fingerprint)."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        n = len(t)
+        dim = cfg.fp_num_bands - 1
+        feats = np.zeros((n, dim), dtype=np.float64)
+        fps = np.zeros(n, dtype=np.uint64)
+        ok = np.zeros(n, dtype=bool)
+        from who_owns_mass_processing_ray import audio as au
+
+        for i in range(n):
+            try:
+                pcm, sr = au.decode(bufs[i], codecs[i])
+            except Exception:
+                continue
+            e = au.band_energies(pcm, sr, cfg.fp_num_bands,
+                                 cfg.fp_fmin_hz, cfg.fp_fmax_hz)
+            v = np.diff(np.log(e + 1e-12)) * np.sqrt(
+                np.maximum(e[1:], e[:-1]))
+            feats[i] = v
+            fps[i] = au.simhash_from_features(v, cfg.simhash_bits, cfg.seed)
+            ok[i] = True
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "fp": pa.array(fps),
+            "decode_ok": pa.array(ok),
+            "feat": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), dim),
+        })
+
+
+def q_simhash_calibration(sf_dir: str):
+    """Audio SimHash estimator calibration — the audio analog of
+    ``minhash_calibration``: over the distinct multi-index candidate set,
+    per fingerprint hamming distance d, compare the SimHash angle estimate
+    ``cos(pi*d/bits)`` (random-hyperplane LSH: P(bit differs) = angle/pi)
+    against the TRUE cosine of the underlying weighted spectral log-delta
+    feature vectors.  The evidence that ``hamming_thresh`` = 6 actually
+    corresponds to the near-identical-audio cosine regime on THIS corpus's
+    signal statistics.
+
+    Scale shape: candidates from the same pigeonhole-complete band
+    machinery as the flagship's audio edge stage; feature vectors ride the
+    take-based pair expansion (never an Acero join — list columns), are
+    reduced to one narrow numeric (d, true_cos) row per pair, made
+    globally distinct by the coarse-partition edge dedup, and binned by d
+    (≤ bits+1 groups) — the final shuffle is constant-size.
+
+    Output: (hamming, n_pairs, est_cos, mean_true_cos, mae) sorted by
+    hamming.  Rows-only (SimHash not SQL-expressible); brute recompute in
+    tests/test_independent_oracles.py."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray import audio as au
+    from who_owns_mass_processing_ray.stages import audio_fp
+    from who_owns_mass_processing_ray.stages import pairs as pr
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    cfg = MM_CFG
+    bits = cfg.simhash_bits
+    clips = clips_from_documents(sf_dir)
+    feats = clips.map_batches(_FeatVecStage, fn_constructor_args=(cfg,),
+                              batch_format="pyarrow", batch_size=64,
+                              concurrency=pool_bounds(8), num_cpus=1)
+
+    bands = cfg.hamming_thresh + 1
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        base = audio_fp._band_rows(t, cfg)   # bucket_key, clip_id, fp
+        ok_idx = np.flatnonzero(t["decode_ok"].to_numpy(zero_copy_only=False))
+        feat = t["feat"]
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        rep = pa.array(np.repeat(ok_idx, bands))
+        return base.append_column("feat", feat.take(rep))
+
+    rows = feats.map_batches(band_rows, batch_format="pyarrow")
+    cand = pr.pairs_from_bucket_rows(rows, "bucket_key", "clip_id",
+                                     cfg.max_bucket, cfg.num_parts or 16,
+                                     payload_cols=["fp", "feat"])
+
+    def compute(t: pa.Table) -> pa.Table:
+        lf = t["left_fp"].to_numpy().astype(np.int64).view(np.uint64)
+        rf = t["right_fp"].to_numpy().astype(np.int64).view(np.uint64)
+        d = (au.hamming64(lf, rf) if len(lf)
+             else np.zeros(0, np.int64)).astype(np.int64)
+
+        def mat(col) -> np.ndarray:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.flatten().to_numpy().reshape(len(col), -1)
+
+        la, ra = mat(t["left_feat"]), mat(t["right_feat"])
+        den = np.linalg.norm(la, axis=1) * np.linalg.norm(ra, axis=1)
+        cos = (la * ra).sum(axis=1) / np.maximum(den, 1e-30)
+        return pa.table({
+            "left_id": t["left_id"],
+            "right_id": t["right_id"],
+            "d": pa.array(d),
+            "true_cos": pa.array(cos),
+            "dropped": t["dropped"],
+        })
+
+    narrow = cand.map_batches(compute, batch_format="pyarrow",
+                              batch_size=cfg.batch_size)
+    distinct = pr.distinct_edges(narrow, "cal",
+                                 extra_num_cols=["d", "true_cos"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy()
+        tc = t["true_cos"].to_numpy()
+        est = np.cos(np.pi * d / bits)
+        n = np.bincount(d, minlength=bits + 1)
+        sc = np.bincount(d, weights=tc, minlength=bits + 1)
+        sa = np.bincount(d, weights=np.abs(est - tc), minlength=bits + 1)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "hamming": pa.array(nz.astype(np.int64)),
+            "n": pa.array(n[nz].astype(np.int64)),
+            "sc": pa.array(sc[nz]),
+            "sa": pa.array(sa[nz]),
+        })
+
+    agg = distinct.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hamming").aggregate(
+            Sum("n", alias_name="n_pairs"), Sum("sc", alias_name="sc"),
+            Sum("sa", alias_name="sa"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["hamming"].to_numpy()
+        n = t["n_pairs"].to_numpy().astype(np.float64)
+        return pa.table({
+            "hamming": t["hamming"],
+            "n_pairs": t["n_pairs"],
+            "est_cos": pa.array(np.round(np.cos(np.pi * d / bits), 4)),
+            "mean_true_cos": pa.array(
+                np.round(t["sc"].to_numpy() / n, 4)),
+            "mae": pa.array(np.round(t["sa"].to_numpy() / n, 4)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("hamming")
+
+
 class LoudnessStats:
     """Actor-pool loudness stage (the audio-normalization preprocessing a
     training corpus runs before feature extraction): per clip RMS dBFS,
