@@ -385,6 +385,8 @@ def q_simhash_calibration(sf_dir: str):
         def mat(col) -> np.ndarray:
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            if len(col) == 0:          # reshape(0, -1) is a ValueError
+                return np.zeros((0, cfg.fp_num_bands - 1))
             return col.flatten().to_numpy().reshape(len(col), -1)
 
         la, ra = mat(t["left_feat"]), mat(t["right_feat"])
