@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_members": textops.q_dup_members,
         "minhash_calibration": textops.q_minhash_calibration,
         "simhash_calibration": multimodal.q_simhash_calibration,
+        "lsh_recall_curve": textops.q_lsh_recall_curve,
     }
 
 

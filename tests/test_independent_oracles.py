@@ -424,6 +424,79 @@ def test_minhash_calibration_vs_brute(ray_session):
         assert abs(got.loc[lo, "mae"] - round(sa / n, 4)) <= 1e-9
 
 
+def test_lsh_recall_curve_vs_brute(ray_session):
+    """q_lsh_recall_curve vs a full in-process recompute: exact Jaccard
+    pairs >= 0.5 from raw 5-gram sets, LSH candidacy from the same
+    bands/buckets as the flagship, identical bins, counts, and recalls."""
+    import numpy as np
+
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.pipelines import textops
+    from who_owns_mass_processing_ray.pipelines.textops import DOCS_CFG as cfg
+
+    got = textops.q_lsh_recall_curve(SF_DIR).to_pandas().set_index("bin_lo")
+
+    t = _docs_table()
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    grams_of = {i: {txt[p:p + 5] for p in range(len(txt) - 4)}
+                for i, txt in zip(ids, texts) if txt is not None}
+
+    # exact pairs >= 0.5 (brute all-pairs on the 500-doc fixture)
+    exact = {}
+    idl = sorted(grams_of)
+    for x in range(len(idl)):
+        for y in range(x + 1, len(idl)):
+            a, b = idl[x], idl[y]
+            ga, gb = grams_of[a], grams_of[b]
+            if not ga and not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.5:
+                exact[(a, b)] = j
+
+    # LSH candidate set — same recipe as test_minhash_calibration_vs_brute
+    col = t["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals, offs = hx.shingle_hashes(col, cfg.shingle_k, seed=cfg.seed)
+    sig = hx.minhash_signatures(vals, offs, cfg.num_perm, cfg.seed)
+    bands = hx.band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows, seed=cfg.seed)
+    all_ids = t["doc_id"].to_numpy()
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for k in np.flatnonzero(np.diff(offs) > 0):
+        for bb in bands[k]:
+            buckets[int(bb)].append(int(all_ids[k]))
+    cand = set()
+    for members in buckets.values():
+        m = sorted(set(members))
+        for x in range(len(m)):
+            for y in range(x + 1, len(m)):
+                cand.add((m[x], m[y]))
+
+    bins = defaultdict(lambda: [0, 0, 0.0])
+    for pair, j in exact.items():
+        jr = round(j, 4)        # the query bins/sums the rounded jaccard
+        k = min(int(jr / 0.05), 19)
+        row = bins[k]
+        row[0] += 1
+        row[1] += 1 if pair in cand else 0
+        row[2] += jr
+    assert len(got) == len(bins)
+    for k, (n, nc, sj) in bins.items():
+        lo = round(k * 0.05, 2)
+        assert int(got.loc[lo, "n_true"]) == n
+        assert int(got.loc[lo, "n_caught"]) == nc
+        assert abs(got.loc[lo, "recall"] - np.round(nc / n, 4)) <= 1e-9
+        mj = sj / n
+        assert abs(got.loc[lo, "mean_j"] - np.round(mj, 4)) <= 1e-9
+        analytic = 1 - (1 - mj ** cfg.lsh_rows) ** cfg.lsh_bands
+        assert abs(got.loc[lo, "analytic_catch"]
+                   - np.round(analytic, 4)) <= 1e-9
+
+
 def test_simhash_calibration_vs_brute(ray_session):
     """q_simhash_calibration vs a full in-process recompute: per-clip
     decode -> spectral feature vector + fingerprint, multi-index buckets

@@ -346,6 +346,115 @@ def q_minhash_calibration(sf_dir: str, cfg: DedupConfig = DOCS_CFG,
     return agg.map_batches(finish, batch_format="pyarrow").sort("bin_lo")
 
 
+def q_lsh_recall_curve(sf_dir: str, floor: float = 0.5,
+                       bin_width: float = 0.05,
+                       cfg: DedupConfig = DOCS_CFG, num_parts: int = 64):
+    """Blocking recall audit — the flagship's recall claim measured, not
+    derived: every EXACT Jaccard pair ≥ ``floor`` (from the complete
+    AllPairs prefix-filter join) is checked for membership in the LSH
+    candidate set, binned by exact similarity, next to the analytic
+    banding S-curve ``1-(1-j^r)^b``.  The output is the empirical
+    recall-vs-similarity curve on THIS corpus — the number that justifies
+    (or falsifies) trusting the 48x4 banding at the 0.7 threshold without
+    a planted-truth corpus.
+
+    Scale shape: both sides are narrow id pairs; they co-partition by the
+    same pair-key hash and membership is resolved per partition with a
+    union dictionary + sorted-key ``np.isin`` (no driver set, no Acero
+    join); partial per-bin counts reduce each partition to ≤ ``1/bin_width``
+    rows, so the final shuffle is constant-size.
+
+    Output: (bin_lo, n_true, n_caught, recall, mean_j, analytic_catch)
+    sorted by bin_lo.  Rows-only (the LSH side is not SQL-expressible);
+    brute recompute parity in tests/test_independent_oracles.py."""
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages import pairs as pr
+
+    nbins = int(round(1.0 / bin_width))
+    ds = _docs(sf_dir)
+
+    exact = q_ngram_jaccard_pairs(sf_dir, k=cfg.shingle_k, thresh=floor)
+    cand = pr.distinct_edges(_doc_candidates(ds, cfg), "cand") \
+        .select_columns(["left_id", "right_id"])
+
+    def _part_of(l: np.ndarray, r: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = hx.splitmix64(l.astype(np.uint64)) * np.uint64(3) \
+                + hx.splitmix64(r.astype(np.uint64))
+        return (h % np.uint64(num_parts)).astype(np.int32)
+
+    def tag_exact(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy()
+        r = t["right_id"].to_numpy()
+        return pa.table({
+            "l": t["left_id"], "r": t["right_id"],
+            "j": t["jaccard"],
+            "is_cand": pa.array(np.zeros(len(l), bool)),
+            "part": pa.array(_part_of(l, r)),
+        })
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy()
+        r = t["right_id"].to_numpy()
+        return pa.table({
+            "l": t["left_id"], "r": t["right_id"],
+            "j": pa.array(np.zeros(len(l))),
+            "is_cand": pa.array(np.ones(len(l), bool)),
+            "part": pa.array(_part_of(l, r)),
+        })
+
+    both = exact.map_batches(tag_exact, batch_format="pyarrow").union(
+        cand.map_batches(tag_cand, batch_format="pyarrow"))
+
+    def audit(g: pa.Table) -> pa.Table:
+        is_c = g["is_cand"].to_numpy(zero_copy_only=False)
+        l = g["l"].to_numpy()
+        r = g["r"].to_numpy()
+        j = g["j"].to_numpy()
+        uu = np.unique(np.concatenate((l, r)))
+        key = (np.searchsorted(uu, l).astype(np.int64) * len(uu)
+               + np.searchsorted(uu, r))
+        ek, ej = key[~is_c], j[~is_c]
+        caught = np.isin(ek, key[is_c])
+        b = np.minimum((ej / bin_width).astype(np.int64), nbins - 1)
+        n = np.bincount(b, minlength=nbins)
+        nc = np.bincount(b, weights=caught.astype(np.float64),
+                         minlength=nbins)
+        sj = np.bincount(b, weights=ej, minlength=nbins)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "bin": pa.array(nz.astype(np.int64)),
+            "n": pa.array(n[nz].astype(np.int64)),
+            "nc": pa.array(nc[nz].astype(np.int64)),
+            "sj": pa.array(sj[nz]),
+        })
+
+    agg = both.groupby("part").map_groups(
+        lambda g: audit(g.drop_columns(["part"])),
+        batch_format="pyarrow") \
+        .groupby("bin").aggregate(
+            Sum("n", alias_name="n_true"), Sum("nc", alias_name="n_caught"),
+            Sum("sj", alias_name="sj"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy()
+        n = t["n_true"].to_numpy().astype(np.float64)
+        mj = t["sj"].to_numpy() / n
+        analytic = 1.0 - (1.0 - mj ** cfg.lsh_rows) ** cfg.lsh_bands
+        return pa.table({
+            "bin_lo": pa.array(np.round(b * bin_width, 2)),
+            "n_true": t["n_true"],
+            "n_caught": t["n_caught"],
+            "recall": pa.array(np.round(
+                t["n_caught"].to_numpy() / n, 4)),
+            "mean_j": pa.array(np.round(mj, 4)),
+            "analytic_catch": pa.array(np.round(analytic, 4)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("bin_lo")
+
+
 def _distinct_grams(t: pa.Table, k: int, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (doc_ids_rep, gram_vals, doc_gram_counts): distinct k-gram hashes
     per doc, fully vectorized (segment sort + boundary mask)."""
