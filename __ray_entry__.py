@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_calibration": textops.q_minhash_calibration,
         "simhash_calibration": multimodal.q_simhash_calibration,
         "lsh_recall_curve": textops.q_lsh_recall_curve,
+        "late_data_audit": relational.q_late_data_audit,
     }
 
 
@@ -579,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": relational.value_histogram_sql(),
         "event_transitions": relational.event_transitions_sql(),
         "hourly_profile": relational.hourly_profile_sql(),
+        "late_data_audit": relational.late_data_audit_sql(),
         "cohort_retention": relational.cohort_retention_sql(),
         "partitioned_write_manifest": relational.partitioned_write_manifest_sql(),
         "group_mad_outliers": relational.group_mad_outliers_sql(),

@@ -40,7 +40,7 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "boilerplate_strip", "ngram_repetition", "duration_buckets",
           "snapshot_diff", "tfidf_cosine_pairs", "cosine_clusters",
           "cosine_cross_link", "cosine_bounded", "cascade_match",
-          "cosine_metacorps", "dup_members"]
+          "cosine_metacorps", "dup_members", "late_data_audit"]
 
 
 @pytest.fixture(scope="module")

@@ -3554,3 +3554,86 @@ def snapshot_diff_sql() -> str:
            OR old.o_totalprice <> new.o_totalprice
         ORDER BY o_orderkey
     """
+
+
+# ---------------------------------------------------------------------------
+# Event-time watermark / late-data accounting — the streaming-ingestion
+# audit every event-time pipeline runs: how much data would a tumbling
+# window have missed had it closed at (window_end + watermark)?
+# ---------------------------------------------------------------------------
+
+LATE_DELAY_MOD_MIN = 120     # deterministic per-event ingest delay (minutes)
+LATE_WATERMARK_MIN = 15      # window closes watermark minutes after its end
+
+
+def q_late_data_audit(sf_dir: str):
+    """-> (hour, n_events, n_late, late_share): per event-time tumbling
+    hour window, how many events would arrive AFTER the window closed at
+    ``end + watermark`` under a deterministic per-event ingest delay of
+    ``event_id % LATE_DELAY_MOD_MIN`` minutes (the events table carries no
+    arrival timestamp, so the delay is derived — identically in the SQL
+    oracle — rather than invented at random).
+
+    The streaming semantics demonstrated: event-time windowing with a
+    processing-time watermark, late rows counted per window instead of
+    silently dropped (the Beam/Flink allowed-lateness accounting).  Scale
+    shape: one vectorized pass per batch reduces to per-hour partial
+    counts; the only shuffle is the tiny (hours x 1) groupby."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["ts"])),
+                     batch_format="pyarrow")
+    us_per_min = np.int64(60_000_000)
+    us_per_hour = np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+        eid = t["event_id"].to_numpy()
+        hour = ts // us_per_hour
+        arrival = ts + (eid % LATE_DELAY_MOD_MIN) * us_per_min
+        close = (hour + 1) * us_per_hour + LATE_WATERMARK_MIN * us_per_min
+        late = arrival > close
+        u, inv = np.unique(hour, return_inverse=True)
+        return pa.table({
+            "hour_us": pa.array(u * us_per_hour),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "nl": pa.array(np.bincount(
+                inv, weights=late.astype(np.float64)).astype(np.int64)),
+        })
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hour_us").aggregate(Sum("n", alias_name="n_events"),
+                                      Sum("nl", alias_name="n_late"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy().astype(np.float64)
+        return pa.table({
+            "hour": pa.array(t["hour_us"].to_numpy()
+                             .astype("datetime64[us]")),
+            "n_events": t["n_events"],
+            "n_late": t["n_late"],
+            "late_share": pa.array(round_half_away(
+                t["n_late"].to_numpy() / n, 4)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("hour")
+
+
+def late_data_audit_sql() -> str:
+    return f"""
+        SELECT date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               count(*) FILTER (
+                 ts + (event_id % {LATE_DELAY_MOD_MIN}) * INTERVAL 1 MINUTE
+                 > date_trunc('hour', ts) + INTERVAL 1 HOUR
+                   + INTERVAL {LATE_WATERMARK_MIN} MINUTE) AS n_late,
+               round(count(*) FILTER (
+                 ts + (event_id % {LATE_DELAY_MOD_MIN}) * INTERVAL 1 MINUTE
+                 > date_trunc('hour', ts) + INTERVAL 1 HOUR
+                   + INTERVAL {LATE_WATERMARK_MIN} MINUTE)
+                 / CAST(count(*) AS DOUBLE), 4) AS late_share
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """
