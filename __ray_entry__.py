@@ -97,6 +97,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": textops.q_fuzzy_join,
         "bm25_score": textops.q_bm25_score,
         "hybrid_search": vectors.q_hybrid_search,
+        # new this session: JSONL source path + RP-LSH cosine scale path —
+        # window slots (displacing rollup_agg/table_profile to 51+, both
+        # simple aggregations green in the full sweep)
+        "jsonl_ingest": relational.q_jsonl_ingest,
+        "embed_rplsh_near_dup": vectors.q_embed_rplsh_near_dup,
         "rollup_agg": relational.q_rollup_agg,
         "table_profile": relational.q_table_profile,
         "dup_graph_degree": textops.q_dup_graph_degree,
@@ -542,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_agg": relational.rolling_agg_sql(),
         "json_extract": relational.json_extract_sql(),
         "asof_join": relational.asof_join_sql(),
+        "jsonl_ingest": relational.jsonl_ingest_sql(),
         "ngram_logprob": textops.ngram_logprob_sql(),
         "heavy_hitters": textops.heavy_hitters_sql(),
         "distinct_tokens": textops.distinct_tokens_sql(),
@@ -865,6 +871,21 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5 ORDER BY query_id, cosine DESC, vec_id
         """,
         "embed_near_dup": """
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY 1, 2
+        """,
+        # the RP-LSH path verifies candidates with the EXACT cosine and its
+        # banding misses a qualifying pair with p <= 3e-6 at test scale, so
+        # the exact all-pairs SQL doubles as its oracle (recall additionally
+        # gated vs q_embed_near_dup in tests/test_queries.py)
+        "embed_rplsh_near_dup": """
             SELECT a.vec_id AS left_id, b.vec_id AS right_id,
                    round(list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),

@@ -40,7 +40,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "boilerplate_strip", "ngram_repetition", "duration_buckets",
           "snapshot_diff", "tfidf_cosine_pairs", "cosine_clusters",
           "cosine_cross_link", "cosine_bounded", "cascade_match",
-          "cosine_metacorps", "dup_members", "late_data_audit"]
+          "cosine_metacorps", "dup_members", "late_data_audit",
+          "jsonl_ingest", "embed_rplsh_near_dup"]
 
 
 @pytest.fixture(scope="module")

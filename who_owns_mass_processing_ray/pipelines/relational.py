@@ -648,6 +648,84 @@ def q_csv_topk(sf_dir: str):
         .sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
 
 
+def q_jsonl_ingest(sf_dir: str):
+    """Typed JSONL source path — the ubiquitous training-data ingest format
+    (one JSON object per line), the capability class of the reference's
+    typed external reads (``load_oc_companies``, /root/reference/R/loaders.R:
+    1303-1374) over a second wire format.  The fixture is materialized ONCE
+    per sf_dir from the orders table by a distributed ``Dataset.write_json``
+    (never a driver read): ints stay ints, the price is converted to exact
+    integer cents and the timestamp to an ISO date string at write time so
+    the JSON roundtrip is lossless.  Read back with ``ray.data.read_json``
+    → typed parse (date-string slice) → filter → partial-sum groupby.
+
+    -> (month, n_orders, total_cents) for fulfilled orders, by month."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    js_dir = f"/tmp/wom_jsonl_{tag}"
+    if not os.path.isdir(js_dir) or not os.listdir(js_dir):
+        os.makedirs(js_dir, exist_ok=True)
+
+        def to_wire(t: pa.Table) -> pa.Table:
+            # exact integer cents: floor(x*100 + 0.5) over the identical
+            # double the oracle sees (prices are positive 2-decimals)
+            price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+            day = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderstatus": t["o_orderstatus"],
+                "total_cents": pa.array(cents),
+                "order_date": day,
+            })
+
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate"]) \
+            .map_batches(to_wire, batch_format="pyarrow").write_json(js_dir)
+
+    def parse(t: pa.Table) -> pa.Table:
+        # the Arrow JSON reader type-infers ISO date strings back into
+        # timestamps — the typed parse accepts either wire representation
+        day = t["order_date"]
+        if pa.types.is_timestamp(day.type):
+            month = pc.strftime(day, format="%Y-%m")
+        else:
+            month = pc.utf8_slice_codeunits(day, 0, 7)
+        return pa.table({
+            "month": month,
+            "total_cents": pc.cast(t["total_cents"], pa.int64()),
+        })
+
+    return rd.read_json(js_dir) \
+        .filter(expr="o_orderstatus == 'F'") \
+        .map_batches(parse, batch_format="pyarrow") \
+        .groupby("month") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents")) \
+        .sort("month")
+
+
+def jsonl_ingest_sql() -> str:
+    """Oracle over the SAME parquet the fixture was derived from — the JSON
+    roundtrip is lossless by construction, so the views-level SQL matches."""
+    return """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1 ORDER BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # Unit-estimation rule engine ≙ proc_assess_sites_condos +
 # proc_assess_sites_units (/root/reference/R/processors.R:577-628) composing

@@ -374,6 +374,142 @@ def q_embed_near_dup_ivf(sf_dir: str, thresh: float = 0.45,
     return out.sort(["left_id", "right_id"])
 
 
+RPLSH_BITS_PER_BAND = 4
+RPLSH_BANDS = 64
+
+
+def _rplsh_planes(dim: int, n_bits: int, seed: int = 0xA11CE) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (n_bits × dim) via splitmix64 +
+    Box-Muller — independent of NumPy's Generator bit-stream (the round-3
+    ADVICE stability point), so signatures are reproducible across NumPy
+    versions.  True Gaussians (not Rademacher) so the SimHash collision law
+    P[bit agrees] = 1 − θ/π holds exactly."""
+    from who_owns_mass_processing_ray.functions.hashing import splitmix64
+
+    n = n_bits * dim
+    idx = np.arange(2 * n, dtype=np.uint64) + np.uint64(seed)
+    u = (splitmix64(idx).astype(np.float64) + 1.0) / 2.0**64  # (0, 1]
+    g = np.sqrt(-2.0 * np.log(u[:n])) * np.cos(2.0 * np.pi * u[n:])
+    return g.reshape(n_bits, dim)
+
+
+def q_embed_rplsh_near_dup(sf_dir: str, thresh: float = 0.45,
+                           bands: int = RPLSH_BANDS,
+                           r: int = RPLSH_BITS_PER_BAND):
+    """Embedding near-dup via RANDOM-PROJECTION LSH (SimHash for cosine) —
+    the second scale path beside IVF, with different failure modes: banding
+    sign bits needs no centroid sample and is insensitive to cluster-count
+    tuning, at the cost of more bucket rows per vector.
+
+    Charikar sign-random-projection banding: 256 deterministic Gaussian
+    hyperplanes → per-vector sign bits → 64 bands × 4 bits bucket keys →
+    the shared salted/capped pair expansion (``pairs_from_bucket_rows``) →
+    EXACT cosine verify on attached embeddings (precision 1.0 — every
+    emitted score is computed from the true vectors) → global pair dedup.
+    At τ = 0.45 a qualifying pair shares a band with
+    p = 1 − (1 − (1 − θ/π)^4)^64 ≥ 1 − 3e-6, so the oracle (the exact
+    all-pairs SQL, same as ``embed_near_dup``) is deterministic in practice
+    at test scale; recall is additionally gated vs the exact path in
+    tests/test_queries.py.  No full-matrix broadcast anywhere: buckets
+    shuffle narrow (key, id) rows, embeddings attach only to candidates."""
+    import ray  # noqa: F401  (parity with siblings; Ray Data is implicit)
+
+    from who_owns_mass_processing_ray.stages import pairs as pr
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    ds = _emb(sf_dir)
+    n_bits = bands * r
+
+    class RPBuckets:
+        """Actor: hyperplanes built once per actor (state in __init__
+        modulo the data-dependent dim, cached on first batch)."""
+
+        def __init__(self):
+            self.planes: np.ndarray | None = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(t)
+            if len(ids) == 0:
+                return pa.table({"bucket_key": pa.array([], pa.uint64()),
+                                 "vec_id": pa.array([], pa.int64())})
+            if self.planes is None or self.planes.shape[1] != m.shape[1]:
+                self.planes = _rplsh_planes(m.shape[1], n_bits)
+            bits = (m @ self.planes.T) >= 0.0           # (n, n_bits)
+            # pack each band's r bits into a code, key = mix(band, code)
+            codes = np.zeros((len(ids), bands), dtype=np.uint64)
+            for j in range(r):
+                codes = (codes << np.uint64(1)) | \
+                    bits[:, j::r].astype(np.uint64)
+            from who_owns_mass_processing_ray.functions.hashing import (
+                splitmix64,
+            )
+            band_ids = np.arange(bands, dtype=np.uint64)[None, :]
+            keys = splitmix64((band_ids << np.uint64(32)) ^ codes)
+            return pa.table({
+                "bucket_key": pa.array(keys.reshape(-1)),
+                "vec_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            })
+
+    from who_owns_mass_processing_ray.pipelines.dedup import _auto_parts
+
+    num_parts = _auto_parts()
+    bucket_rows = ds.map_batches(RPBuckets, batch_format="pyarrow",
+                                 concurrency=pool_bounds(8))
+    cand = pr.pairs_from_bucket_rows(bucket_rows, "bucket_key", "vec_id",
+                                     max_bucket=512, num_parts=num_parts)
+
+    # Acero joins can't carry list<float> payloads — attach the vectors as
+    # fixed-width binary blobs of the PRE-NORMALIZED float64 rows (the DTW
+    # stage's profile-blob pattern), so verify is a plain row dot.
+    def to_blob(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        n, d = m.shape if len(ids) else (0, 0)
+        blob = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(max(d, 1) * 8), n,
+            [None, pa.py_buffer(np.ascontiguousarray(m, dtype="<f8")
+                                .tobytes())])
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embbin": blob})
+
+    feats = ds.map_batches(to_blob, batch_format="pyarrow")
+    cand = pr.attach_pair_features(cand, feats, "embbin", num_parts,
+                                   side_key="vec_id")
+
+    def _fsb_matrix(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.type.byte_width // 8
+        flat = np.frombuffer(col.buffers()[1], dtype="<f8")
+        start = col.offset * d
+        return flat[start:start + len(col) * d].reshape(len(col), d)
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "dropped": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        cos = np.einsum("ij,ij->i", _fsb_matrix(t["left_embbin"]),
+                        _fsb_matrix(t["right_embbin"]))
+        keep = cos >= thresh
+        if not keep.any():
+            return empty
+        return pa.table({
+            "left_id": t["left_id"].filter(pa.array(keep)),
+            "right_id": t["right_id"].filter(pa.array(keep)),
+            "dropped": t["dropped"].filter(pa.array(keep)),
+            "cosine": pa.array(round_half_away(cos[keep], 4)),
+        })
+
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    out = pr.distinct_edges(verified, kind="rplsh",
+                            extra_num_cols=["cosine"],
+                            num_parts=num_parts)
+    return out.select_columns(["left_id", "right_id", "cosine"]) \
+        .sort(["left_id", "right_id"])
+
+
 def q_semantic_dedup(sf_dir: str, eps: float = 0.35, n_lists: int = 16):
     """SemDeDup-style semantic deduplication: cluster embeddings with the
     deterministic IVF centroids, then within each cluster drop any vector
