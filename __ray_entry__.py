@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_rplsh_near_dup": vectors.q_embed_rplsh_near_dup,
         "rollup_agg": relational.q_rollup_agg,
         "table_profile": relational.q_table_profile,
+        "constraint_audit": relational.q_constraint_audit,
         "dup_graph_degree": textops.q_dup_graph_degree,
         "source_divergence": textops.q_source_divergence,
         "event_burst_dedup": relational.q_event_burst_dedup,
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_triangles": textops.q_dup_graph_triangles,
         "char_entropy": textops.q_char_entropy,
         "corpus_mix": textops.q_corpus_mix,
+        "token_budget_mix": textops.q_token_budget_mix,
         "containment_pairs_sa": textops.q_containment_pairs_sa,
         "delta_dedup_bloom": textops.q_delta_dedup_bloom,
         "latest_by_key": relational.q_latest_by_key,
@@ -558,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_score": textops.bm25_score_sql(),
         "weighted_sample": textops.weighted_sample_sql(),
         "table_profile": relational.table_profile_sql(),
+        "constraint_audit": relational.constraint_audit_sql(),
         "rollup_agg": relational.rollup_agg_sql(),
         "event_burst_dedup": relational.event_burst_dedup_sql(),
         "dup_graph_degree": textops.dup_graph_degree_sql(),
@@ -579,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": textops.char_entropy_sql(),
         "span_dedup_mask": textops.span_dedup_mask_sql(),
         "corpus_mix": textops.corpus_mix_sql(),
+        "token_budget_mix": textops.token_budget_mix_sql(),
         "latest_by_key": relational.latest_by_key_sql(),
         "group_zscore": relational.group_zscore_sql(),
         "key_skew": relational.key_skew_sql(),

@@ -41,7 +41,8 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "snapshot_diff", "tfidf_cosine_pairs", "cosine_clusters",
           "cosine_cross_link", "cosine_bounded", "cascade_match",
           "cosine_metacorps", "dup_members", "late_data_audit",
-          "jsonl_ingest", "embed_rplsh_near_dup"]
+          "jsonl_ingest", "embed_rplsh_near_dup", "token_budget_mix",
+          "constraint_audit"]
 
 
 @pytest.fixture(scope="module")

@@ -2176,6 +2176,143 @@ def table_profile_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Data-quality constraint audit — the expectations-suite capability class
+# (declared rules → per-rule violation counts): range / domain / referential
+# / uniqueness rules evaluated in ONE streaming pass over the fact table
+# plus one gated key-set probe (orphans) and one hash-partitioned
+# uniqueness reduce.  The report a pipeline gate reads before promoting a
+# snapshot; generalizes the reference's validity gating in std_test_units
+# (/root/reference/R/standardizers.R:993-1037) from inline rewrites to an
+# auditable artifact.
+# ---------------------------------------------------------------------------
+
+def q_constraint_audit(sf_dir: str):
+    """-> (rule, n_violations), one row per declared rule, sorted by rule.
+
+    Scale shape: the in-row rules (range/domain) are per-batch boolean-sum
+    partials (one row per batch leaves each task); the referential rule
+    streams through the adaptive semi/anti filter (key side gated by
+    BROADCAST_ROW_LIMIT); the uniqueness rule pre-counts composite-key
+    duplicates IN-BATCH, then hash-partitions only (key, count) combiner
+    rows — excess = sum(count) - distinct keys per partition."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.functions import hashing as hx
+    from who_owns_mass_processing_ray.stages import joins
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_tax", "l_returnflag"])
+
+    # --- in-row rules: per-batch partial violation counts -------------------
+    def partials(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        x = t["l_tax"].to_numpy(zero_copy_only=False)
+        rf = t["l_returnflag"]
+        dom = pc.sum(pc.invert(pc.is_in(
+            rf, value_set=pa.array(["A", "N", "R"])))).as_py() or 0
+        return pa.table({
+            "rule": pa.array(["quantity_gt_45", "discount_range",
+                              "tax_gt_0_05", "returnflag_domain"]),
+            "n": pa.array([int((q > 45).sum()),
+                           int(((d < 0) | (d > 0.1)).sum()),
+                           int((x > 0.05).sum()), int(dom)], pa.int64()),
+        })
+
+    inrow = li.map_batches(partials, batch_format="pyarrow") \
+        .groupby("rule").aggregate(Sum("n", alias_name="n_violations"))
+
+    # --- referential rule: lineitem rows with no parent order ---------------
+    # count() is the scalar action (an empty anti-join must still yield an
+    # n_violations=0 row, which a groupby over zero rows cannot produce)
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    n_orphans = joins.semi_anti_filter(
+        li.select_columns(["l_orderkey"]), "l_orderkey", orders,
+        "o_orderkey", anti=True).count()
+    orphan_n = ray.data.from_arrow(pa.table({
+        "rule": pa.array(["orphan_orderkey"]),
+        "n_violations": pa.array([int(n_orphans)], pa.int64()),
+    }))
+
+    # --- uniqueness rule: excess rows per duplicate (orderkey, lineno) ------
+    # exact composite keys end-to-end (no hash-collision undercount at any
+    # scale): in-batch segment pre-count, hash-partition the (key, cnt)
+    # combiner rows on l_orderkey, exact segment reduce per partition.
+    def key_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "l_linenumber": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        ok = t["l_orderkey"].to_numpy()
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((ln, ok))
+        oks, lns = ok[order], ln[order]
+        new = np.concatenate(
+            ([True], (oks[1:] != oks[:-1]) | (lns[1:] != lns[:-1])))
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(oks)])))
+        part = hx.splitmix64(oks[starts].astype(np.uint64)) % np.uint64(64)
+        return pa.table({
+            "l_orderkey": pa.array(oks[starts]),
+            "l_linenumber": pa.array(lns[starts]),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "part": pa.array(part.astype(np.int32)),
+        })
+
+    def excess(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy()
+        ln = g["l_linenumber"].to_numpy()
+        order = np.lexsort((ln, ok))
+        oks, lns = ok[order], ln[order]
+        n_keys = int(np.concatenate(
+            ([True], (oks[1:] != oks[:-1]) | (lns[1:] != lns[:-1]))).sum())
+        return pa.table({
+            "rule": pa.array(["dup_lineno"]),
+            "n": pa.array([int(g["cnt"].to_numpy().sum() - n_keys)],
+                          pa.int64()),
+        })
+
+    dup_n = li.map_batches(key_counts, batch_format="pyarrow") \
+        .groupby("part").map_groups(excess, batch_format="pyarrow") \
+        .groupby("rule").aggregate(Sum("n", alias_name="n_violations"))
+
+    return inrow.union(orphan_n).union(dup_n).sort("rule")
+
+
+def constraint_audit_sql() -> str:
+    return """
+        SELECT 'quantity_gt_45' AS rule,
+               CAST(count(*) FILTER (WHERE l_quantity > 45) AS BIGINT)
+                   AS n_violations FROM lineitem
+        UNION ALL
+        SELECT 'discount_range',
+               CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                    AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'tax_gt_0_05',
+               CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'returnflag_domain',
+               CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R'))
+                    AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'orphan_orderkey', CAST(count(*) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+        UNION ALL
+        SELECT 'dup_lineno', CAST(sum(c) - count(*) AS BIGINT) FROM (
+            SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)
+        ORDER BY rule
+    """
+
+
+# ---------------------------------------------------------------------------
 # ROLLUP aggregate (grouping sets) — subtotals + grand total in one query,
 # a capability Ray Data's groupby lacks natively.  Scale shape: aggregate
 # the FINEST level distributed (partial map-side combine, only combiner

@@ -5774,6 +5774,168 @@ def corpus_mix_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget corpus mixing — the tokens-not-docs quota variant of
+# q_corpus_mix: mixture weights in LLM data blends are token budgets, so the
+# selection is "take docs in the deterministic hash order until the source's
+# token budget is exhausted" (a doc is kept iff the budget is not yet spent
+# when it STARTS).  Exact, and the corpus never shuffles: the per-source
+# prefix boundary is found by the histogram-bracketing pattern
+# (functions/quantile.py) — (1) one narrow pass histograms token mass into
+# hash-key buckets per source, (2) the tiny (sources × buckets) table
+# locates each source's boundary bucket on the driver, (3) only the
+# boundary buckets' rows (corpus/NB per source) collect for exact in-bucket
+# resolution, (4) one broadcast-filter pass emits the kept prefix.  At
+# larger scale step 3 recurses (re-bucket the boundary bucket) exactly like
+# the quantile module; one level suffices at test scale and is documented.
+# ---------------------------------------------------------------------------
+
+TB_BUDGET = 700   # tokens per source — ~half a source's mass at test SFs
+TB_BUCKETS = 256
+
+
+def _tb_keyed(t: pa.Table) -> pa.Table:
+    """(source, doc_id, n_tokens, key, bucket) — whitespace token count
+    (same kernel as q_token_stats) + the corpus_mix multiplicative-hash
+    uniform + its histogram bucket."""
+    ids = t["doc_id"].to_numpy()
+    u = ((ids.astype(np.uint64) * np.uint64(_WS_MULT) + np.uint64(7))
+         % np.uint64(1 << 32)).astype(np.float64)
+    key = (u + 1.0) / float((1 << 32) + 1)
+    toks = pc.list_value_length(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t["text"]), r"\s+")).cast(pa.int64())
+    bucket = np.minimum((key * TB_BUCKETS).astype(np.int64), TB_BUCKETS - 1)
+    return pa.table({
+        "source": t["source"],
+        "doc_id": t["doc_id"],
+        "n_tokens": toks,
+        "key": pa.array(key),
+        "bucket": pa.array(bucket),
+    })
+
+
+def q_token_budget_mix(sf_dir: str, budget: int = TB_BUDGET):
+    """-> (source, doc_id, n_tokens): per-source prefix of the hash order
+    whose cumulative token count stays under ``budget`` at each doc's
+    start, sorted (source, doc_id)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=("doc_id", "source", "text"))
+    keyed = docs.map_batches(_tb_keyed, batch_format="pyarrow").materialize()
+
+    # pass 1: (source, bucket) token-mass histogram — bounded take_all
+    # (sources × TB_BUCKETS rows)
+    def pre_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "bucket"]).aggregate([("n_tokens", "sum")])
+        return pa.table({"source": g["source"], "bucket": g["bucket"],
+                         "tok": g["n_tokens_sum"]})
+
+    hist = keyed.map_batches(pre_agg, batch_format="pyarrow") \
+        .groupby(["source", "bucket"]) \
+        .aggregate(Sum("tok", alias_name="tok")).take_all()
+
+    # driver: per source, cumulative over sorted buckets -> boundary bucket
+    # b* = first bucket whose END crosses the budget; buckets < b* are fully
+    # kept, buckets > b* fully excluded (cum_before is monotone).
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_src.setdefault(r["source"], []).append((r["bucket"], r["tok"]))
+    boundary: dict[str, tuple[int, int]] = {}   # source -> (b*, cum_before)
+    for src, rows in by_src.items():
+        cum = 0
+        bstar, base = None, 0
+        for b, tok in sorted(rows):
+            if cum + tok >= budget:
+                bstar, base = b, cum
+                break
+            cum += tok
+        if bstar is not None:
+            boundary[src] = (bstar, base)
+        # else: total < budget -> whole source kept, no boundary
+
+    # pass 2: ONLY boundary-bucket rows collect (corpus/NB per source) for
+    # the exact in-bucket cutoff: the first doc with cum_before >= budget.
+    bmap_ref = ray.put({s: b for s, (b, _) in boundary.items()})
+
+    def only_boundary(t: pa.Table) -> pa.Table:
+        bmap = ray.get(bmap_ref)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        want = np.array([bmap.get(s.as_py(), -1) for s in enc.dictionary],
+                        np.int64)   # one lookup per DISTINCT source
+        keep = want[enc.indices.to_numpy()] == t["bucket"].to_numpy()
+        return t.filter(pa.array(keep))
+
+    cutoffs: dict[str, tuple[float, int]] = {}  # source -> first EXCLUDED
+    if boundary:
+        brows = keyed.map_batches(only_boundary,
+                                  batch_format="pyarrow").take_all()
+        per_src: dict[str, list] = {}
+        for r in brows:
+            per_src.setdefault(r["source"], []).append(r)
+        for src, rows in per_src.items():
+            cum = boundary[src][1]
+            for r in sorted(rows, key=lambda r: (r["key"], r["doc_id"])):
+                if cum >= budget:
+                    cutoffs[src] = (r["key"], r["doc_id"])
+                    break
+                cum += r["n_tokens"]
+        # a boundary bucket whose docs all START under budget -> the first
+        # excluded doc is in a LATER bucket; later buckets have
+        # cum_before >= budget by construction of b*, so exclusion starts
+        # at their first row: mark cutoff just past the boundary bucket.
+        for src, (b, _) in boundary.items():
+            cutoffs.setdefault(src, ((b + 1) / TB_BUCKETS, -1))
+
+    cut_ref = ray.put(cutoffs)
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        cut = ray.get(cut_ref)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        # one lookup per DISTINCT source; (inf, ·) = no cutoff = keep all
+        ckey = np.array([cut.get(s.as_py(), (np.inf, 0))[0]
+                         for s in enc.dictionary])
+        cid = np.array([cut.get(s.as_py(), (np.inf, 0))[1]
+                        for s in enc.dictionary], np.int64)
+        codes = enc.indices.to_numpy()
+        key = t["key"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        keep = (key < ckey[codes]) | \
+            ((key == ckey[codes]) & (ids < cid[codes]))
+        return t.filter(pa.array(keep)) \
+            .select(["source", "doc_id", "n_tokens"])
+
+    return keyed.map_batches(final_filter, batch_format="pyarrow") \
+        .sort(["source", "doc_id"])
+
+
+def token_budget_mix_sql(budget: int = TB_BUDGET) -> str:
+    return rf"""
+        WITH keyed AS (
+          SELECT source, doc_id,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                 ((doc_id * {_WS_MULT}::UBIGINT + 7) % 4294967296 + 1)
+                     / 4294967297.0 AS key
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY key, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS cum_before
+          FROM keyed)
+        SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM c WHERE coalesce(cum_before, 0) < {budget}
+        ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # Dedup accounting report — per-source doc/token retention after near-dup
 # dedup: the numbers a data-mixing team actually reads before re-weighting
 # a blend (dedup shifts source shares; this measures by how much).
