@@ -1933,3 +1933,114 @@ def test_audio_curation_funnel_vs_brute(ray_session):
         assert int(got.loc[stage, "total_dur_ms"]) == d, (stage, d)
         assert int(got.loc[stage, "n_removed"]) == rm, (stage, rm)
     assert n0 - n3 > 0, "funnel must remove something at sf0.001"
+
+
+# -- bridge detection: synthetic property graphs + brute per-edge removal ---
+
+def _brute_bridges(edges):
+    """(u, v, {side sizes}) for every edge whose removal disconnects its
+    component — by per-edge-removal DSU recount + BFS side sizes."""
+    nodes = sorted({x for e in edges for x in e})
+
+    def n_comps(es):
+        parent = {v: v for v in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in es:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        return len({find(v) for v in nodes})
+
+    base = n_comps(edges)
+    out = set()
+    for i, (u, v) in enumerate(edges):
+        rest = edges[:i] + edges[i + 1:]
+        if n_comps(rest) > base:
+            # side sizes via BFS from u in the remaining graph
+            adj = {}
+            for a, b in rest:
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, []).append(a)
+            seen = {u}
+            todo = [u]
+            while todo:
+                x = todo.pop()
+                for y in adj.get(x, []):
+                    if y not in seen:
+                        seen.add(y)
+                        todo.append(y)
+            # component of the original edge = all nodes reachable incl. v
+            comp = {u, v}
+            adj2 = {}
+            for a, b in edges:
+                adj2.setdefault(a, []).append(b)
+                adj2.setdefault(b, []).append(a)
+            todo = [u]
+            comp = {u}
+            while todo:
+                x = todo.pop()
+                for y in adj2.get(x, []):
+                    if y not in comp:
+                        comp.add(y)
+                        todo.append(y)
+            s = len(seen)
+            out.add((min(u, v), max(u, v),
+                     frozenset({s, len(comp) - s})))
+    return out
+
+
+def test_find_bridges_properties():
+    from who_owns_mass_processing_ray.pipelines.textops import _find_bridges
+
+    # chain: every edge a bridge
+    chain = [(1, 2), (2, 3), (3, 4)]
+    got = {(min(a, b), max(a, b), frozenset({s, 4 - s}))
+           for a, b, s in _find_bridges(chain)}
+    assert got == _brute_bridges(chain)
+    # clique: none
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert _find_bridges(k4) == []
+    # barbell: two triangles + one bridge of sides 3/3
+    bar = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    got = {(min(a, b), max(a, b), frozenset({s, 6 - s}))
+           for a, b, s in _find_bridges(bar)}
+    assert got == {(3, 4, frozenset({3}))}
+    assert got == _brute_bridges(bar)
+    # random graphs vs brute
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(4, 12))
+        m = int(rng.integers(n - 1, n * 2))
+        es = set()
+        while len(es) < m:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                es.add((min(int(a), int(b)), max(int(a), int(b))))
+        es = sorted(es)
+        nn = len({x for e in es for x in e})
+        got = {(min(a, b), max(a, b)) for a, b, _ in _find_bridges(es)}
+        want = {(a, b) for a, b, _ in _brute_bridges(es)}
+        assert got == want, (trial, es)
+
+
+def test_dup_graph_bridges_vs_brute(ray_session):
+    """Query-level: bridges of the sf0.001 near-dup graph vs the brute
+    per-edge-removal recompute over the SAME verified pair set."""
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    pairs = textops.q_minhash_near_dup(SF_DIR).to_pandas()
+    edges = sorted(zip(pairs.left_id.astype(int),
+                       pairs.right_id.astype(int)))
+    want = _brute_bridges(edges)
+    got_df = textops.q_dup_graph_bridges(SF_DIR).to_pandas()
+    got = {(int(r.left_id), int(r.right_id),
+            frozenset({int(r.side_small), int(r.side_large)}))
+           for r in got_df.itertuples()}
+    assert got == want
+    assert len(got) > 0, "sf0.001 graph should contain at least one bridge"

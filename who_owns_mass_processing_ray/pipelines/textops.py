@@ -7133,6 +7133,119 @@ def vocab_growth_sql(step: int = 50) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Bridge detection on the near-dup graph — the over-merge audit for
+# connected-components clustering.  Components is recall-safe but a single
+# false-positive edge fuses two unrelated dup families; a BRIDGE whose
+# removal leaves two large sides is exactly that suspect edge (the
+# reference's fast-greedy would cut it; measured precision-1.0 vs
+# fast-greedy notwithstanding, this surfaces the risk as an auditable
+# artifact).  Scale shape: edges get their component id via the adaptive
+# join, then ONE groupby ships each cluster's edges to one task; per-group
+# work is Tarjan's linear-time bridge DFS (inherently sequential per
+# cluster, like the DTW DP — cluster size is bounded upstream by the
+# salting/caps of the candidate generators).
+# ---------------------------------------------------------------------------
+
+def _find_bridges(edges: list[tuple[int, int]]) -> list[tuple[int, int, int]]:
+    """Iterative Tarjan bridges over one connected component's edge list
+    -> [(u, v, subtree_size_of_far_side), ...] with original node labels."""
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for ei, (u, v) in enumerate(edges):
+        ui, vi = idx[u], idx[v]
+        adj[ui].append((vi, ei))
+        adj[vi].append((ui, ei))
+    disc = [0] * n
+    low = [0] * n
+    sub = [1] * n
+    state = [0] * n   # next adj index to visit
+    timer = 1
+    out: list[tuple[int, int, int]] = []
+    for root in range(n):
+        if disc[root]:
+            continue
+        stack = [(root, -1)]   # (node, edge id used to enter)
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            u, in_edge = stack[-1]
+            if state[u] < len(adj[u]):
+                v, ei = adj[u][state[u]]
+                state[u] += 1
+                if ei == in_edge:
+                    continue
+                if disc[v]:
+                    low[u] = min(low[u], disc[v])
+                else:
+                    disc[v] = low[v] = timer
+                    timer += 1
+                    stack.append((v, ei))
+            else:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[u])
+                    sub[p] += sub[u]
+                    if low[u] > disc[p]:
+                        a, b = edges[in_edge]
+                        out.append((a, b, sub[u]))
+    return out
+
+
+def q_dup_graph_bridges(sf_dir: str, k: int = 5, thresh: float = 0.7,
+                        num_parts: int = 32):
+    """-> (left_id, right_id, side_small, side_large): every bridge of the
+    char-k-gram Jaccard >= thresh near-dup graph with the node counts of
+    the two components its removal leaves, sorted (left_id, right_id).
+    side_small >= 2 rows are the over-merge suspects.  Not SQL-expressible
+    (DFS); brute-force oracle (per-edge-removal DSU recompute) + synthetic
+    chain/clique/barbell property tests in tests/test_independent_oracles.py.
+    """
+    from ray.data.aggregate import Count
+
+    from who_owns_mass_processing_ray.config import DedupConfig
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    edges = _graph_edges(sf_dir, k, thresh) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow").materialize()
+    assign = _groups_from_pairs(edges, DedupConfig()).materialize()
+    labeled = attach_columns(edges, assign, "left_id", "doc_id",
+                             {"group_id": "group_id"}, num_parts)
+
+    # per-group sizes for the far-side complement (nodes, not edges)
+    sizes = assign.groupby("group_id").aggregate(
+        Count(alias_name="n_nodes"))
+    labeled = attach_columns(labeled, sizes, "group_id", "group_id",
+                             {"n_nodes": "n_nodes"}, num_parts)
+
+    def bridges(g: pa.Table) -> pa.Table:
+        el = list(zip(g["left_id"].to_pylist(), g["right_id"].to_pylist()))
+        n_nodes = int(g["n_nodes"][0].as_py())
+        rows = _find_bridges(el)
+        if not rows:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "side_small": pa.array([], pa.int64()),
+                             "side_large": pa.array([], pa.int64())})
+        a, b, far = (np.array(x, np.int64) for x in zip(*rows))
+        near = n_nodes - far
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "left_id": pa.array(lo),
+            "right_id": pa.array(hi),
+            "side_small": pa.array(np.minimum(far, near)),
+            "side_large": pa.array(np.maximum(far, near)),
+        })
+
+    return labeled.groupby("group_id") \
+        .map_groups(bridges, batch_format="pyarrow") \
+        .sort(["left_id", "right_id"])
+
+
+# ---------------------------------------------------------------------------
 # Modularity of the near-dup clustering — the graph-side quality metric
 # (vector-side siblings: cluster purity/NMI).  Q = Σ_c [ e_c/m −
 # (a_c/2m)² ] over the components partition of the Jaccard graph: high Q =
