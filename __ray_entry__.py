@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_kcore": textops.q_dup_graph_kcore,
         "dup_graph_modularity": textops.q_dup_graph_modularity,
         "dup_graph_bridges": textops.q_dup_graph_bridges,
+        "dup_graph_articulation": textops.q_dup_graph_articulation,
         "bpe_train": textops.q_bpe_train,
         "bpe_encode": textops.q_bpe_encode,
         "lang_agreement": textops.q_lang_agreement,

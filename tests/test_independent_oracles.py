@@ -2016,7 +2016,7 @@ def test_find_bridges_properties():
     rng = np.random.default_rng(7)
     for trial in range(20):
         n = int(rng.integers(4, 12))
-        m = int(rng.integers(n - 1, n * 2))
+        m = min(int(rng.integers(n - 1, n * 2)), n * (n - 1) // 2)
         es = set()
         while len(es) < m:
             a, b = rng.integers(0, n, 2)
@@ -2044,3 +2044,78 @@ def test_dup_graph_bridges_vs_brute(ray_session):
            for r in got_df.itertuples()}
     assert got == want
     assert len(got) > 0, "sf0.001 graph should contain at least one bridge"
+
+
+def _brute_articulation(edges):
+    nodes = sorted({x for e in edges for x in e})
+
+    def comps(ns, es):
+        parent = {v: v for v in ns}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in es:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        return len({find(v) for v in ns})
+
+    base = comps(nodes, edges)
+    out = set()
+    for v in nodes:
+        ns = [x for x in nodes if x != v]
+        es = [e for e in edges if v not in e]
+        c = comps(ns, es)
+        if c > base:   # v's component fell into c - base + 1 parts
+            out.add((v, c - base + 1))
+    return out
+
+
+def test_find_articulation_properties():
+    from who_owns_mass_processing_ray.pipelines.textops import (
+        _find_articulation,
+    )
+
+    chain = [(1, 2), (2, 3), (3, 4)]
+    assert set(_find_articulation(chain)) == {(2, 2), (3, 2)} \
+        == _brute_articulation(chain)
+    star = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    assert set(_find_articulation(star)) == {(0, 4)} \
+        == _brute_articulation(star)
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert _find_articulation(k4) == []
+    bar = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    assert set(_find_articulation(bar)) == {(3, 2), (4, 2)} \
+        == _brute_articulation(bar)
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(4, 12))
+        m = min(int(rng.integers(n - 1, n * 2)), n * (n - 1) // 2)
+        es = set()
+        while len(es) < m:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                es.add((min(int(a), int(b)), max(int(a), int(b))))
+        es = sorted(es)
+        assert set(_find_articulation(es)) == _brute_articulation(es), \
+            (trial, es)
+
+
+def test_dup_graph_articulation_vs_brute(ray_session):
+    from who_owns_mass_processing_ray.pipelines import textops
+
+    # same edge source as the query default (exact AllPairs at tau=0.3 —
+    # dense enough for real cut vertices, unlike the 0.7 LSH graph)
+    pairs = textops.q_ngram_jaccard_pairs(SF_DIR, k=5, thresh=0.3) \
+        .to_pandas()
+    edges = sorted(zip(pairs.left_id.astype(int),
+                       pairs.right_id.astype(int)))
+    want = _brute_articulation(edges)
+    got_df = textops.q_dup_graph_articulation(SF_DIR).to_pandas()
+    got = {(int(r.doc_id), int(r.n_parts)) for r in got_df.itertuples()}
+    assert got == want
+    assert len(got) > 0, "tau=0.3 graph at sf0.001 has cut vertices"

@@ -7194,6 +7194,100 @@ def _find_bridges(edges: list[tuple[int, int]]) -> list[tuple[int, int, int]]:
     return out
 
 
+def _find_articulation(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Iterative articulation points over one connected component's edges
+    -> [(node, n_components_after_removal), ...] with original labels."""
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[idx[u]].append(idx[v])
+        adj[idx[v]].append(idx[u])
+    disc = [0] * n
+    low = [0] * n
+    state = [0] * n
+    # split_children[u]: DFS children v with low[v] >= disc[u] (each is a
+    # component after removing u); the root's count is its child count
+    split = [0] * n
+    timer = 1
+    out: list[tuple[int, int]] = []
+    for root in range(n):
+        if disc[root]:
+            continue
+        comp = [root]
+        stack = [(root, -1)]
+        disc[root] = low[root] = timer
+        timer += 1
+        root_children = 0
+        while stack:
+            u, parent = stack[-1]
+            if state[u] < len(adj[u]):
+                v = adj[u][state[u]]
+                state[u] += 1
+                if v == parent:
+                    continue
+                if disc[v]:
+                    low[u] = min(low[u], disc[v])
+                else:
+                    disc[v] = low[v] = timer
+                    timer += 1
+                    if u == root:
+                        root_children += 1
+                    comp.append(v)
+                    stack.append((v, u))
+            else:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[u])
+                    if p != root and low[u] >= disc[p]:
+                        split[p] += 1
+        for i in comp:
+            if i == root:
+                if root_children >= 2:
+                    out.append((nodes[i], root_children))
+            elif split[i]:
+                # split[i] children split off + the rest of the component
+                out.append((nodes[i], split[i] + 1))
+    return out
+
+
+def q_dup_graph_articulation(sf_dir: str, k: int = 5, thresh: float = 0.3,
+                             num_parts: int = 32):
+    """-> (doc_id, n_parts): articulation docs of the near-dup graph — the
+    node-side over-merge audit (a doc similar to two otherwise-unrelated
+    dup families is the classic false-merge cause; its removal splits the
+    cluster into ``n_parts`` pieces).  Same scale shape as
+    q_dup_graph_bridges; brute per-node-removal DSU parity in
+    tests/test_independent_oracles.py."""
+    from ray.data.aggregate import Count  # noqa: F401 (sibling parity)
+
+    from who_owns_mass_processing_ray.config import DedupConfig
+    from who_owns_mass_processing_ray.stages.joins import attach_columns
+
+    edges = _graph_edges(sf_dir, k, thresh) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow").materialize()
+    assign = _groups_from_pairs(edges, DedupConfig()).materialize()
+    labeled = attach_columns(edges, assign, "left_id", "doc_id",
+                             {"group_id": "group_id"}, num_parts)
+
+    def arts(g: pa.Table) -> pa.Table:
+        el = list(zip(g["left_id"].to_pylist(), g["right_id"].to_pylist()))
+        rows = _find_articulation(el)
+        if not rows:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_parts": pa.array([], pa.int64())})
+        d, np_ = (np.array(x, np.int64) for x in zip(*rows))
+        return pa.table({"doc_id": pa.array(d),
+                         "n_parts": pa.array(np_)})
+
+    return labeled.groupby("group_id") \
+        .map_groups(arts, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 def q_dup_graph_bridges(sf_dir: str, k: int = 5, thresh: float = 0.7,
                         num_parts: int = 32):
     """-> (left_id, right_id, side_small, side_large): every bridge of the

@@ -412,8 +412,6 @@ def q_embed_rplsh_near_dup(sf_dir: str, thresh: float = 0.45,
     at test scale; recall is additionally gated vs the exact path in
     tests/test_queries.py.  No full-matrix broadcast anywhere: buckets
     shuffle narrow (key, id) rows, embeddings attach only to candidates."""
-    import ray  # noqa: F401  (parity with siblings; Ray Data is implicit)
-
     from who_owns_mass_processing_ray.stages import pairs as pr
     from who_owns_mass_processing_ray.stages import pool_bounds
 
