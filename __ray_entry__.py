@@ -75,6 +75,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": textops.q_minhash_near_dup,
         "bounded_near_dup": textops.q_bounded_near_dup,
         "near_dup_groups": textops.q_near_dup_groups,
+        # new (late round 4): token-set (bag-of-words) dedup + per-doc top-k
+        # nearest-duplicate report — window slots (displacing
+        # containment_pairs/cross_table_link, driver-green since r3 and
+        # unchanged, to 51+)
+        "token_set_dedup": textops.q_token_set_dedup,
+        "near_dup_topk": textops.q_near_dup_topk,
         # the reference's ACTUAL dedupe_cosine kernel family, reproduced
         # exactly (new this block) — window slots; the displaced stable
         # rows rotate to 51+ (still pytest-checked at sf0.001)
@@ -83,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_cross_link": textops.q_cosine_cross_link,
         "cosine_bounded": textops.q_cosine_bounded,
         "cosine_metacorps": textops.q_cosine_metacorps,
-        "containment_pairs": textops.q_containment_pairs,
         "span_dedup_mask": textops.q_span_dedup_mask,
         "shared_span_pairs": textops.q_shared_span_pairs,
         "delta_dedup": textops.q_delta_dedup,
@@ -93,7 +98,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_report": textops.q_dedup_token_report,
         "group_regression": relational.q_group_regression,
         "doc_novelty": textops.q_doc_novelty,
-        "cross_table_link": textops.q_cross_table_link,
         "fuzzy_join": textops.q_fuzzy_join,
         "bm25_score": textops.q_bm25_score,
         "hybrid_search": vectors.q_hybrid_search,
@@ -105,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": relational.q_rollup_agg,
         "table_profile": relational.q_table_profile,
         "constraint_audit": relational.q_constraint_audit,
+        "containment_pairs": textops.q_containment_pairs,
+        "cross_table_link": textops.q_cross_table_link,
         "dup_graph_degree": textops.q_dup_graph_degree,
         "source_divergence": textops.q_source_divergence,
         "event_burst_dedup": relational.q_event_burst_dedup,
@@ -609,6 +615,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_metacorps": textops.cosine_metacorps_sql(),
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "token_set_dedup": textops.token_set_dedup_sql(),
+        "near_dup_topk": textops.near_dup_topk_sql(),
         "cross_table_link": _CROSS_LINK_ORACLE,
         # connected components over the exact Jaccard pair graph: min
         # reachable doc_id via a recursive CTE == the engine's union-find

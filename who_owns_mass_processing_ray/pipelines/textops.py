@@ -8065,3 +8065,215 @@ def cosine_metacorps_sql() -> str:
                                    ORDER BY m.ct DESC, m.text ASC) = 1
         ORDER BY m.group_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Token-set (bag-of-words) dedup — order/repetition-invariant identity
+# ---------------------------------------------------------------------------
+
+def _token_set_keys(txt) -> pa.Array:
+    """Per-row canonical token-set string: sorted DISTINCT whitespace tokens
+    joined by ' '.  One dictionary sort per batch + pure-numpy segment work
+    (lexsort, run-length dedup, ListArray rebuild + ``pc.binary_join``) —
+    no Python loop over rows."""
+    la = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.flatten()
+    counts = pc.list_value_length(la).to_numpy().astype(np.int64)
+    rows = np.repeat(np.arange(len(la), dtype=np.int64), counts)
+    if len(rows) == 0:
+        return pa.array([], pa.string())
+    enc = pc.dictionary_encode(flat)
+    dic = np.array(enc.dictionary.to_pylist(), dtype=object)
+    rank = np.empty(len(dic), dtype=np.int64)
+    rank[np.argsort(dic)] = np.arange(len(dic))
+    key = rank[enc.indices.to_numpy()]
+    order = np.lexsort((key, rows))
+    rows_s, key_s = rows[order], key[order]
+    keep = np.concatenate(
+        ([True], (rows_s[1:] != rows_s[:-1]) | (key_s[1:] != key_s[:-1])))
+    rows_k = rows_s[keep]
+    tok = flat.take(pa.array(order[keep]))
+    new_offs = np.zeros(len(la) + 1, dtype=np.int32)
+    np.cumsum(np.bincount(rows_k, minlength=len(la)), out=new_offs[1:])
+    lst = pa.ListArray.from_arrays(pa.array(new_offs), tok)
+    return pc.binary_join(lst, " ")
+
+
+def q_token_set_dedup(sf_dir: str, num_parts: int = 32):
+    """Token-set (bag-of-words) dedup: two docs are duplicates when their
+    sorted DISTINCT token sets agree — identity invariant to word order and
+    repetition (shuffled listings, re-ordered boilerplate, copy-paste with
+    duplicated lines).  Generalizes the reference's alphabetize-then-match
+    idiom (``std_alphabetize_name``, /root/reference/R/standardizers.R:
+    2149-2176, used so name-order variants of the same owner collide) from
+    name fields to whole documents, composed with ``dedupe_naive``'s
+    group-identically reduce (/root/reference/R/deduplicaters.R:208-223).
+
+    Scale shape: the canonical token-set string never shuffles — each batch
+    reduces rows to (doc_id, h1, h2) with a 128-bit key hash, rows
+    hash-partition on h1, and each partition resolves its groups with one
+    lexsort + run-length segmentation (group id = min member doc_id,
+    deterministic).  Output is bounded by the duplicate subset.
+
+    Output: (doc_id, group_id, n_members) for every member of a >1 group,
+    sorted by doc_id."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))   # match oracle: non-null only
+        skel = _token_set_keys(t["text"])
+        if isinstance(skel, pa.ChunkedArray):
+            skel = skel.combine_chunks()
+        h1 = hx.hash_strings(skel, seed=7177)
+        h2 = hx.hash_strings(skel, seed=2753)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            # int64 bit-cast: uint64 must not cross Ray shuffles
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "part": pa.array((h1 % np.uint64(num_parts)).astype(np.int32)),
+        })
+
+    def groups(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        ids, h1, h2 = ids[order], h1[order], h2[order]
+        new = np.concatenate(
+            ([True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [len(ids)])))
+        seg = np.repeat(np.arange(len(starts)), sizes)
+        keep = sizes[seg] > 1
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "group_id": pa.array(ids[starts][seg][keep]),
+            "n_members": pa.array(sizes[seg][keep].astype(np.int64)),
+        })
+
+    return _docs(sf_dir).map_batches(keyed, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: groups(g.drop_columns(["part"])),
+            batch_format="pyarrow").sort("doc_id")
+
+
+def token_set_dedup_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(
+                       string_split_regex(trim(lower(text)), '\\s+'))),
+                       ' ') AS skel
+            FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT skel, min(doc_id) AS group_id,
+                     CAST(count(*) AS BIGINT) AS n_members
+              FROM s GROUP BY 1)
+        SELECT s.doc_id, g.group_id, g.n_members
+        FROM s JOIN g USING (skel)
+        WHERE g.n_members > 1
+        ORDER BY s.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-doc nearest-duplicate top-k report
+# ---------------------------------------------------------------------------
+
+def q_near_dup_topk(sf_dir: str, k: int = 3, num_parts: int = 32,
+                    cfg: DedupConfig = DOCS_CFG):
+    """Nearest-duplicate triage report: for every doc with >= 1 verified
+    near-dup (char-5-gram Jaccard >= 0.7 via the flagship's MinHash+LSH
+    blocking), its top-``k`` most similar neighbors with rank — the
+    per-record "which doc is my closest duplicate" listing a curation
+    reviewer or a keep-best policy consumes (the per-group ``slice_min``
+    idiom of the reference's match selection, /root/reference/R/loaders.R,
+    applied to the dedup pair stream).
+
+    Scale shape: only verified (left_id, right_id, jaccard) pairs move —
+    symmetrized, hash-partitioned on doc_id, each partition ranks its
+    segments with ONE lexsort + run-length offsets (no per-group Python);
+    ties break (jaccard DESC, neighbor_id ASC) so ranks are deterministic.
+
+    Output: (doc_id, neighbor_id, jaccard, rank), sorted by (doc_id, rank).
+    """
+    pairs = minhash_pairs_ds(_docs(sf_dir), cfg)
+
+    def sym(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy()
+        r = t["right_id"].to_numpy()
+        j = t["jaccard"].to_numpy()
+        d = np.concatenate((l, r))
+        nb = np.concatenate((r, l))
+        jj = np.concatenate((j, j))
+        return pa.table({
+            "doc_id": pa.array(d),
+            "neighbor_id": pa.array(nb),
+            "jaccard": pa.array(jj),
+            "part": pa.array((hx.splitmix64(d.astype(np.uint64))
+                              % np.uint64(num_parts)).astype(np.int32)),
+        })
+
+    def topk(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        nb = g["neighbor_id"].to_numpy()
+        j = g["jaccard"].to_numpy()
+        order = np.lexsort((nb, -j, d))
+        d, nb, j = d[order], nb[order], j[order]
+        new = np.concatenate(([True], d[1:] != d[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [len(d)])))
+        rank = np.arange(len(d), dtype=np.int64) \
+            - np.repeat(starts, sizes) + 1
+        keep = rank <= k
+        return pa.table({
+            "doc_id": pa.array(d[keep]),
+            "neighbor_id": pa.array(nb[keep]),
+            "jaccard": pa.array(j[keep]),
+            "rank": pa.array(rank[keep]),
+        })
+
+    return pairs.map_batches(sym, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: topk(g.drop_columns(["part"])),
+            batch_format="pyarrow").sort(["doc_id", "rank"])
+
+
+def near_dup_topk_sql(k: int = 3) -> str:
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
+          FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+                FROM documents)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT i.left_id, i.right_id,
+                 round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.left_id
+          JOIN sz sb ON sb.doc_id = i.right_id
+          WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
+        ),
+        sym AS (
+          SELECT left_id AS doc_id, right_id AS neighbor_id, jaccard
+          FROM pairs
+          UNION ALL
+          SELECT right_id, left_id, jaccard FROM pairs
+        )
+        SELECT doc_id, neighbor_id, jaccard,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY jaccard DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM sym
+        QUALIFY rank <= {k}
+        ORDER BY doc_id, rank
+    """
