@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_delta_dedup": multimodal.q_audio_delta_dedup,
         "audio_snippet_search": multimodal.q_audio_snippet_search,
         "audio_constellation_match": multimodal.q_audio_constellation_match,
+        "audio_pair_snr": multimodal.q_audio_pair_snr,
         "audio_curation_funnel": multimodal.q_audio_curation_funnel,
         "audio_transcode": multimodal.q_audio_transcode,
         "compression_ratio": textops.q_compression_ratio,

@@ -305,3 +305,50 @@ class TestDtw:
         other = _tone(sr, 0.6, freqs=(523.0, 1569.0, 2217.0), seed=11)
         C = mm._dtw_band_frames(other, sr)
         assert mm._dtw_cost(A, C) > mm.DTW_THRESH
+
+
+class TestPairSNR:
+    """q_audio_pair_snr / pair_snr_ds — the north-rule per-pair PCM
+    invariant as a pipeline stage."""
+
+    def _planted(self, ray_session):
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        clips = mm.clips_from_documents(
+            "/root/testdata/sf0.001").limit(20).materialize()
+        t = pa.concat_tables(
+            [x for x in ray.get(clips.to_arrow_refs()) if x.num_rows])
+        dup = t.set_column(
+            0, "clip_id",
+            pa.array([c + "-copy" for c in t["clip_id"].to_pylist()]))
+        both = rd.from_arrow(pa.concat_tables([t, dup])).materialize()
+        edges = rd.from_arrow(pa.table({
+            "left_id": t["clip_id"], "right_id": dup["clip_id"],
+        })).materialize()
+        return mm.pair_snr_ds(both, edges).to_pandas()
+
+    def test_exact_copies_pass(self, ray_session):
+        out = self._planted(ray_session)
+        assert len(out) == 20
+        assert bool(out["passes"].all())
+        # decode of an identical payload reproduces the PCM exactly:
+        # SNR is infinite, reported capped
+        assert (out["snr_db"] == 999.0).all()
+        assert bool(out["sr_match"].all())
+
+    def test_fingerprint_fps_rejected_and_deterministic(self, ray_session):
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        a = mm.q_audio_pair_snr("/root/testdata/sf0.001").to_pandas()
+        b = mm.q_audio_pair_snr("/root/testdata/sf0.001").to_pandas()
+        # deterministic across runs
+        assert a.equals(b)
+        # the sf0.001 corpus has no true waveform copies (500 distinct
+        # param residues), so every SimHash edge is a spectral false
+        # positive — pair-SNR verification must reject ALL of them
+        if len(a):
+            assert not a["passes"].any()
+            assert (a["snr_db"] < 30.0).all()

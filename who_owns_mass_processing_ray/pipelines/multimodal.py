@@ -2787,3 +2787,167 @@ def q_audio_curation_funnel(sf_dir: str):
         "n_removed": pa.array([0, n0 - n1, n1 - n2, n2 - n3], pa.int64()),
     })
     return rd.from_arrow(rep)
+
+
+# ---------------------------------------------------------------------------
+# Per-pair decoded-PCM SNR verification — the north-rule row invariant as a
+# first-class pipeline stage
+# ---------------------------------------------------------------------------
+
+class PairSNR:
+    """Actor-pool pair verifier: decode BOTH sides of a candidate dup pair,
+    align the PCM (sample-rate resample via linear interp + truncate to the
+    overlap), and score signal-to-noise in dB — the per-row invariant from
+    the engine contract (decoded-PCM allclose, SNR >= 30 dB) applied to
+    PAIRS, so a dup edge carries measured waveform evidence, not just a
+    fingerprint collision.  Codec dispatch table in ``__init__``; per-batch
+    decode memoizes within the batch (a hot clip recurs across its pairs)."""
+
+    def __init__(self, snr_thresh_db: float = 30.0):
+        self.codecs = audio.CODECS
+        self.thresh = snr_thresh_db
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lb = t["left_bytes"].to_pylist()
+        rb = t["right_bytes"].to_pylist()
+        lc = t["left_codec"].to_pylist()
+        rc = t["right_codec"].to_pylist()
+        n = len(t)
+        snr = np.full(n, -np.inf)
+        sr_match = np.zeros(n, dtype=bool)
+        n_over = np.zeros(n, dtype=np.int64)
+        cache: dict[bytes, tuple[np.ndarray, int]] = {}
+
+        def dec(buf, codec):
+            hit = cache.get(buf)
+            if hit is None:
+                hit = audio.decode(buf, codec)
+                cache[buf] = hit
+            return hit
+
+        for i in range(n):
+            try:
+                lp, lsr = dec(lb[i], lc[i])
+                rp, rsr = dec(rb[i], rc[i])
+            except Exception:
+                continue
+            sr_match[i] = lsr == rsr
+            if rsr != lsr and len(rp) > 1:
+                # resample test onto the reference timeline
+                x = np.arange(len(lp), dtype=np.float64) / lsr
+                xp = np.arange(len(rp), dtype=np.float64) / rsr
+                rp = np.interp(x[x <= xp[-1]], xp, rp)
+            m = min(len(lp), len(rp))
+            n_over[i] = m
+            if m:
+                snr[i] = audio.snr_db(lp[:m], rp[:m])
+        return pa.table({
+            "left_id": t["left_id"],
+            "right_id": t["right_id"],
+            "sr_match": pa.array(sr_match),
+            "n_overlap": pa.array(n_over),
+            "snr_db": pa.array(np.round(np.minimum(snr, 999.0), 2)),
+            "passes": pa.array(snr >= self.thresh),
+        })
+
+
+def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0):
+    """SNR-verify a (left_id, right_id) dup-edge Dataset against the clip
+    payloads: decode both sides and score PCM SNR over the aligned overlap.
+    Reusable over any edge source (flagship audio stage, exact stage, an
+    external manifest) — see ``q_audio_pair_snr`` for the composed query.
+
+    Scale shape: edges are narrow (clip_id, clip_id); the corpus is
+    semi-filtered to clips appearing in >= 1 edge BEFORE any audio moves
+    (dup-subset-sized); the dup-subset payload table broadcasts once under
+    the row gate (else two partitioned shuffle joins with schema-normalized
+    intermediates); decode+SNR runs in an actor pool with in-batch decode
+    memoization."""
+    from who_owns_mass_processing_ray.stages import joins, pool_bounds
+
+    def flat_ids(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([
+            t["left_id"].combine_chunks() if isinstance(t["left_id"], pa.ChunkedArray) else t["left_id"],
+            t["right_id"].combine_chunks() if isinstance(t["right_id"], pa.ChunkedArray) else t["right_id"],
+        ])
+        return pa.table({"clip_id": ids})
+
+    in_pairs = edges.map_batches(flat_ids, batch_format="pyarrow")
+    sub = joins.semi_anti_filter(
+        clips.select_columns(["clip_id", "bytes", "codec"]),
+        "clip_id", in_pairs, "clip_id").materialize()
+
+    if sub.count() <= joins.BROADCAST_ROW_LIMIT:
+        # broadcast the DUP-SUBSET payloads once (bounded by the duplicate
+        # set, not the corpus) and probe per pair block — the
+        # attach_pair_features broadcast pattern, two columns per side
+        import ray as _ray
+
+        tables = [t for t in _ray.get(sub.to_arrow_refs()) if t.num_rows]
+        side_tbl = pa.concat_tables(tables).combine_chunks() if tables else \
+            pa.table({"clip_id": pa.array([], pa.string()),
+                      "bytes": pa.array([], pa.large_binary()),
+                      "codec": pa.array([], pa.string())})
+        side_ref = _ray.put(side_tbl)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            s = _ray.get(side_ref)
+            ls = s.rename_columns(["left_id", "left_bytes", "left_codec"])
+            rs = s.rename_columns(["right_id", "right_bytes", "right_codec"])
+            out = batch.join(ls, keys=["left_id"], join_type="inner")
+            return out.join(rs, keys=["right_id"], join_type="inner")
+
+        withLR = edges.map_batches(probe, batch_format="pyarrow")
+    else:
+        # payloads exceed the broadcast gate: two partitioned shuffle
+        # joins, normalizing zero-row bundles to the full schema between
+        # them (chained Dataset.joins choke on empty-schema bundles)
+        schema_l = pa.schema([
+            ("left_id", pa.string()), ("right_id", pa.string()),
+            ("left_bytes", pa.large_binary()), ("left_codec", pa.string()),
+        ])
+        withL = joins.attach_columns(
+            edges, sub, "left_id", "clip_id",
+            {"bytes": "left_bytes", "codec": "left_codec"}, 16,
+            broadcast_limit=0).map_batches(
+                lambda t: t.select(schema_l.names) if t.num_rows
+                else schema_l.empty_table(), batch_format="pyarrow")
+        withLR = joins.attach_columns(
+            withL, sub, "right_id", "clip_id",
+            {"bytes": "right_bytes", "codec": "right_codec"}, 16,
+            broadcast_limit=0)
+
+    return withLR.map_batches(
+        PairSNR, fn_constructor_args=(snr_thresh_db,),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=pool_bounds(4), num_cpus=1) \
+        .sort(["left_id", "right_id"])
+
+
+def q_audio_pair_snr(sf_dir: str, snr_thresh_db: float = 30.0):
+    """SNR-verify every audio-fingerprint dup edge: features -> SimHash
+    blocking -> hamming verify (the flagship's audio stage) -> decode both
+    sides and measure PCM SNR over the aligned overlap (``pair_snr_ds``).
+    This promotes the north-rule per-row invariant (decoded-PCM allclose,
+    SNR >= 30 dB + transcript equality — the graft contract's analog of the
+    reference's exact match gates) from a test-only assertion to a
+    queryable verification stage: downstream keep/merge policies can
+    require ``passes`` instead of trusting the fingerprint radius — on the
+    synthetic corpora this measurably separates true waveform copies
+    (capped snr_db 999) from spectral-fingerprint false positives
+    (snr_db < 0).
+
+    Output: (left_id, right_id, sr_match, n_overlap, snr_db, passes)
+    sorted by (left_id, right_id).  Rows-only (decode is not
+    SQL-expressible); planted-pair invariant + determinism gates in
+    tests/test_audio.py."""
+    from who_owns_mass_processing_ray.stages import (
+        audio_fp,
+        features as features_mod,
+    )
+
+    clips = clips_from_documents(sf_dir).materialize()
+    feats = features_mod.extract_features(clips, MM_CFG)
+    edges = audio_fp.audio_edges(feats, MM_CFG, 16) \
+        .select_columns(["left_id", "right_id"]).materialize()
+    return pair_snr_ds(clips, edges, snr_thresh_db)
