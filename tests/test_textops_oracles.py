@@ -111,3 +111,32 @@ def test_delta_dedup_bloom_forced_fp_path(ray_session):
     cols = sorted(exact.columns)
     pd.testing.assert_frame_equal(bloom[cols], exact[cols], check_dtype=False)
     pd.testing.assert_frame_equal(tiny[cols], exact[cols], check_dtype=False)
+
+
+def test_token_set_keys_property():
+    """_token_set_keys (dictionary-rank lexsort + run-length dedup +
+    ListArray rebuild) == the obvious pure-Python recompute, over random
+    whitespace-heavy strings including empties and repeats."""
+    import re
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from who_owns_mass_processing_ray.pipelines.textops import _token_set_keys
+
+    word = st.text(alphabet="abcxyz0189#", min_size=0, max_size=5)
+    doc = st.lists(word, min_size=0, max_size=12).map(
+        lambda ws: "  ".join(ws))
+    pad = st.sampled_from(["", " ", "\t", "\n  "])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(pad, doc, pad), min_size=1, max_size=40))
+    def run(rows):
+        texts = [a + d + b for a, d, b in rows]
+        got = _token_set_keys(pa.array(texts, pa.string())).to_pylist()
+        want = [" ".join(sorted(set(re.split(r"\s+", t.strip().lower()))))
+                for t in texts]
+        assert got == want
+
+    run()
