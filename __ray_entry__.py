@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unchanged, to 51+)
         "token_set_dedup": textops.q_token_set_dedup,
         "near_dup_topk": textops.q_near_dup_topk,
+        # new (late round 4): crosswalk-driven schema adapter (SURVEY §2.10,
+        # md-standardizer) — window slot (displacing bm25_score, stable and
+        # sweep-green, to 51+)
+        "schema_adapt": relational.q_schema_adapt,
         # the reference's ACTUAL dedupe_cosine kernel family, reproduced
         # exactly (new this block) — window slots; the displaced stable
         # rows rotate to 51+ (still pytest-checked at sf0.001)
@@ -99,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_regression": relational.q_group_regression,
         "doc_novelty": textops.q_doc_novelty,
         "fuzzy_join": textops.q_fuzzy_join,
-        "bm25_score": textops.q_bm25_score,
         "hybrid_search": vectors.q_hybrid_search,
         # new this session: JSONL source path + RP-LSH cosine scale path —
         # window slots (displacing rollup_agg/table_profile to 51+, both
@@ -111,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "constraint_audit": relational.q_constraint_audit,
         "containment_pairs": textops.q_containment_pairs,
         "cross_table_link": textops.q_cross_table_link,
+        "bm25_score": textops.q_bm25_score,
         "dup_graph_degree": textops.q_dup_graph_degree,
         "source_divergence": textops.q_source_divergence,
         "event_burst_dedup": relational.q_event_burst_dedup,
@@ -618,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "token_set_dedup": textops.token_set_dedup_sql(),
         "near_dup_topk": textops.near_dup_topk_sql(),
+        "schema_adapt": relational.schema_adapt_sql(),
         "cross_table_link": _CROSS_LINK_ORACLE,
         # connected components over the exact Jaccard pair graph: min
         # reachable doc_id via a recursive CTE == the engine's union-find

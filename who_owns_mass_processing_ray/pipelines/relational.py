@@ -3852,3 +3852,108 @@ def late_data_audit_sql() -> str:
         WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Crosswalk-driven schema adapter — the reference's porting mechanism
+# ---------------------------------------------------------------------------
+
+# Column crosswalk, declared as data (≙ data/col_cw.csv + data/unit_cw.csv in
+# the reference's md-standardizer prototype, md-standardizer.R:186-233 — the
+# documented mechanism for adapting a new state's foreign schema onto the
+# canonical one).  Each rule: (foreign_col, canonical_col, conversion kind).
+CUSTOMER_COL_CW = [
+    ("cust_ref", "c_custkey", "int64"),
+    ("cust_label", "c_name", "identity"),
+    ("region_code", "c_nationkey", "strip_prefix_int32"),   # "N07" -> 7
+    ("bal_cents", "c_acctbal", "cents_to_dollars"),
+    ("seg", "c_mktsegment", "upper"),
+]
+
+
+def _apply_crosswalk(t: pa.Table, cw) -> pa.Table:
+    """Vectorized crosswalk application: one Arrow kernel per rule kind —
+    the generic ``Dataset -> Dataset`` adapter stage any foreign source
+    plugs into (SURVEY §2.10: extension via crosswalk, not code)."""
+    out = {}
+    for src, dst, kind in cw:
+        col = t[src]
+        if kind == "identity":
+            out[dst] = col
+        elif kind == "int64":
+            out[dst] = pc.cast(col, pa.int64())
+        elif kind == "strip_prefix_int32":
+            out[dst] = pc.cast(pc.utf8_slice_codeunits(col, 1, 2**30),
+                               pa.int32())
+        elif kind == "cents_to_dollars":
+            out[dst] = pc.divide(pc.cast(col, pa.float64()), 100.0)
+        elif kind == "upper":
+            out[dst] = pc.utf8_upper(col)
+        else:  # pragma: no cover - config error, not data
+            raise ValueError(f"unknown crosswalk kind {kind!r}")
+    return pa.table(out)
+
+
+def q_schema_adapt(sf_dir: str):
+    """Crosswalk-driven schema adapter — SURVEY §2.10's extension surface
+    (the md-standardizer prototype, /root/reference/md-standardizer.R:
+    186-233 with data/col_cw.csv + data/unit_cw.csv): a FOREIGN-schema
+    table (renamed columns, balances in integer cents, nation as a coded
+    string, lowercased segment) adapts back onto the canonical ``customer``
+    schema purely by declared crosswalk rules.
+
+    The foreign fixture is materialized ONCE per sf_dir by a distributed
+    ``write_parquet`` (never a driver loop); the adapter itself is one
+    vectorized ``map_batches`` driven by the SAME rule list the oracle is
+    judged against — the oracle reads the canonical table directly, so a
+    hash match proves the foreign roundtrip is lossless.
+
+    -> the adapted canonical rows (c_custkey, c_name, c_nationkey,
+    c_acctbal, c_mktsegment), sorted by c_custkey."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    fdir = f"/tmp/wom_foreign_{tag}"
+    if not os.path.isdir(fdir) or not os.listdir(fdir):
+        os.makedirs(fdir, exist_ok=True)
+
+        def to_foreign(t: pa.Table) -> pa.Table:
+            bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+            # exact integer cents (balances are signed 2-decimals)
+            cents = np.floor(np.abs(bal) * 100.0 + 0.5).astype(np.int64) \
+                * np.sign(bal).astype(np.int64)
+            code = pc.binary_join_element_wise(
+                pa.array(["N"] * len(t)),
+                pc.utf8_lpad(pc.cast(t["c_nationkey"], pa.string()), 2, "0"),
+                "")
+            return pa.table({
+                "cust_ref": pc.cast(t["c_custkey"], pa.int32()),
+                "cust_label": t["c_name"],
+                "region_code": code,
+                "bal_cents": pa.array(cents),
+                "seg": pc.utf8_lower(t["c_mktsegment"]),
+            })
+
+        _read(sf_dir, "customer").map_batches(
+            to_foreign, batch_format="pyarrow").write_parquet(fdir)
+
+    return rd.read_parquet(fdir) \
+        .map_batches(lambda t: _apply_crosswalk(t, CUSTOMER_COL_CW),
+                     batch_format="pyarrow") \
+        .map_batches(lambda t: t.set_column(
+            t.column_names.index("c_acctbal"), "c_acctbal",
+            pa.array(round_half_away(
+                t["c_acctbal"].to_numpy(zero_copy_only=False), 2))),
+            batch_format="pyarrow") \
+        .sort("c_custkey")
+
+
+def schema_adapt_sql() -> str:
+    return """
+        SELECT c_custkey, c_name, c_nationkey,
+               round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer ORDER BY c_custkey
+    """
