@@ -621,7 +621,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _JACCARD_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "token_set_dedup": textops.token_set_dedup_sql(),
-        "near_dup_topk": textops.near_dup_topk_sql(),
+        "near_dup_topk": textops.near_dup_topk_sql(
+            _JACCARD_ORACLE.replace("ORDER BY 1, 2", "")),
         "schema_adapt": relational.schema_adapt_sql(),
         "cross_table_link": _CROSS_LINK_ORACLE,
         # connected components over the exact Jaccard pair graph: min

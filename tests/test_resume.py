@@ -250,3 +250,48 @@ class TestLanceGating:
                                       columns=["clip_id"])
         assert ds.columns() == ["clip_id"]
         assert ds.count() == 400
+
+
+def test_fixture_dir_content_keyed(tmp_path):
+    """/tmp fixture cache must invalidate when the SOURCE file changes
+    (regenerated corpus at the same path) and must never publish a
+    partially-built dir."""
+    import os
+    import time
+
+    import pytest
+
+    from who_owns_mass_processing_ray.pipelines.relational import _fixture_dir
+
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"v1")
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        with open(os.path.join(d, "out.txt"), "w") as f:
+            f.write("data")
+
+    d1 = _fixture_dir("wom_testfix", str(src), build)
+    d1b = _fixture_dir("wom_testfix", str(src), build)
+    assert d1 == d1b and len(calls) == 1        # cached on identical source
+
+    time.sleep(0.01)
+    src.write_bytes(b"v2-different")            # new size + mtime
+    d2 = _fixture_dir("wom_testfix", str(src), build)
+    assert d2 != d1 and len(calls) == 2         # invalidated
+
+    # a failing build must not publish the final dir
+    src.write_bytes(b"v3-even-more-different")
+
+    def bad_build(d):
+        raise RuntimeError("mid-write crash")
+
+    with pytest.raises(RuntimeError):
+        _fixture_dir("wom_testfix", str(src), bad_build)
+    d3 = _fixture_dir("wom_testfix", str(src), build)
+    assert os.path.isdir(d3) and os.listdir(d3)
+
+    import shutil
+    for d in {d1, d2, d3}:
+        shutil.rmtree(d, ignore_errors=True)

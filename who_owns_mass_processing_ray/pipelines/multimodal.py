@@ -2816,13 +2816,13 @@ class PairSNR:
         snr = np.full(n, -np.inf)
         sr_match = np.zeros(n, dtype=bool)
         n_over = np.zeros(n, dtype=np.int64)
-        cache: dict[bytes, tuple[np.ndarray, int]] = {}
+        cache: dict[tuple[bytes, str], tuple[np.ndarray, int]] = {}
 
         def dec(buf, codec):
-            hit = cache.get(buf)
+            hit = cache.get((buf, codec))
             if hit is None:
                 hit = audio.decode(buf, codec)
-                cache[buf] = hit
+                cache[(buf, codec)] = hit
             return hit
 
         for i in range(n):
@@ -2832,7 +2832,12 @@ class PairSNR:
             except Exception:
                 continue
             sr_match[i] = lsr == rsr
-            if rsr != lsr and len(rp) > 1:
+            if rsr != lsr:
+                if len(rp) <= 1 or len(lp) == 0:
+                    # nothing to align at mismatched rates: no overlap,
+                    # SNR stays -inf (fails) rather than comparing
+                    # misaligned timelines sample-by-sample
+                    continue
                 # resample test onto the reference timeline
                 x = np.arange(len(lp), dtype=np.float64) / lsr
                 xp = np.arange(len(rp), dtype=np.float64) / rsr
@@ -2841,13 +2846,16 @@ class PairSNR:
             n_over[i] = m
             if m:
                 snr[i] = audio.snr_db(lp[:m], rp[:m])
+        # decide `passes` on the REPORTED (rounded, capped) value so the
+        # two output columns can never disagree at the threshold boundary
+        reported = np.round(np.minimum(snr, 999.0), 2)
         return pa.table({
             "left_id": t["left_id"],
             "right_id": t["right_id"],
             "sr_match": pa.array(sr_match),
             "n_overlap": pa.array(n_over),
-            "snr_db": pa.array(np.round(np.minimum(snr, 999.0), 2)),
-            "passes": pa.array(snr >= self.thresh),
+            "snr_db": pa.array(reported),
+            "passes": pa.array(reported >= self.thresh),
         })
 
 

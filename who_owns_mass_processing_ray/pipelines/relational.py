@@ -648,6 +648,38 @@ def q_csv_topk(sf_dir: str):
         .sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
 
 
+def _fixture_dir(prefix: str, source_file: str, build) -> str:
+    """Content-keyed, atomically-published /tmp fixture cache.
+
+    The tag hashes the SOURCE file's (path, size, mtime_ns) — not just the
+    path — so a regenerated corpus at the same sf_dir invalidates the
+    fixture instead of silently reusing stale rows; ``build(tmp_dir)``
+    writes into a scratch dir that is renamed into place only on success,
+    so a crashed distributed write can never be mistaken for a complete
+    fixture."""
+    import hashlib
+    import os
+    import shutil
+
+    st = os.stat(source_file)
+    tag = hashlib.sha256(
+        f"{os.path.abspath(source_file)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:12]
+    final = f"/tmp/{prefix}_{tag}"
+    if os.path.isdir(final) and os.listdir(final):
+        return final
+    tmp = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    build(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # another process published first — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def q_jsonl_ingest(sf_dir: str):
     """Typed JSONL source path — the ubiquitous training-data ingest format
     (one JSON object per line), the capability class of the reference's
@@ -660,35 +692,31 @@ def q_jsonl_ingest(sf_dir: str):
     → typed parse (date-string slice) → filter → partial-sum groupby.
 
     -> (month, n_orders, total_cents) for fulfilled orders, by month."""
-    import hashlib
-    import os
-
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    js_dir = f"/tmp/wom_jsonl_{tag}"
-    if not os.path.isdir(js_dir) or not os.listdir(js_dir):
-        os.makedirs(js_dir, exist_ok=True)
+    def to_wire(t: pa.Table) -> pa.Table:
+        # exact integer cents: floor(x*100 + 0.5) over the identical
+        # double the oracle sees (prices are positive 2-decimals)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        day = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderstatus": t["o_orderstatus"],
+            "total_cents": pa.array(cents),
+            "order_date": day,
+        })
 
-        def to_wire(t: pa.Table) -> pa.Table:
-            # exact integer cents: floor(x*100 + 0.5) over the identical
-            # double the oracle sees (prices are positive 2-decimals)
-            price = t["o_totalprice"].to_numpy(zero_copy_only=False)
-            cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
-            day = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
-            return pa.table({
-                "o_orderkey": t["o_orderkey"],
-                "o_custkey": t["o_custkey"],
-                "o_orderstatus": t["o_orderstatus"],
-                "total_cents": pa.array(cents),
-                "order_date": day,
-            })
-
+    def build(tmp_dir: str) -> None:
         _read(sf_dir, "orders",
               ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                "o_orderdate"]) \
-            .map_batches(to_wire, batch_format="pyarrow").write_json(js_dir)
+            .map_batches(to_wire, batch_format="pyarrow") \
+            .write_json(tmp_dir)
+
+    js_dir = _fixture_dir("wom_jsonl", f"{sf_dir}/orders.parquet", build)
 
     def parse(t: pa.Table) -> pa.Table:
         # the Arrow JSON reader type-infers ISO date strings back into
@@ -3886,7 +3914,12 @@ def _apply_crosswalk(t: pa.Table, cw) -> pa.Table:
             out[dst] = pc.cast(pc.utf8_slice_codeunits(col, 1, 2**30),
                                pa.int32())
         elif kind == "cents_to_dollars":
-            out[dst] = pc.divide(pc.cast(col, pa.float64()), 100.0)
+            # unit conversion + SQL-compatible rounding in ONE rule kind:
+            # money rules carry their own output precision, nothing bolted
+            # on outside the crosswalk mechanism
+            out[dst] = pa.array(round_half_away(
+                pc.divide(pc.cast(col, pa.float64()), 100.0)
+                .to_numpy(zero_copy_only=False), 2))
         elif kind == "upper":
             out[dst] = pc.utf8_upper(col)
         else:  # pragma: no cover - config error, not data
@@ -3910,44 +3943,34 @@ def q_schema_adapt(sf_dir: str):
 
     -> the adapted canonical rows (c_custkey, c_name, c_nationkey,
     c_acctbal, c_mktsegment), sorted by c_custkey."""
-    import hashlib
-    import os
-
     import ray.data as rd
 
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    fdir = f"/tmp/wom_foreign_{tag}"
-    if not os.path.isdir(fdir) or not os.listdir(fdir):
-        os.makedirs(fdir, exist_ok=True)
+    def to_foreign(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        # exact integer cents (balances are signed 2-decimals)
+        cents = np.floor(np.abs(bal) * 100.0 + 0.5).astype(np.int64) \
+            * np.sign(bal).astype(np.int64)
+        code = pc.binary_join_element_wise(
+            pa.array(["N"] * len(t)),
+            pc.utf8_lpad(pc.cast(t["c_nationkey"], pa.string()), 2, "0"),
+            "")
+        return pa.table({
+            "cust_ref": pc.cast(t["c_custkey"], pa.int32()),
+            "cust_label": t["c_name"],
+            "region_code": code,
+            "bal_cents": pa.array(cents),
+            "seg": pc.utf8_lower(t["c_mktsegment"]),
+        })
 
-        def to_foreign(t: pa.Table) -> pa.Table:
-            bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
-            # exact integer cents (balances are signed 2-decimals)
-            cents = np.floor(np.abs(bal) * 100.0 + 0.5).astype(np.int64) \
-                * np.sign(bal).astype(np.int64)
-            code = pc.binary_join_element_wise(
-                pa.array(["N"] * len(t)),
-                pc.utf8_lpad(pc.cast(t["c_nationkey"], pa.string()), 2, "0"),
-                "")
-            return pa.table({
-                "cust_ref": pc.cast(t["c_custkey"], pa.int32()),
-                "cust_label": t["c_name"],
-                "region_code": code,
-                "bal_cents": pa.array(cents),
-                "seg": pc.utf8_lower(t["c_mktsegment"]),
-            })
-
+    def build(tmp_dir: str) -> None:
         _read(sf_dir, "customer").map_batches(
-            to_foreign, batch_format="pyarrow").write_parquet(fdir)
+            to_foreign, batch_format="pyarrow").write_parquet(tmp_dir)
+
+    fdir = _fixture_dir("wom_foreign", f"{sf_dir}/customer.parquet", build)
 
     return rd.read_parquet(fdir) \
         .map_batches(lambda t: _apply_crosswalk(t, CUSTOMER_COL_CW),
                      batch_format="pyarrow") \
-        .map_batches(lambda t: t.set_column(
-            t.column_names.index("c_acctbal"), "c_acctbal",
-            pa.array(round_half_away(
-                t["c_acctbal"].to_numpy(zero_copy_only=False), 2))),
-            batch_format="pyarrow") \
         .sort("c_custkey")
 
 

@@ -8075,9 +8075,14 @@ def _token_set_keys(txt) -> pa.Array:
     """Per-row canonical token-set string: sorted DISTINCT whitespace tokens
     joined by ' '.  One dictionary sort per batch + pure-numpy segment work
     (lexsort, run-length dedup, ListArray rebuild + ``pc.binary_join``) —
-    no Python loop over rows."""
+    no Python loop over rows.
+
+    The trim set is the EXPLICIT ASCII one RE2's ``\\s`` matches
+    ([ \\t\\n\\r\\f]) rather than ``utf8_trim_whitespace``: DuckDB's bare
+    ``trim()`` strips only spaces, so the oracle strips the same explicit
+    set — both sides are defined on identical characters."""
     la = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+")
+        pc.utf8_trim(pc.utf8_lower(txt), " \t\n\r\f"), r"\s+")
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
     flat = la.flatten()
@@ -8138,6 +8143,10 @@ def q_token_set_dedup(sf_dir: str, num_parts: int = 32):
 
     def groups(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy()
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "group_id": pa.array([], pa.int64()),
+                             "n_members": pa.array([], pa.int64())})
         h1 = g["h1"].to_numpy()
         h2 = g["h2"].to_numpy()
         order = np.lexsort((ids, h2, h1))
@@ -8161,12 +8170,15 @@ def q_token_set_dedup(sf_dir: str, num_parts: int = 32):
 
 
 def token_set_dedup_sql() -> str:
+    # trim set == the engine's explicit ASCII \s set (bare trim() strips
+    # only spaces — see _token_set_keys docstring)
     return """
         WITH s AS (
             SELECT doc_id,
                    array_to_string(list_sort(list_distinct(
-                       string_split_regex(trim(lower(text)), '\\s+'))),
-                       ' ') AS skel
+                       string_split_regex(trim(lower(text),
+                           concat(' ', chr(9), chr(10), chr(13), chr(12))),
+                       '\\s+'))), ' ') AS skel
             FROM documents WHERE text IS NOT NULL),
         g AS (SELECT skel, min(doc_id) AS group_id,
                      CAST(count(*) AS BIGINT) AS n_members
@@ -8241,28 +8253,12 @@ def q_near_dup_topk(sf_dir: str, k: int = 3, num_parts: int = 32,
             batch_format="pyarrow").sort(["doc_id", "rank"])
 
 
-def near_dup_topk_sql(k: int = 3) -> str:
+def near_dup_topk_sql(base_pairs_sql: str, k: int = 3) -> str:
+    """Composes from the SHARED exact-Jaccard pair oracle (the same
+    ``_JACCARD_ORACLE`` every near-dup oracle uses) so the gram/threshold/
+    rounding definition lives in exactly one place."""
     return f"""
-        WITH g AS (
-          SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
-          FROM (SELECT doc_id, text,
-                unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
-                FROM documents)
-        ),
-        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
-          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        pairs AS (
-          SELECT i.left_id, i.right_id,
-                 round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
-          FROM inter i
-          JOIN sz sa ON sa.doc_id = i.left_id
-          JOIN sz sb ON sb.doc_id = i.right_id
-          WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
-        ),
+        WITH pairs AS ({base_pairs_sql}),
         sym AS (
           SELECT left_id AS doc_id, right_id AS neighbor_id, jaccard
           FROM pairs
