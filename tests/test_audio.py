@@ -339,6 +339,27 @@ class TestPairSNR:
         assert (out["snr_db"] == 999.0).all()
         assert bool(out["sr_match"].all())
 
+    def test_broadcast_and_shuffle_paths_agree(self, ray_session):
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        clips = mm.clips_from_documents(
+            "/root/testdata/sf0.001").limit(12).materialize()
+        t = pa.concat_tables(
+            [x for x in ray.get(clips.to_arrow_refs()) if x.num_rows])
+        dup = t.set_column(
+            0, "clip_id",
+            pa.array([c + "-copy" for c in t["clip_id"].to_pylist()]))
+        both = rd.from_arrow(pa.concat_tables([t, dup])).materialize()
+        edges = rd.from_arrow(pa.table({
+            "left_id": t["clip_id"], "right_id": dup["clip_id"],
+        })).materialize()
+        bcast = mm.pair_snr_ds(both, edges).to_pandas()
+        shuf = mm.pair_snr_ds(both, edges, broadcast_limit=0).to_pandas()
+        assert bcast.equals(shuf)
+
     def test_fingerprint_fps_rejected_and_deterministic(self, ray_session):
         from who_owns_mass_processing_ray.pipelines import multimodal as mm
 

@@ -2859,7 +2859,8 @@ class PairSNR:
         })
 
 
-def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0):
+def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0,
+                broadcast_limit: int | None = None):
     """SNR-verify a (left_id, right_id) dup-edge Dataset against the clip
     payloads: decode both sides and score PCM SNR over the aligned overlap.
     Reusable over any edge source (flagship audio stage, exact stage, an
@@ -2870,8 +2871,12 @@ def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0):
     (dup-subset-sized); the dup-subset payload table broadcasts once under
     the row gate (else two partitioned shuffle joins with schema-normalized
     intermediates); decode+SNR runs in an actor pool with in-batch decode
-    memoization."""
+    memoization.  ``broadcast_limit`` overrides the broadcast gate (tests
+    force the shuffle fallback with 0 — both paths are parity-tested)."""
     from who_owns_mass_processing_ray.stages import joins, pool_bounds
+
+    if broadcast_limit is None:
+        broadcast_limit = joins.BROADCAST_ROW_LIMIT
 
     def flat_ids(t: pa.Table) -> pa.Table:
         ids = pa.concat_arrays([
@@ -2885,7 +2890,7 @@ def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0):
         clips.select_columns(["clip_id", "bytes", "codec"]),
         "clip_id", in_pairs, "clip_id").materialize()
 
-    if sub.count() <= joins.BROADCAST_ROW_LIMIT:
+    if sub.count() <= broadcast_limit:
         # broadcast the DUP-SUBSET payloads once (bounded by the duplicate
         # set, not the corpus) and probe per pair block — the
         # attach_pair_features broadcast pattern, two columns per side
@@ -2909,21 +2914,33 @@ def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0):
     else:
         # payloads exceed the broadcast gate: two partitioned shuffle
         # joins, normalizing zero-row bundles to the full schema between
-        # them (chained Dataset.joins choke on empty-schema bundles)
+        # them (chained Dataset.joins choke on empty-schema bundles) and
+        # materializing each join output — the joins' aggregator actors,
+        # the verify actor pool minimum, and the upstream maps otherwise
+        # oversubscribe a small session and starve each other (the same
+        # sequential-stage trade the flagship makes above
+        # cfg.sequential_stage_rows); both materializations are bounded by
+        # the pair subset, never the corpus
         schema_l = pa.schema([
             ("left_id", pa.string()), ("right_id", pa.string()),
             ("left_bytes", pa.large_binary()), ("left_codec", pa.string()),
         ])
+        # the repartition rewrites the join output into uniformly-schemaed
+        # blocks — Ray's hash-shuffle join emits zero-row empty-schema
+        # bundles that flakily poison a DOWNSTREAM join's per-partition
+        # schema (measured: the chained join fails ~1-in-2 without this)
         withL = joins.attach_columns(
             edges, sub, "left_id", "clip_id",
             {"bytes": "left_bytes", "codec": "left_codec"}, 16,
             broadcast_limit=0).map_batches(
                 lambda t: t.select(schema_l.names) if t.num_rows
-                else schema_l.empty_table(), batch_format="pyarrow")
+                else schema_l.empty_table(),
+                batch_format="pyarrow") \
+            .materialize().repartition(8).materialize()
         withLR = joins.attach_columns(
             withL, sub, "right_id", "clip_id",
             {"bytes": "right_bytes", "codec": "right_codec"}, 16,
-            broadcast_limit=0)
+            broadcast_limit=0).materialize()
 
     return withLR.map_batches(
         PairSNR, fn_constructor_args=(snr_thresh_db,),
