@@ -82,9 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_set_dedup": textops.q_token_set_dedup,
         "near_dup_topk": textops.q_near_dup_topk,
         # new (late round 4): crosswalk-driven schema adapter (SURVEY §2.10,
-        # md-standardizer) — window slot (displacing bm25_score, stable and
-        # sweep-green, to 51+)
+        # md-standardizer) + soft-dedup sample weighting — window slots
+        # (displacing bm25_score/doc_novelty, stable and sweep-green, to 51+)
         "schema_adapt": relational.q_schema_adapt,
+        "dup_soft_weight": textops.q_dup_soft_weight,
         # the reference's ACTUAL dedupe_cosine kernel family, reproduced
         # exactly (new this block) — window slots; the displaced stable
         # rows rotate to 51+ (still pytest-checked at sf0.001)
@@ -101,7 +102,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": textops.q_curation_funnel,
         "dedup_token_report": textops.q_dedup_token_report,
         "group_regression": relational.q_group_regression,
-        "doc_novelty": textops.q_doc_novelty,
         "fuzzy_join": textops.q_fuzzy_join,
         "hybrid_search": vectors.q_hybrid_search,
         # new this session: JSONL source path + RP-LSH cosine scale path —
@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": textops.q_containment_pairs,
         "cross_table_link": textops.q_cross_table_link,
         "bm25_score": textops.q_bm25_score,
+        "doc_novelty": textops.q_doc_novelty,
         "dup_graph_degree": textops.q_dup_graph_degree,
         "source_divergence": textops.q_source_divergence,
         "event_burst_dedup": relational.q_event_burst_dedup,
@@ -622,6 +623,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "token_set_dedup": textops.token_set_dedup_sql(),
         "near_dup_topk": textops.near_dup_topk_sql(
+            _JACCARD_ORACLE.replace("ORDER BY 1, 2", "")),
+        "dup_soft_weight": textops.dup_soft_weight_sql(
             _JACCARD_ORACLE.replace("ORDER BY 1, 2", "")),
         "schema_adapt": relational.schema_adapt_sql(),
         "cross_table_link": _CROSS_LINK_ORACLE,

@@ -8273,3 +8273,78 @@ def near_dup_topk_sql(base_pairs_sql: str, k: int = 3) -> str:
         QUALIFY rank <= {k}
         ORDER BY doc_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup — per-doc training-sample weight 1/cluster_size
+# ---------------------------------------------------------------------------
+
+def q_dup_soft_weight(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
+    """Soft dedup (SoftDeDup-style reweighting): instead of DROPPING
+    near-duplicates, every doc gets a training-sample weight of
+    ``1 / near-dup-cluster-size`` so each duplicated content unit
+    contributes one document's worth of gradient regardless of copy count
+    — the downweight-don't-delete alternative to ``near_dup_survivors``
+    retention (same clustering, different policy head).
+
+    Scale shape: the cluster assignment is the dup subset (the
+    ``q_near_dup_groups`` chain — LSH pairs -> verify -> gated components);
+    group sizes are one partial-count reduce over it; the full corpus
+    streams ONCE through a left attach (adaptive broadcast — the dup
+    assignment is orders of magnitude smaller than the corpus) and
+    singletons fill group_id = self, size = 1 without ever joining.
+
+    Output: (doc_id, group_id, group_size, weight) for EVERY doc, sorted
+    by doc_id."""
+    from ray.data.aggregate import Count
+
+    from who_owns_mass_processing_ray.stages import joins
+
+    assign = q_near_dup_groups(sf_dir, cfg).materialize()
+    sizes = assign.groupby("group_id").aggregate(
+        Count(alias_name="group_size"))
+    withsz = joins.attach_columns(assign, sizes, "group_id", "group_id",
+                                  {"group_size": "group_size"}, 16)
+    docs = _docs(sf_dir, columns=("doc_id",))
+    out = joins.attach_columns(docs, withsz, "doc_id", "doc_id",
+                               {"group_id": "group_id",
+                                "group_size": "group_size"}, 16, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        gid = pc.coalesce(t["group_id"], t["doc_id"])
+        gsz = pc.coalesce(t["group_size"], pa.scalar(1, pa.int64()))
+        w = 1.0 / gsz.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "group_id": pc.cast(gid, pa.int64()),
+            "group_size": pc.cast(gsz, pa.int64()),
+            "weight": pa.array(round_half_away(w, 6)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def dup_soft_weight_sql(base_pairs_sql: str) -> str:
+    """Composes from the shared exact-Jaccard pair oracle."""
+    return f"""
+        WITH RECURSIVE base AS ({base_pairs_sql}),
+        sym(a, b) AS (
+            SELECT left_id, right_id FROM base
+            UNION ALL
+            SELECT right_id, left_id FROM base
+        ),
+        reach(id, r) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        ),
+        grp AS (SELECT id AS doc_id, min(r) AS gid FROM reach GROUP BY id),
+        m AS (SELECT d.doc_id, coalesce(g.gid, d.doc_id) AS group_id
+              FROM documents d LEFT JOIN grp g USING (doc_id)),
+        sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+               FROM m GROUP BY 1)
+        SELECT m.doc_id, m.group_id, sz.group_size,
+               round(1.0 / sz.group_size, 6) AS weight
+        FROM m JOIN sz USING (group_id)
+        ORDER BY m.doc_id
+    """
