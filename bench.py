@@ -246,6 +246,8 @@ ANALYTICS = [
     "sliding_window_agg",    # time-RANGE window
     "scd2_intervals",        # changelog versioning
     "tfidf_cosine_pairs",    # the reference's true cosine kernel (exact)
+    "token_set_dedup",       # bag-of-words structural dedup (continuation)
+    "schema_adapt",          # crosswalk-driven foreign-schema adapter
 ]
 
 
