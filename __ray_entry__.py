@@ -32,103 +32,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vectors,
     )
 
-    # WINDOW ROTATION (see COVERAGE.md): the driver hash-checks the FIRST 50
-    # entries at sf0.01.  Round 4 rotates the window so it carries the
-    # highest-value checks: the flagship, the two queries new this round,
-    # the 21 oracle-SQL queries that sat outside the r3 window, and every
-    # query whose implementation changed this round.  Rows 51+ are the
-    # stable normalize/relational queries green since r2 (still pytest-
-    # checked every run at sf0.001 via tests/test_queries.py) and the
-    # rows-only audio/vector plumbing (brute-force pytest oracles).
+    # WINDOW ROTATION (ledger in COVERAGE.md): the driver hash-checks the
+    # FIRST 50 entries at sf0.01.  Round 5 completes the rotation ledger:
+    # slot 1 is the flagship (rows-only by nature, checked every round);
+    # slots 2-50 are the 49 oracle-backed queries that had never had a
+    # driver hash check (slot 2 is pack_sequences, whose r4 hash-fail was
+    # an oracle CAST artifact, fixed this round).  After this round every
+    # oracle-backed query except dup_members and distinct_tokens (deferred
+    # -- their key/aggregate machinery is driver-green via exact_dedup,
+    # token_stats and heavy_hitters; both sweep- and pytest-checked) has
+    # >= 1 driver-green round on record.  Rows 51+ stay pytest-checked at
+    # sf0.001 every run and sweep-checked at sf0.01 via
+    # tools/check_oracle.py.
     return {
-        # --- slots 1-3: flagship + new-this-round ---------------------------
+        # --- slots 1-50: flagship + never-driver-checked rotation ----------
         "dedup_clusters": multimodal.q_dedup_clusters,
-        "network_communities": relational.q_network_communities,
-        "metacorp_rollup": relational.q_metacorp_rollup,
-        # --- slots 4-25: the 21 oracle-SQL queries unchecked in r3, plus
-        # ngram_repetition (new, slots in beside its n=1 sibling) -----------
-        "anti_join": relational.q_anti_join,
-        "sessionize": relational.q_sessionize,
-        "tfidf_terms": textops.q_tfidf_terms,
-        "para_dedup": textops.q_para_dedup,
-        "near_dup_keep_best": textops.q_near_dup_keep_best,
-        "near_dup_survivors": textops.q_near_dup_survivors,
         "pack_sequences": textops.q_pack_sequences,
-        "regex_redact": relational.q_regex_redact,
-        "event_type_pivot": relational.q_event_type_pivot,
-        "json_extract": relational.q_json_extract,
-        "rolling_agg": relational.q_rolling_agg,
-        "decontaminate": textops.q_decontaminate,
-        "word_repetition": textops.q_word_repetition,
-        "ngram_repetition": textops.q_ngram_repetition,
-        "ngram_topk": textops.q_ngram_topk,
-        "chunk_text": textops.q_chunk_text,
-        "sample_stratified": textops.q_sample_stratified,
-        "token_stats": textops.q_token_stats,
-        "quality_score": textops.q_quality_score,
-        "knn_brute": vectors.q_knn_brute,
-        "embed_near_dup": vectors.q_embed_near_dup,
-        "speech_rate": multimodal.q_speech_rate,
-        # --- slots 25-50: changed-this-round + core dedup family ------------
-        "semi_join": relational.q_semi_join,
-        "exact_dedup": textops.q_exact_dedup,
-        "minhash_near_dup": textops.q_minhash_near_dup,
-        "bounded_near_dup": textops.q_bounded_near_dup,
-        "near_dup_groups": textops.q_near_dup_groups,
-        # new (late round 4): token-set (bag-of-words) dedup + per-doc top-k
-        # nearest-duplicate report — window slots (displacing
-        # containment_pairs/cross_table_link, driver-green since r3 and
-        # unchanged, to 51+)
-        "token_set_dedup": textops.q_token_set_dedup,
-        "near_dup_topk": textops.q_near_dup_topk,
-        # new (late round 4): crosswalk-driven schema adapter (SURVEY §2.10,
-        # md-standardizer) + soft-dedup sample weighting — window slots
-        # (displacing bm25_score/doc_novelty, stable and sweep-green, to 51+)
-        "schema_adapt": relational.q_schema_adapt,
-        "dup_soft_weight": textops.q_dup_soft_weight,
-        # the reference's ACTUAL dedupe_cosine kernel family, reproduced
-        # exactly (new this block) — window slots; the displaced stable
-        # rows rotate to 51+ (still pytest-checked at sf0.001)
-        "tfidf_cosine_pairs": textops.q_tfidf_cosine_pairs,
-        "cosine_clusters": textops.q_cosine_clusters,
-        "cosine_cross_link": textops.q_cosine_cross_link,
-        "cosine_bounded": textops.q_cosine_bounded,
-        "cosine_metacorps": textops.q_cosine_metacorps,
-        "span_dedup_mask": textops.q_span_dedup_mask,
-        "shared_span_pairs": textops.q_shared_span_pairs,
-        "delta_dedup": textops.q_delta_dedup,
-        "near_dup_delta": textops.q_near_dup_delta,
-        "leakage_safe_split": textops.q_leakage_safe_split,
-        "curation_funnel": textops.q_curation_funnel,
-        "dedup_token_report": textops.q_dedup_token_report,
-        "group_regression": relational.q_group_regression,
-        "fuzzy_join": textops.q_fuzzy_join,
-        "hybrid_search": vectors.q_hybrid_search,
-        # new this session: JSONL source path + RP-LSH cosine scale path —
-        # window slots (displacing rollup_agg/table_profile to 51+, both
-        # simple aggregations green in the full sweep)
-        "jsonl_ingest": relational.q_jsonl_ingest,
         "embed_rplsh_near_dup": vectors.q_embed_rplsh_near_dup,
         "rollup_agg": relational.q_rollup_agg,
         "table_profile": relational.q_table_profile,
         "constraint_audit": relational.q_constraint_audit,
-        "containment_pairs": textops.q_containment_pairs,
-        "cross_table_link": textops.q_cross_table_link,
         "bm25_score": textops.q_bm25_score,
         "doc_novelty": textops.q_doc_novelty,
         "dup_graph_degree": textops.q_dup_graph_degree,
         "source_divergence": textops.q_source_divergence,
         "event_burst_dedup": relational.q_event_burst_dedup,
         "funnel": relational.q_funnel,
-        # new-this-round oracle queries take the last window slots; the
-        # displaced stable normalize rows (green since r2/r3, still
-        # pytest-checked at sf0.001) rotate to rows 51+
         "asof_join": relational.q_asof_join,
-        # --- rows 51+: stable since r2/r3 (pytest-checked at sf0.001);
-        # distinct_tokens rotated here when ngram_repetition entered --------
         "ngram_logprob": textops.q_ngram_logprob,
         "heavy_hitters": textops.q_heavy_hitters,
-        "distinct_tokens": textops.q_distinct_tokens,
         "pmi_bigrams": textops.q_pmi_bigrams,
         "bigram_logprob": textops.q_bigram_logprob,
         "zipf_fit": textops.q_zipf_fit,
@@ -143,7 +75,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": textops.q_char_entropy,
         "corpus_mix": textops.q_corpus_mix,
         "token_budget_mix": textops.q_token_budget_mix,
-        "containment_pairs_sa": textops.q_containment_pairs_sa,
         "delta_dedup_bloom": textops.q_delta_dedup_bloom,
         "latest_by_key": relational.q_latest_by_key,
         "group_zscore": relational.q_group_zscore,
@@ -160,10 +91,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": relational.q_scd2_intervals,
         "snapshot_diff": relational.q_snapshot_diff,
         "boilerplate_strip": textops.q_boilerplate_strip,
-        "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
         "weighted_sample": textops.q_weighted_sample,
-        "group_quantile_trim": textops.q_group_quantile_trim,
         "group_cap": textops.q_group_cap,
+        "knn_join": vectors.q_knn_join,
+        "duration_buckets": multimodal.q_duration_buckets,
+        "late_data_audit": relational.q_late_data_audit,
+        # --- rows 51+: driver-green in a prior round (r1-r4 ledger) --------
+        "network_communities": relational.q_network_communities,
+        "metacorp_rollup": relational.q_metacorp_rollup,
+        "anti_join": relational.q_anti_join,
+        "sessionize": relational.q_sessionize,
+        "tfidf_terms": textops.q_tfidf_terms,
+        "para_dedup": textops.q_para_dedup,
+        "near_dup_keep_best": textops.q_near_dup_keep_best,
+        "near_dup_survivors": textops.q_near_dup_survivors,
+        "regex_redact": relational.q_regex_redact,
+        "event_type_pivot": relational.q_event_type_pivot,
+        "json_extract": relational.q_json_extract,
+        "rolling_agg": relational.q_rolling_agg,
+        "decontaminate": textops.q_decontaminate,
+        "word_repetition": textops.q_word_repetition,
+        "ngram_repetition": textops.q_ngram_repetition,
+        "ngram_topk": textops.q_ngram_topk,
+        "chunk_text": textops.q_chunk_text,
+        "sample_stratified": textops.q_sample_stratified,
+        "token_stats": textops.q_token_stats,
+        "quality_score": textops.q_quality_score,
+        "knn_brute": vectors.q_knn_brute,
+        "embed_near_dup": vectors.q_embed_near_dup,
+        "speech_rate": multimodal.q_speech_rate,
+        "semi_join": relational.q_semi_join,
+        "exact_dedup": textops.q_exact_dedup,
+        "minhash_near_dup": textops.q_minhash_near_dup,
+        "bounded_near_dup": textops.q_bounded_near_dup,
+        "near_dup_groups": textops.q_near_dup_groups,
+        "token_set_dedup": textops.q_token_set_dedup,
+        "near_dup_topk": textops.q_near_dup_topk,
+        "schema_adapt": relational.q_schema_adapt,
+        "dup_soft_weight": textops.q_dup_soft_weight,
+        "tfidf_cosine_pairs": textops.q_tfidf_cosine_pairs,
+        "cosine_clusters": textops.q_cosine_clusters,
+        "cosine_cross_link": textops.q_cosine_cross_link,
+        "cosine_bounded": textops.q_cosine_bounded,
+        "cosine_metacorps": textops.q_cosine_metacorps,
+        "span_dedup_mask": textops.q_span_dedup_mask,
+        "shared_span_pairs": textops.q_shared_span_pairs,
+        "delta_dedup": textops.q_delta_dedup,
+        "near_dup_delta": textops.q_near_dup_delta,
+        "leakage_safe_split": textops.q_leakage_safe_split,
+        "curation_funnel": textops.q_curation_funnel,
+        "dedup_token_report": textops.q_dedup_token_report,
+        "group_regression": relational.q_group_regression,
+        "fuzzy_join": textops.q_fuzzy_join,
+        "hybrid_search": vectors.q_hybrid_search,
+        "jsonl_ingest": relational.q_jsonl_ingest,
+        "containment_pairs": textops.q_containment_pairs,
+        "cross_table_link": textops.q_cross_table_link,
+        "distinct_tokens": textops.q_distinct_tokens,
+        "containment_pairs_sa": textops.q_containment_pairs_sa,
+        "ngram_jaccard_pairs": textops.q_ngram_jaccard_pairs,
+        "group_quantile_trim": textops.q_group_quantile_trim,
         "cascade_match": relational.q_cascade_match,
         "addr_match_cascade": relational.q_addr_match_cascade,
         "join_agg": relational.q_join_agg,
@@ -214,20 +201,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": textops.q_bpe_train,
         "bpe_encode": textops.q_bpe_encode,
         "lang_agreement": textops.q_lang_agreement,
-        # --- similarity search (embeddings table) ---------------------------
         "embed_near_dup_ivf": vectors.q_embed_near_dup_ivf,
         "knn_ivf": vectors.q_knn_ivf,
         "semantic_dedup": vectors.q_semantic_dedup,
         "kmeans_fit": vectors.q_kmeans_fit,
         "knn_pq": vectors.q_knn_pq,
-        "knn_join": vectors.q_knn_join,
         "knn_join_ivf": vectors.q_knn_join_ivf,
         "embedding_pca": vectors.q_embedding_pca,
         "cluster_purity": vectors.q_cluster_purity,
         "ann_recall_eval": vectors.q_ann_recall_eval,
-        # --- flagship assignment + multimodal plumbing ----------------------
         "dedup_assignment": multimodal.q_dedup_assignment,
-        "duration_buckets": multimodal.q_duration_buckets,
         "audio_decode_stats": multimodal.q_audio_decode_stats,
         "audio_frames": multimodal.q_audio_frames,
         "audio_loudness": multimodal.q_audio_loudness,
@@ -260,11 +243,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_calibration": textops.q_minhash_calibration,
         "simhash_calibration": multimodal.q_simhash_calibration,
         "lsh_recall_curve": textops.q_lsh_recall_curve,
-        "late_data_audit": relational.q_late_data_audit,
     }
 
 
-_JACCARD_ORACLE = """
+# Body WITHOUT a trailing ORDER BY, so composing oracles can embed it in a
+# CTE directly; _JACCARD_ORACLE appends the ORDER BY for standalone use
+# (ADVICE r4: textual .replace() surgery on the ordered literal was brittle).
+_JACCARD_BODY = """
 WITH g AS (
   SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 5) AS gram
   FROM (SELECT doc_id, text,
@@ -283,8 +268,9 @@ FROM inter i
 JOIN sz sa ON sa.doc_id = i.left_id
 JOIN sz sb ON sb.doc_id = i.right_id
 WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.7
-ORDER BY 1, 2
 """
+
+_JACCARD_ORACLE = _JACCARD_BODY + "ORDER BY 1, 2"
 
 
 # cross-table variant of the exact Jaccard oracle: pairs spanning the even
@@ -539,7 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "shared_span_pairs": textops.shared_span_pairs_sql(),
         "delta_dedup": textops.delta_dedup_sql(),
         "near_dup_delta": textops.near_dup_delta_sql(),
-        "leakage_safe_split": textops.leakage_safe_split_sql(_JACCARD_ORACLE.replace("ORDER BY 1, 2", "")),
+        "leakage_safe_split": textops.leakage_safe_split_sql(_JACCARD_BODY),
         "curation_funnel": textops.curation_funnel_sql(),
         "group_quantile_trim": textops.group_quantile_trim_sql(),
         "decontaminate": textops.decontaminate_sql(),
@@ -623,16 +609,16 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "token_set_dedup": textops.token_set_dedup_sql(),
         "near_dup_topk": textops.near_dup_topk_sql(
-            _JACCARD_ORACLE.replace("ORDER BY 1, 2", "")),
+            _JACCARD_BODY),
         "dup_soft_weight": textops.dup_soft_weight_sql(
-            _JACCARD_ORACLE.replace("ORDER BY 1, 2", "")),
+            _JACCARD_BODY),
         "schema_adapt": relational.schema_adapt_sql(),
         "cross_table_link": _CROSS_LINK_ORACLE,
         # connected components over the exact Jaccard pair graph: min
         # reachable doc_id via a recursive CTE == the engine's union-find
         # root (the clustering reduce itself is oracle-checked)
         "near_dup_groups": f"""
-            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace('ORDER BY 1, 2', '')}),
+            WITH RECURSIVE base AS ({_JACCARD_BODY}),
             sym(a, b) AS (
                 SELECT left_id, right_id FROM base
                 UNION ALL
@@ -649,7 +635,7 @@ def oracle_sql() -> dict[str, str]:
         # retention policy on top of the same component reduce: keep the
         # longest member (tiebreak min doc_id) of every near-dup group
         "near_dup_keep_best": f"""
-            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace('ORDER BY 1, 2', '')}),
+            WITH RECURSIVE base AS ({_JACCARD_BODY}),
             sym(a, b) AS (
                 SELECT left_id, right_id FROM base
                 UNION ALL
@@ -678,7 +664,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the corpus AFTER dedup: singletons + per-group best member
         "near_dup_survivors": f"""
-            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace('ORDER BY 1, 2', '')}),
+            WITH RECURSIVE base AS ({_JACCARD_BODY}),
             sym(a, b) AS (
                 SELECT left_id, right_id FROM base
                 UNION ALL
@@ -710,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # incremental fold == full re-cluster at the lower threshold
         "incremental_components": f"""
-            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace("ORDER BY 1, 2", "")}),
+            WITH RECURSIVE base AS ({_JACCARD_BODY}),
             sym(a, b) AS (
                 SELECT left_id, right_id FROM base
                 UNION ALL
@@ -726,7 +712,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # group-size histogram over the same components reduce
         "dup_size_histogram": f"""
-            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace("ORDER BY 1, 2", "")}),
+            WITH RECURSIVE base AS ({_JACCARD_BODY}),
             sym(a, b) AS (
                 SELECT left_id, right_id FROM base
                 UNION ALL
@@ -750,7 +736,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-source dedup accounting on top of the same survivors reduce
         "dedup_token_report": f"""
-            WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace('ORDER BY 1, 2', '')}),
+            WITH RECURSIVE base AS ({_JACCARD_BODY}),
             sym(a, b) AS (
                 SELECT left_id, right_id FROM base
                 UNION ALL

@@ -248,6 +248,8 @@ ANALYTICS = [
     "tfidf_cosine_pairs",    # the reference's true cosine kernel (exact)
     "token_set_dedup",       # bag-of-words structural dedup (continuation)
     "schema_adapt",          # crosswalk-driven foreign-schema adapter
+    "audio_dtw_near_dup",    # the most expensive non-headline query (r4
+                             # verdict: needs a round-over-round guard)
 ]
 
 

@@ -1651,6 +1651,37 @@ def test_near_dup_groups_labelprop_parity(ray_session):
     assert (base.group_id.values == forced.group_id.values).all()
 
 
+def test_incremental_components_labelprop_parity(ray_session):
+    """q_incremental_components' two component reduces route through the
+    gated _groups_from_pairs — forcing the distributed path
+    (dsu_edge_limit=0) must reproduce the driver-DSU assignment exactly."""
+    import dataclasses
+
+    from who_owns_mass_processing_ray.pipelines import textops as tx
+    from who_owns_mass_processing_ray.pipelines.textops import DOCS_CFG
+
+    base = tx.q_incremental_components(SF_DIR).to_pandas()
+    forced = tx.q_incremental_components(
+        SF_DIR, cfg=dataclasses.replace(DOCS_CFG, dsu_edge_limit=0)
+    ).to_pandas()
+    assert len(base) == len(forced) > 0
+    assert (base.doc_id.values == forced.doc_id.values).all()
+    assert (base.group_id.values == forced.group_id.values).all()
+
+
+def test_dup_graph_modularity_labelprop_parity(ray_session):
+    """Same forced-path parity for the distributed modularity pipeline."""
+    import dataclasses
+
+    from who_owns_mass_processing_ray.pipelines import textops as tx
+    from who_owns_mass_processing_ray.pipelines.textops import DOCS_CFG
+
+    base = tx.q_dup_graph_modularity(SF_DIR)
+    forced = tx.q_dup_graph_modularity(
+        SF_DIR, cfg=dataclasses.replace(DOCS_CFG, dsu_edge_limit=0))
+    assert base.equals(forced)
+
+
 def test_tfidf_cosine_pairs_vs_bruteforce(ray_session):
     """Exact tf-idf cosine join vs a brute-force all-pairs numpy recompute
     on a synthetic corpus with planted near-dups — proves the AllPairs

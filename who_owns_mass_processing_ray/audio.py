@@ -125,6 +125,37 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
 
 
 # --------------------------------------------------------------------------
+# Zero-copy Arrow binary access
+# --------------------------------------------------------------------------
+
+def binary_views(col) -> list[memoryview]:
+    """Per-row zero-copy ``memoryview`` slices into an Arrow binary column.
+
+    ``col.to_pylist()`` memcpys the ENTIRE payload into Python ``bytes``
+    objects — at 100 TB that is a full extra pass over the corpus bytes per
+    decode stage.  This instead slices the column's shared Arrow data buffer
+    through the offsets buffer; every codec in this module (struct.unpack,
+    np.frombuffer, zlib, slice compares) accepts buffer objects, so decode
+    stages consume the views directly.  Null rows yield empty views (Arrow
+    offsets stay monotonic across nulls).  Same pattern as the flagship's
+    read-fused feature extraction (stages/features.py).
+    """
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset: col.offset + len(col) + 1]
+    data_mv = memoryview(col.buffers()[2]) if col.buffers()[2] is not None \
+        else memoryview(b"")
+    return [data_mv[offs[i]:offs[i + 1]] for i in range(len(col))]
+
+
+# --------------------------------------------------------------------------
 # Spectral band energies + energy-weighted SimHash
 # --------------------------------------------------------------------------
 

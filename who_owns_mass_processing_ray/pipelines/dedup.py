@@ -36,13 +36,9 @@ from who_owns_mass_processing_ray.stages import (
 
 
 def _auto_parts() -> int:
-    import ray
+    from who_owns_mass_processing_ray.stages import auto_parts
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(8, cpus * 4)
+    return auto_parts()
 
 
 def read_clips(clips_path: str):

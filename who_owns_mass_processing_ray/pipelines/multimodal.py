@@ -100,7 +100,7 @@ class DecodeStats:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         srs = t["sr_hz"].to_numpy()
         n = len(t)
@@ -143,7 +143,7 @@ class FrameSampler:
     FRAME_MS = 25
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         n_frames = np.zeros(n, dtype=np.int64)
@@ -193,12 +193,12 @@ def q_image_decode_stub(sf_dir: str):
             self.ready = True  # model/codec load would happen here
 
         @staticmethod
-        def _fake_decode(buf: bytes) -> tuple[int, int]:
-            h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
+        def _fake_decode(buf) -> tuple[int, int]:
+            h = int.from_bytes(bytes(buf[:8]).ljust(8, b"\0"), "little")
             return 64 + h % 1024, 64 + (h >> 32) % 1024
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            bufs = t["bytes"].to_pylist()
+            bufs = audio.binary_views(t["bytes"])
             dims = [self._fake_decode(b) for b in bufs]
             return pa.table({
                 "clip_id": t["clip_id"],
@@ -238,8 +238,8 @@ def q_video_frame_sample_stub(sf_dir: str, stride_ms: int = 200,
         FPS_TABLE = (24, 25, 30)  # fake codec-header parse picks one
 
         @classmethod
-        def _fake_probe(cls, buf: bytes) -> int:
-            h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
+        def _fake_probe(cls, buf) -> int:
+            h = int.from_bytes(bytes(buf[:8]).ljust(8, b"\0"), "little")
             return cls.FPS_TABLE[h % len(cls.FPS_TABLE)]
 
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -251,7 +251,7 @@ def q_video_frame_sample_stub(sf_dir: str, stride_ms: int = 200,
                     "fps": pa.array([], pa.int32()),
                     "decoded": pa.array([], pa.bool_()),
                 })
-            bufs = t["bytes"].to_pylist()
+            bufs = audio.binary_views(t["bytes"])
             fps = np.array([self._fake_probe(b) for b in bufs],
                            dtype=np.int32)
             dur = t["dur_ms"].to_numpy().astype(np.int64)
@@ -296,7 +296,7 @@ class _FeatVecStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         cfg = self.cfg
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         dim = cfg.fp_num_bands - 1
@@ -456,7 +456,7 @@ class LoudnessStats:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         dbfs = np.full(n, -120.0)
@@ -506,7 +506,7 @@ class SilenceTrim:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         lead_ms = np.zeros(n, dtype=np.int64)
@@ -558,7 +558,7 @@ class Resampler:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         n_out = np.zeros(n, dtype=np.int64)
@@ -608,7 +608,7 @@ class SpectralStats:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         zcr = np.zeros(n, dtype=np.float64)
@@ -730,7 +730,7 @@ class AudioShingleSig:
     def __call__(self, t: pa.Table) -> pa.Table:
         from who_owns_mass_processing_ray.functions import hashing as hx
 
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         toks = []
         for i in range(len(t)):
@@ -819,7 +819,7 @@ def audio_shingle_pairs_ds(clips):
     cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "clip_id",
                                      AMH_MAX_BUCKET,
                                      MM_CFG.num_parts or _auto_parts())
-    cand = pr.attach_pair_features(cand, feats, "sig", 8)
+    cand = pr.attach_pair_features(cand, feats, "sig")
 
     def verify(batch: pa.Table) -> pa.Table:
         ls = _sig_matrix(batch["left_sig"])
@@ -857,7 +857,7 @@ class GainNormalize:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         peak_before = np.zeros(n)
@@ -1034,7 +1034,7 @@ class SegmentRows:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         ids, segi, st_ms, dur_ms, rms, peak = [], [], [], [], [], []
         cid_col = t["clip_id"].to_pylist()
@@ -1436,7 +1436,7 @@ def q_audio_snippet_search(sf_dir: str, min_runs: int = 1):
             self.codecs = audio.CODECS
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            bufs = t["bytes"].to_pylist()
+            bufs = audio.binary_views(t["bytes"])
             codecs = t["codec"].to_pylist()
             cids = t["clip_id"].to_pylist()
             durs = t["dur_ms"].to_numpy()
@@ -1588,7 +1588,7 @@ class Transcoder:
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib
 
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         out_bytes: list[bytes] = []
@@ -1654,7 +1654,7 @@ class PitchStats:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         f0 = np.zeros(n, dtype=np.float64)
@@ -1717,7 +1717,7 @@ class AudioQC:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         clip_frac = np.zeros(n, dtype=np.float64)
@@ -1787,7 +1787,7 @@ class VadSegments:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_id, out_seq, out_s, out_e, out_rms = [], [], [], [], []
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         cids = t["clip_id"].to_pylist()
         for cid, buf, codec in zip(cids, bufs, codecs):
@@ -1885,7 +1885,7 @@ class MelStats:
         return self._banks[key]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         n = len(t)
         out = np.zeros((n, self.N_BANDS), dtype=np.float64)
@@ -2269,7 +2269,7 @@ class DtwFeatures:
         self.codecs = audio.CODECS
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         blobs, profs, keys = [], [], []
         for i in range(len(t)):
@@ -2357,7 +2357,7 @@ def dtw_near_dup_pairs(corpus):
     # argmin shift is the pitch-scale estimate.  Tier 2 attaches the 5-KB
     # frame blobs ONLY to survivors and runs the DP at that single shift —
     # so per-candidate cost is a 128-B dot, not a 5-KB O(na*nb) DP.
-    cand = pr.attach_pair_features(cand, feats, "prof", 8)
+    cand = pr.attach_pair_features(cand, feats, "prof")
 
     def prefilter(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -2394,7 +2394,7 @@ def dtw_near_dup_pairs(corpus):
 
     surv = cand.map_batches(prefilter, batch_format="pyarrow",
                             batch_size=8192)
-    surv = pr.attach_pair_features(surv, feats, "env", 8)
+    surv = pr.attach_pair_features(surv, feats, "env")
 
     def verify(batch: pa.Table) -> pa.Table:
         ls = _env_matrices(batch["left_env"])
@@ -2508,7 +2508,7 @@ class _ConstellationRows:
         self.snippet = snippet
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t["bytes"].to_pylist()
+        bufs = audio.binary_views(t["bytes"])
         codecs = t["codec"].to_pylist()
         cids = t["clip_id"].to_pylist()
         out_h, out_t, out_id = [], [], []
@@ -2710,11 +2710,11 @@ def q_audio_curation_funnel(sf_dir: str):
     keep_min = keys.groupby("key").aggregate(Min("clip_id",
                                                  alias_name="keep_id"))
     kept_ids = joins.attach_columns(keys, keep_min, "key", "key",
-                                    {"keep_id": "keep_id"}, 16, how="inner")
+                                    {"keep_id": "keep_id"}, None, how="inner")
     kept_ids = kept_ids.filter(expr="clip_id == keep_id") \
         .select_columns(["clip_id"]).materialize()
     exact = joins.attach_columns(qc, kept_ids, "clip_id", "clip_id",
-                                 {"clip_id": "keep"}, 16,
+                                 {"clip_id": "keep"}, None,
                                  how="inner").materialize()
     n2, d2 = stage_stats(exact)
 
@@ -2759,7 +2759,7 @@ def q_audio_curation_funnel(sf_dir: str):
         withg = joins.attach_columns(exact.map_batches(meta,
                                                        batch_format="pyarrow"),
                                      grp, "clip_id", "clip_id",
-                                     {"root_id": "root_id"}, 16, how="left")
+                                     {"root_id": "root_id"}, None, how="left")
 
         def pick(g: pa.Table) -> pa.Table:
             d = g["dur_ms"].to_numpy()
@@ -2777,7 +2777,7 @@ def q_audio_curation_funnel(sf_dir: str):
             .select(["clip_id"]), batch_format="pyarrow")
         survivors = single.union(grouped).materialize()
         near = joins.attach_columns(exact, survivors, "clip_id", "clip_id",
-                                    {"clip_id": "keep"}, 16, how="inner")
+                                    {"clip_id": "keep"}, None, how="inner")
     n3, d3 = stage_stats(near)
 
     rep = pa.table({
@@ -2800,7 +2800,9 @@ class PairSNR:
     overlap), and score signal-to-noise in dB — the per-row invariant from
     the engine contract (decoded-PCM allclose, SNR >= 30 dB) applied to
     PAIRS, so a dup edge carries measured waveform evidence, not just a
-    fingerprint collision.  Codec dispatch table in ``__init__``; per-batch
+    fingerprint collision.  ``passes`` is the STRICT invariant: SNR >= the
+    threshold AND equal sample rates (``sr_match``) — a resampled near-copy
+    never passes.  Codec dispatch table in ``__init__``; per-batch
     decode memoizes within the batch (a hot clip recurs across its pairs)."""
 
     def __init__(self, snr_thresh_db: float = 30.0):
@@ -2808,27 +2810,31 @@ class PairSNR:
         self.thresh = snr_thresh_db
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lb = t["left_bytes"].to_pylist()
-        rb = t["right_bytes"].to_pylist()
+        lb = audio.binary_views(t["left_bytes"])
+        rb = audio.binary_views(t["right_bytes"])
         lc = t["left_codec"].to_pylist()
         rc = t["right_codec"].to_pylist()
         n = len(t)
         snr = np.full(n, -np.inf)
         sr_match = np.zeros(n, dtype=bool)
         n_over = np.zeros(n, dtype=np.int64)
-        cache: dict[tuple[bytes, str], tuple[np.ndarray, int]] = {}
+        lid = t["left_id"].to_pylist()
+        rid = t["right_id"].to_pylist()
+        # memoize by clip id (payload views are unhashable and hashing the
+        # bytes would re-read them); a hot clip recurs across its pairs
+        cache: dict[str, tuple[np.ndarray, int]] = {}
 
-        def dec(buf, codec):
-            hit = cache.get((buf, codec))
+        def dec(cid, buf, codec):
+            hit = cache.get(cid)
             if hit is None:
                 hit = audio.decode(buf, codec)
-                cache[(buf, codec)] = hit
+                cache[cid] = hit
             return hit
 
         for i in range(n):
             try:
-                lp, lsr = dec(lb[i], lc[i])
-                rp, rsr = dec(rb[i], rc[i])
+                lp, lsr = dec(lid[i], lb[i], lc[i])
+                rp, rsr = dec(rid[i], rb[i], rc[i])
             except Exception:
                 continue
             sr_match[i] = lsr == rsr
@@ -2847,7 +2853,10 @@ class PairSNR:
             if m:
                 snr[i] = audio.snr_db(lp[:m], rp[:m])
         # decide `passes` on the REPORTED (rounded, capped) value so the
-        # two output columns can never disagree at the threshold boundary
+        # two output columns can never disagree at the threshold boundary;
+        # the STRICT north-rule invariant also requires equal sample rates
+        # (a different-sr clip that linear-resamples into >= 30 dB is a
+        # near-copy, not an exact one), so sr_match is ANDed in
         reported = np.round(np.minimum(snr, 999.0), 2)
         return pa.table({
             "left_id": t["left_id"],
@@ -2855,7 +2864,7 @@ class PairSNR:
             "sr_match": pa.array(sr_match),
             "n_overlap": pa.array(n_over),
             "snr_db": pa.array(reported),
-            "passes": pa.array(reported >= self.thresh),
+            "passes": pa.array((reported >= self.thresh) & sr_match),
         })
 
 
@@ -2865,6 +2874,9 @@ def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0,
     payloads: decode both sides and score PCM SNR over the aligned overlap.
     Reusable over any edge source (flagship audio stage, exact stage, an
     external manifest) — see ``q_audio_pair_snr`` for the composed query.
+    Every input edge yields exactly one output row: an edge whose endpoint
+    is absent from ``clips`` reports passes=False / snr_db=-inf (left-outer
+    attach on both paths) rather than silently dropping.
 
     Scale shape: edges are narrow (clip_id, clip_id); the corpus is
     semi-filtered to clips appearing in >= 1 edge BEFORE any audio moves
@@ -2907,8 +2919,12 @@ def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0,
             s = _ray.get(side_ref)
             ls = s.rename_columns(["left_id", "left_bytes", "left_codec"])
             rs = s.rename_columns(["right_id", "right_bytes", "right_codec"])
-            out = batch.join(ls, keys=["left_id"], join_type="inner")
-            return out.join(rs, keys=["right_id"], join_type="inner")
+            # left outer: an edge endpoint absent from the clips dataset
+            # (external-manifest edge sources) keeps its row — decode of the
+            # null payload fails and the pair reports passes=False /
+            # snr_db=-inf, so every input edge is accounted for
+            out = batch.join(ls, keys=["left_id"], join_type="left outer")
+            return out.join(rs, keys=["right_id"], join_type="left outer")
 
         withLR = edges.map_batches(probe, batch_format="pyarrow")
     else:
@@ -2931,16 +2947,16 @@ def pair_snr_ds(clips, edges, snr_thresh_db: float = 30.0,
         # schema (measured: the chained join fails ~1-in-2 without this)
         withL = joins.attach_columns(
             edges, sub, "left_id", "clip_id",
-            {"bytes": "left_bytes", "codec": "left_codec"}, 16,
-            broadcast_limit=0).map_batches(
+            {"bytes": "left_bytes", "codec": "left_codec"}, None,
+            how="left", broadcast_limit=0).map_batches(
                 lambda t: t.select(schema_l.names) if t.num_rows
                 else schema_l.empty_table(),
                 batch_format="pyarrow") \
             .materialize().repartition(8).materialize()
         withLR = joins.attach_columns(
             withL, sub, "right_id", "clip_id",
-            {"bytes": "right_bytes", "codec": "right_codec"}, 16,
-            broadcast_limit=0).materialize()
+            {"bytes": "right_bytes", "codec": "right_codec"}, None,
+            how="left", broadcast_limit=0).materialize()
 
     return withLR.map_batches(
         PairSNR, fn_constructor_args=(snr_thresh_db,),

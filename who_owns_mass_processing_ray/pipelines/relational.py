@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from who_owns_mass_processing_ray.stages import auto_parts as _auto_shuffle_parts
 from who_owns_mass_processing_ray.functions.numeric import round_col, round_half_away
 
 
@@ -80,7 +81,7 @@ def q_counts_in_group(sf_dir: str):
     from who_owns_mass_processing_ray.stages import joins
 
     out = joins.attach_columns(totals, n_distinct, "user_id", "user_id",
-                               {"n_types": "n_types"}, 16, how="inner")
+                               {"n_types": "n_types"}, None, how="inner")
     return out.sort("user_id")
 
 
@@ -120,7 +121,7 @@ def q_group_fill(sf_dir: str):
     from who_owns_mass_processing_ray.stages import joins
 
     out = joins.attach_columns(ds, firsts, "l_orderkey", "l_orderkey",
-                               {"first_ship": "first_ship"}, 16, how="inner")
+                               {"first_ship": "first_ship"}, None, how="inner")
     return out.sort(["l_orderkey", "l_linenumber"])
 
 
@@ -139,7 +140,7 @@ def q_join_agg(sf_dir: str):
     from who_owns_mass_processing_ray.stages import joins
 
     enriched = joins.attach_columns(orders, customer, "o_custkey", "c_custkey",
-                                    {"c_mktsegment": "c_mktsegment"}, 16,
+                                    {"c_mktsegment": "c_mktsegment"}, None,
                                     how="inner")
     out = enriched.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
@@ -182,7 +183,7 @@ def q_interval_join(sf_dir: str):
     from who_owns_mass_processing_ray.stages import joins
 
     enriched = joins.attach_columns(li, orders, "l_orderkey", "o_orderkey",
-                                    {"o_orderdate": "o_orderdate"}, 16,
+                                    {"o_orderdate": "o_orderdate"}, None,
                                     how="inner")
 
     def in_window(t: pa.Table) -> pa.Table:
@@ -598,9 +599,9 @@ def q_uniqueness_flags(sf_dir: str):
     from who_owns_mass_processing_ray.stages import joins
 
     out = joins.attach_columns(kd, c1, "o_custkey", "o_custkey",
-                               {"n_cust": "n_cust"}, 16, how="inner")
+                               {"n_cust": "n_cust"}, None, how="inner")
     out = joins.attach_columns(out, c2, "date_key", "date_key",
-                               {"n_date": "n_date"}, 16, how="inner")
+                               {"n_date": "n_date"}, None, how="inner")
 
     def flags(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -677,6 +678,24 @@ def _fixture_dir(prefix: str, source_file: str, build) -> str:
     except OSError:
         # another process published first — use theirs
         shutil.rmtree(tmp, ignore_errors=True)
+    # GC (ADVICE r4): every corpus regeneration mints a new tag, and a
+    # failed build from another pid strands its scratch dir — sweep
+    # best-effort on successful publish so /tmp doesn't accumulate forever
+    import glob as _glob
+    import time as _time
+
+    for stale in _glob.glob(f"/tmp/{prefix}_*"):
+        if stale == final:
+            continue
+        if stale.startswith(final + ".tmp"):
+            # same-tag scratch: only sweep if abandoned (a LIVE concurrent
+            # builder of this tag may still be writing into its scratch)
+            try:
+                if _time.time() - os.stat(stale).st_mtime < 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(stale, ignore_errors=True)
     return final
 
 
@@ -824,7 +843,7 @@ def q_unit_estimate(sf_dir: str):
         Sum("ac0", alias_name="all_addr"))
     rows = joins.attach_columns(
         rows, g1, "loc_id", "loc_id",
-        {"condo_ct": "condo_ct", "all_addr": "all_addr"}, 16, how="inner")
+        {"condo_ct": "condo_ct", "all_addr": "all_addr"}, None, how="inner")
 
     def estimate(t: pa.Table) -> pa.Table:
         lidx = t["lidx"].to_numpy()
@@ -1300,7 +1319,7 @@ def q_luc_flags(sf_dir: str):
         Max("is_condo_row", alias_name="parcel_has_condo"))
     joined = joins.attach_columns(
         rows, per_parcel, "parcel_id", "parcel_id",
-        {"parcel_has_condo": "parcel_has_condo"}, num_partitions=16,
+        {"parcel_has_condo": "parcel_has_condo"}, num_partitions=None,
         how="left")
 
     nonb = pa.array(LUC_RES_FLAGS + LUC_RES_NONBOSTON, pa.string())
@@ -1738,13 +1757,13 @@ def q_network_communities(sf_dir: str):
 
     li_net = joins.attach_columns(
         li.map_batches(flagged, batch_format="pyarrow"), part_map,
-        "l_partkey", "pk", {"net": "net"}, 16, how="inner")
+        "l_partkey", "pk", {"net": "net"}, None, how="inner")
     cnet = li_net.groupby("l_orderkey").aggregate(Min("net", alias_name="net"))
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderstatus"])
     own = joins.attach_columns(orders, cnet, "o_orderkey", "l_orderkey",
-                               {"net": "net"}, 16, how="left")
+                               {"net": "net"}, None, how="left")
 
     # group fill downup within the cosine group (deterministic: the fill
     # value is the group MIN, ≙ tidyr::fill after arrange), then drop rows
@@ -1769,7 +1788,7 @@ def q_network_communities(sf_dir: str):
     match = filled.groupby("network_id").aggregate(
         Max("is_f", alias_name="m"))
     out = joins.attach_columns(filled, match, "network_id", "network_id",
-                               {"m": "m"}, 16, how="inner")
+                               {"m": "m"}, None, how="inner")
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["m"], 1))
@@ -1859,9 +1878,9 @@ def q_metacorp_rollup(sf_dir: str):
     # units per site (lineitems per order): partial count map-side
     units = li.groupby("l_orderkey").aggregate(Count(alias_name="units"))
     sites = joins.attach_columns(orders, units, "o_orderkey", "l_orderkey",
-                                 {"units": "units"}, 16, how="left")
+                                 {"units": "units"}, None, how="left")
     sites = joins.attach_columns(sites, customer, "o_custkey", "c_custkey",
-                                 {"c_nationkey": "metacorp_id"}, 16,
+                                 {"c_nationkey": "metacorp_id"}, None,
                                  how="inner")
 
     def derive(t: pa.Table) -> pa.Table:
@@ -1880,9 +1899,9 @@ def q_metacorp_rollup(sf_dir: str):
     # n_distinct companies (suppliers) per metacorp: attach nation to the
     # link table, per-batch distinct pairs, then count distinct per group
     li_nat = joins.attach_columns(li, orders, "l_orderkey", "o_orderkey",
-                                  {"o_custkey": "o_custkey"}, 16, how="inner")
+                                  {"o_custkey": "o_custkey"}, None, how="inner")
     li_nat = joins.attach_columns(li_nat, customer, "o_custkey", "c_custkey",
-                                  {"c_nationkey": "metacorp_id"}, 16,
+                                  {"c_nationkey": "metacorp_id"}, None,
                                   how="inner")
 
     def pair_distinct(t: pa.Table) -> pa.Table:
@@ -1900,7 +1919,7 @@ def q_metacorp_rollup(sf_dir: str):
             Count(alias_name="company_count"))
 
     out = joins.attach_columns(roll, comp, "metacorp_id", "metacorp_id",
-                               {"company_count": "company_count"}, 16,
+                               {"company_count": "company_count"}, None,
                                how="left")
 
     def ratios(t: pa.Table) -> pa.Table:
@@ -2071,10 +2090,11 @@ PROFILE_COLS = ("l_quantity", "l_discount", "l_returnflag", "l_linestatus",
 _PROFILE_NUMERIC = ("l_quantity", "l_discount", "l_suppkey")
 
 
-def q_table_profile(sf_dir: str, num_parts: int = 16):
+def q_table_profile(sf_dir: str, num_parts: int | None = None):
     """-> (col_name, n_rows, n_null, n_distinct, min_num, max_num), one row
     per profiled lineitem column; min/max only for numeric columns (NULL
     for strings), rounded 4."""
+    num_parts = num_parts or _auto_shuffle_parts()
     import ray
 
     from ray.data.aggregate import Max, Min, Sum
@@ -2781,10 +2801,11 @@ def latest_by_key_sql() -> str:
 # adaptive join; the event stream pays zero shuffles.
 # ---------------------------------------------------------------------------
 
-def q_group_zscore(sf_dir: str, num_parts: int = 32):
+def q_group_zscore(sf_dir: str, num_parts: int | None = None):
     """-> (event_id, user_id, value, zscore): population z-score of value
     within each user's events (users with one event or zero variance are
     excluded — zscore undefined), rounded 4, sorted by event_id."""
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns
@@ -3499,10 +3520,11 @@ def sliding_window_agg_sql() -> str:
 # map-side before the final tiny groupby.
 # ---------------------------------------------------------------------------
 
-def q_star_join(sf_dir: str, segment: str = "BUILDING", num_parts: int = 32):
+def q_star_join(sf_dir: str, segment: str = "BUILDING", num_parts: int | None = None):
     """-> (o_orderkey, o_orderdate, revenue): open orders of ``segment``
     customers with their discounted lineitem revenue (rounded 2), top 20 by
     (revenue desc, o_orderkey), sorted that way."""
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns

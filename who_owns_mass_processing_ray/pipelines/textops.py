@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from who_owns_mass_processing_ray.stages import auto_parts as _auto_shuffle_parts
 from who_owns_mass_processing_ray.config import DedupConfig
 from who_owns_mass_processing_ray.functions import hashing as hx
 from who_owns_mass_processing_ray.functions.numeric import round_half_away
@@ -80,11 +81,11 @@ def q_exact_dedup(sf_dir: str, key_chars: int = 40):
 
     out = joins.attach_columns(k, dups, "key", "key",
                                {"group_id": "group_id",
-                                "group_size": "group_size"}, 16, how="inner")
+                                "group_size": "group_size"}, None, how="inner")
     return out.select_columns(["doc_id", "group_id", "group_size"]).sort("doc_id")
 
 
-def q_dup_members(sf_dir: str, num_parts: int = 32, key_chars: int = 40):
+def q_dup_members(sf_dir: str, num_parts: int | None = None, key_chars: int = 40):
     """Distributed group-collect (the ``string_agg`` aggregation class): for
     each duplicate group (>1 member; same ``key_chars``-char prefix key as
     ``q_exact_dedup``), the sorted comma-joined member doc_ids — the
@@ -101,6 +102,7 @@ def q_dup_members(sf_dir: str, num_parts: int = 32, key_chars: int = 40):
 
     Output: (group_id = min member doc_id, n_members, members) sorted by
     group_id."""
+    num_parts = num_parts or _auto_shuffle_parts()
     ds = _docs(sf_dir)
 
     def keyed(t: pa.Table) -> pa.Table:
@@ -234,7 +236,7 @@ def minhash_pairs_ds(ds, cfg: DedupConfig = DOCS_CFG):
     from ray.data.aggregate import Max
 
     cand = _doc_candidates(ds, cfg)
-    cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
+    cand = pr.attach_pair_features(cand, ds, "text", side_key="doc_id")
     out = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
                            batch_format="pyarrow",
                            batch_size=cfg.verify_batch_size)
@@ -292,7 +294,7 @@ def q_minhash_calibration(sf_dir: str, cfg: DedupConfig = DOCS_CFG,
     cand = _doc_candidates(ds, cfg)
     pairs = pr.distinct_edges(cand, "cal") \
         .select_columns(["left_id", "right_id"])
-    feat = pr.attach_pair_features(pairs, ds, "text", 16, side_key="doc_id")
+    feat = pr.attach_pair_features(pairs, ds, "text", side_key="doc_id")
 
     def _sigs_per_distinct(col: pa.Array) -> np.ndarray:
         """Signatures for each row of ``col``, computed once per distinct
@@ -348,7 +350,7 @@ def q_minhash_calibration(sf_dir: str, cfg: DedupConfig = DOCS_CFG,
 
 def q_lsh_recall_curve(sf_dir: str, floor: float = 0.5,
                        bin_width: float = 0.05,
-                       cfg: DedupConfig = DOCS_CFG, num_parts: int = 64):
+                       cfg: DedupConfig = DOCS_CFG, num_parts: int | None = None):
     """Blocking recall audit — the flagship's recall claim measured, not
     derived: every EXACT Jaccard pair ≥ ``floor`` (from the complete
     AllPairs prefix-filter join) is checked for membership in the LSH
@@ -367,6 +369,7 @@ def q_lsh_recall_curve(sf_dir: str, floor: float = 0.5,
     Output: (bin_lo, n_true, n_caught, recall, mean_j, analytic_catch)
     sorted by bin_lo.  Rows-only (the LSH side is not SQL-expressible);
     brute recompute parity in tests/test_independent_oracles.py."""
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages import pairs as pr
@@ -546,7 +549,7 @@ def q_ngram_jaccard_pairs(sf_dir: str, k: int = 5, thresh: float = 0.7,
         # driver gather), then per-doc prefixes inside coarse doc_id % P
         # partitions — one vectorized segment pass per partition.
         with_df = joins.attach_columns(
-            grams, df_tbl, "gram", "gram", {"df": "df"}, num_partitions=16,
+            grams, df_tbl, "gram", "gram", {"df": "df"}, num_partitions=None,
             how="inner", broadcast_limit=0)
         num_parts = 16
 
@@ -579,8 +582,8 @@ def q_ngram_jaccard_pairs(sf_dir: str, k: int = 5, thresh: float = 0.7,
     from ray.data.aggregate import Max
 
     cand = pr.pairs_from_bucket_rows(prefixes, "bucket_key", "doc_id",
-                                     max_bucket=100_000, num_parts=16)
-    cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
+                                     max_bucket=100_000)
+    cand = pr.attach_pair_features(cand, ds, "text", side_key="doc_id")
     cfg = DedupConfig(shingle_k=k, jaccard_thresh=thresh, num_parts=16, seed=seed)
     out = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
                            batch_format="pyarrow")
@@ -1203,7 +1206,7 @@ def q_cross_table_link(sf_dir: str, thresh: float = 0.7):
                                concurrency=pool_bounds(8))
     cand = pr.pairs_from_bucket_rows(band_rows, "bucket_key", "doc_id",
                                      cfg.max_bucket, cfg.num_parts or 16)
-    cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
+    cand = pr.attach_pair_features(cand, ds, "text", side_key="doc_id")
     verified = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
                                 batch_format="pyarrow",
                                 batch_size=cfg.verify_batch_size)
@@ -1283,7 +1286,7 @@ def _groups_from_pairs(pairs_ds, cfg: DedupConfig):
 
         labeled = components_labelprop(
             pairs.map_batches(to_str, batch_format="pyarrow"), cfg,
-            cfg.num_parts or 16)
+            cfg.num_parts or _auto_shuffle_parts())
 
         def back(t: pa.Table) -> pa.Table:
             return pa.table({
@@ -1410,8 +1413,8 @@ def q_bounded_near_dup(sf_dir: str, hamming_thresh: int = BOUND_HAMMING):
 
     # the AND bound: intersect the two candidate sets on the pair key
     # (keep the sig-side rows — they carry the signatures verify needs)
-    inter = pr.pair_intersect(cand_sig, cand_text, 16)
-    inter = pr.attach_pair_features(inter, ds, "text", 16, side_key="doc_id")
+    inter = pr.pair_intersect(cand_sig, cand_text)
+    inter = pr.attach_pair_features(inter, ds, "text", side_key="doc_id")
 
     def verify(batch: pa.Table) -> pa.Table:
         jac = hx.jaccard_pairs_dict(batch["left_text"], batch["right_text"],
@@ -1519,7 +1522,7 @@ def q_containment_pairs(sf_dir: str, gram: int = 4, backend: str = "scan"):
             lambda t: t.filter(pc.fill_null(pc.greater_equal(
                 pc.utf8_length(t["transcript_norm"]), gram), False)),
             batch_format="pyarrow")
-    edges = ct.containment_edges(feats, cfg, num_parts=16, num_partitions=16)
+    edges = ct.containment_edges(feats, cfg)
 
     def out(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -2530,7 +2533,7 @@ def q_near_dup_keep_best(sf_dir: str):
     groups = q_near_dup_groups(sf_dir)               # doc_id, group_id
     meta = _docs(sf_dir, columns=("doc_id", "n_chars"))
     joined = attach_columns(groups, meta, "doc_id", "doc_id",
-                            {"n_chars": "n_chars"}, num_partitions=8)
+                            {"n_chars": "n_chars"}, num_partitions=None)
 
     def pick(g: pa.Table) -> pa.Table:
         nc = g["n_chars"].to_numpy()
@@ -2619,8 +2622,9 @@ def pack_sequences_sql() -> str:
           FROM t
         )
         SELECT part, doc_id, n_words,
-               prev // {PACK_BUDGET} AS pack_id,
-               prev - (prev // {PACK_BUDGET}) * {PACK_BUDGET} AS pack_off
+               CAST(prev // {PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(prev - (prev // {PACK_BUDGET}) * {PACK_BUDGET}
+                    AS BIGINT) AS pack_off
         FROM c ORDER BY part, doc_id
     """
 
@@ -2706,7 +2710,7 @@ SPAN_CHARS = 30          # minimum shared-span length (characters)
 
 
 def q_shared_span_pairs(sf_dir: str, span: int = SPAN_CHARS,
-                        num_parts: int = 32, max_bucket: int = 4096):
+                        num_parts: int | None = None, max_bucket: int = 4096):
     """Doc pairs sharing >= 1 exact ``span``-char substring + the count of
     distinct shared spans (``n_shared_grams``).
 
@@ -2726,6 +2730,7 @@ def q_shared_span_pairs(sf_dir: str, span: int = SPAN_CHARS,
     never silent; at test scale no bucket approaches the cap, so the
     result is oracle-exact.
     """
+    num_parts = num_parts or _auto_shuffle_parts()
     from who_owns_mass_processing_ray.stages import pairs as pr
 
     docs = _docs(sf_dir)
@@ -2845,12 +2850,13 @@ DELTA_SNAPSHOT_MOD = 5   # doc_id % MOD == 0 -> the "already ingested" side
 
 
 def q_delta_dedup(sf_dir: str, mod: int = DELTA_SNAPSHOT_MOD,
-                  num_parts: int = 32):
+                  num_parts: int | None = None):
     """New docs that survive ingestion against a corpus snapshot:
     drop any incoming doc whose text already exists in the snapshot
     (exact, 128-bit key), dedup the incoming batch itself (keep min
     doc_id), and report ``n_dup_incoming`` — how many incoming rows
     collapsed into each survivor."""
+    num_parts = num_parts or _auto_shuffle_parts()
     docs = _docs(sf_dir)
 
     def keyed(t: pa.Table) -> pa.Table:
@@ -3056,7 +3062,7 @@ def q_near_dup_delta(sf_dir: str, mod: int = NEARDUP_DELTA_MOD,
 
     cand = band_rows.map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(expand_delta, batch_format="pyarrow")
-    cand = pr.attach_pair_features(cand, ds, "text", 16, side_key="doc_id")
+    cand = pr.attach_pair_features(cand, ds, "text", side_key="doc_id")
     out = cand.map_batches(_verify_jaccard_int, fn_kwargs={"cfg": cfg},
                            batch_format="pyarrow",
                            batch_size=cfg.verify_batch_size)
@@ -3096,7 +3102,7 @@ def q_leakage_safe_split(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     docs = _docs(sf_dir, columns=("doc_id",))
     groups = q_near_dup_groups(sf_dir, cfg)
     out = joins.attach_columns(docs, groups, "doc_id", "doc_id",
-                               {"group_id": "group_id"}, 16, how="left")
+                               {"group_id": "group_id"}, None, how="left")
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -3816,13 +3822,14 @@ _HLL_P = 12
 _HLL_M = 1 << _HLL_P
 
 
-def q_distinct_tokens(sf_dir: str, num_parts: int = 32):
+def q_distinct_tokens(sf_dir: str, num_parts: int | None = None):
     """-> (source, n_distinct_tokens) — EXACT, sorted by source.
 
     Tokens are hashed to 64-bit before the shuffle (8 B/row instead of the
     string; at 2^63 distinct tokens the birthday collision odds are still
     negligible for a cardinality count) and deduped per batch so only the
     batch-distinct pairs enter the shuffle."""
+    num_parts = num_parts or _auto_shuffle_parts()
     docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -4133,7 +4140,7 @@ def _bloom_probe(words: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 
 def q_delta_dedup_bloom(sf_dir: str, mod: int = DELTA_SNAPSHOT_MOD,
-                        num_parts: int = 32,
+                        num_parts: int | None = None,
                         m_log2: int = BLOOM_BITS_LOG2, k: int = BLOOM_K):
     """Same contract as ``q_delta_dedup`` — new docs surviving ingestion
     against a snapshot, with per-survivor incoming-duplicate counts — but
@@ -4152,6 +4159,7 @@ def q_delta_dedup_bloom(sf_dir: str, mod: int = DELTA_SNAPSHOT_MOD,
     At 2^20 bits / 7 probes the sliver is ~(1-e^(-7n/2^20))^7 — under 1e-8
     per distinct incoming key for snapshots up to ~10^4 keys; size the
     bitmap as bits ≈ 10 x snapshot keys for ~1% at any scale."""
+    num_parts = num_parts or _auto_shuffle_parts()
     import ray
 
     from who_owns_mass_processing_ray.stages.joins import BROADCAST_ROW_LIMIT
@@ -4622,10 +4630,11 @@ def dup_graph_degree_sql(k: int = 5, thresh: float = 0.7) -> str:
 # totals are a tiny broadcast; the corpus streams once.
 # ---------------------------------------------------------------------------
 
-def q_source_divergence(sf_dir: str, num_parts: int = 32):
+def q_source_divergence(sf_dir: str, num_parts: int | None = None):
     """-> (src_a, src_b, js_div) for every source pair (a < b), natural-log
     Jensen-Shannon divergence of whitespace-token unigram distributions,
     rounded 4."""
+    num_parts = num_parts or _auto_shuffle_parts()
     import ray
 
     from ray.data.aggregate import Sum
@@ -4844,9 +4853,10 @@ def q_longest_repeat(sf_dir: str):
 # its df exactly), then per-doc partials reduce by doc.
 # ---------------------------------------------------------------------------
 
-def q_doc_novelty(sf_dir: str, k: int = 5, num_parts: int = 32):
+def q_doc_novelty(sf_dir: str, k: int = 5, num_parts: int | None = None):
     """-> (doc_id, n_grams, n_unique, novelty): distinct-gram count, count
     with corpus df == 1, and their ratio (rounded 4), sorted by doc_id."""
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     docs = _docs(sf_dir)
@@ -4933,7 +4943,7 @@ def doc_novelty_sql(k: int = 5) -> str:
 # ---------------------------------------------------------------------------
 
 def q_pmi_bigrams(sf_dir: str, min_count: int = 3,
-                  pmi_thresh: float = 0.25, num_parts: int = 32):
+                  pmi_thresh: float = 0.25, num_parts: int | None = None):
     """-> (w1, w2, n_pair, pmi): adjacent-word bigrams with corpus count
     >= ``min_count`` whose pointwise mutual information (log2 of observed
     over independent-margin expectation, both margins positional) rounds to
@@ -4947,6 +4957,7 @@ def q_pmi_bigrams(sf_dir: str, min_count: int = 3,
     doc shuffle.  Thresholding on the ROUNDED pmi keeps the output set
     deterministic across engines (no float-boundary top-k flake).
     """
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns
@@ -5039,7 +5050,7 @@ def pmi_bigrams_sql(min_count: int = 3, pmi_thresh: float = 0.25) -> str:
 # before mixing it into a training blend.
 # ---------------------------------------------------------------------------
 
-def q_distinctive_terms(sf_dir: str, k: int = 10, num_parts: int = 32):
+def q_distinctive_terms(sf_dir: str, k: int = 10, num_parts: int | None = None):
     """-> (source, term, n_term, log_odds): the ``k`` most distinctive words
     per source by smoothed log-odds of in-source vs rest-of-corpus rate
     (rounded 4; rank ties broken by term), sorted (source, term).
@@ -5052,6 +5063,7 @@ def q_distinctive_terms(sf_dir: str, k: int = 10, num_parts: int = 32):
     engines, and the per-batch partial top-k means only <= k rows per
     (source, batch) reach the final select.
     """
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns
@@ -5195,7 +5207,7 @@ def _graph_edges(sf_dir: str, k: int, thresh: float):
 # ---------------------------------------------------------------------------
 
 def q_dup_graph_triangles(sf_dir: str, k: int = 5, thresh: float = 0.7,
-                          num_parts: int = 32):
+                          num_parts: int | None = None):
     """-> (doc_id, n_triangles) for every doc in >= 1 triangle of the
     char-k-gram Jaccard >= thresh graph, sorted by doc_id.
 
@@ -5206,6 +5218,7 @@ def q_dup_graph_triangles(sf_dir: str, k: int = 5, thresh: float = 0.7,
     hash-partition shuffle keyed on the closing pair, matched by a pyarrow
     hash join per partition.
     """
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.functions import hashing as hx
@@ -5439,7 +5452,7 @@ def char_entropy_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def q_span_dedup_mask(sf_dir: str, span: int = SPAN_CHARS,
-                      num_parts: int = 32):
+                      num_parts: int | None = None):
     """-> (doc_id, n_masked, text_masked): per non-null doc, the count of
     chars covered by masked spans and the text with those chars replaced by
     '#', sorted by doc_id.
@@ -5452,6 +5465,7 @@ def q_span_dedup_mask(sf_dir: str, span: int = SPAN_CHARS,
     itself is one diff-array/cumsum pass over the zero-copy string buffers.
     The corpus pays one narrow join — document bytes never shuffle.
     """
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns
@@ -5942,7 +5956,7 @@ def token_budget_mix_sql(budget: int = TB_BUDGET) -> str:
 # Composes q_near_dup_survivors' keep set with per-source token totals.
 # ---------------------------------------------------------------------------
 
-def q_dedup_token_report(sf_dir: str, num_parts: int = 32):
+def q_dedup_token_report(sf_dir: str, num_parts: int | None = None):
     """-> (source, n_docs, n_kept, n_tokens, n_tokens_kept, doc_retention,
     token_retention), per-source totals before/after near-dup dedup
     (ratios rounded 4), sorted by source.
@@ -5953,6 +5967,7 @@ def q_dedup_token_report(sf_dir: str, num_parts: int = 32):
     (source, counts) rows — the corpus streams exactly twice, shuffles
     never.
     """
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns
@@ -6327,10 +6342,11 @@ _BILM_LAMBDA = 0.7
 
 
 def q_bigram_logprob(sf_dir: str, lam: float = _BILM_LAMBDA,
-                     num_parts: int = 32):
+                     num_parts: int | None = None):
     """-> (doc_id, n_bigrams, avg_logprob2): per doc with >= 2 tokens, the
     bigram count and mean log2 interpolated bigram probability (rounded 3),
     sorted by doc_id."""
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns
@@ -6571,10 +6587,11 @@ def zipf_fit_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def q_source_dup_matrix(sf_dir: str, k: int = 5, thresh: float = 0.7,
-                        num_parts: int = 32):
+                        num_parts: int | None = None):
     """-> (src_a, src_b, n_pairs): near-dup pairs (char-k-gram Jaccard >=
     thresh) counted by unordered source pair (src_a <= src_b), sorted
     (src_a, src_b)."""
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Sum
 
     from who_owns_mass_processing_ray.stages.joins import attach_columns
@@ -6911,32 +6928,9 @@ def domain_coverage_sql() -> str:
 # bridges them.
 # ---------------------------------------------------------------------------
 
-def _cluster_int_edges(edge_tables):
-    """pa tables of (left_id, right_id) int64 -> (doc_id, group_id)
-    Dataset via the vectorized min-label components reduce."""
-    import ray.data as rd
-
-    from who_owns_mass_processing_ray.stages.components import (
-        min_label_components,
-    )
-
-    tables = [t for t in edge_tables if t.num_rows]
-    if not tables:
-        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
-                                       "group_id": pa.array([], pa.int64())}))
-    e = pa.concat_tables(tables).combine_chunks()
-    l = e["left_id"].to_numpy()
-    r = e["right_id"].to_numpy()
-    ids = np.unique(np.concatenate((l, r)))
-    lab = min_label_components(np.searchsorted(ids, l),
-                               np.searchsorted(ids, r), len(ids))
-    return rd.from_arrow(pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
-        "group_id": pa.array(ids[lab], pa.int64())}))
-
-
 def q_incremental_components(sf_dir: str, snap_thresh: float = 0.8,
-                             new_thresh: float = 0.7, k: int = 5):
+                             new_thresh: float = 0.7, k: int = 5,
+                             cfg: DedupConfig = DOCS_CFG):
     """-> (doc_id, group_id): cluster assignments after folding the
     lower-threshold (``new_thresh``) edge DELTA into the snapshot built at
     ``snap_thresh`` (snapshot = components of the >= snap_thresh graph,
@@ -6946,15 +6940,15 @@ def q_incremental_components(sf_dir: str, snap_thresh: float = 0.8,
     algebra the result equals clustering everything at new_thresh — which
     is exactly what the oracle checks, so the star-edge representation is
     verified, not assumed."""
-    import ray
-
     pairs = _graph_edges(sf_dir, k, new_thresh).materialize()
 
-    snap_tables = [t for t in ray.get(
+    # both component reduces route through the GATED _groups_from_pairs
+    # (driver DSU below cfg.dsu_edge_limit, distributed star contraction
+    # above) — no ungated driver edge collect (r4 verdict gate audit)
+    snap = _groups_from_pairs(
         pairs.filter(expr=f"jaccard >= {snap_thresh}")
         .map_batches(lambda t: t.select(["left_id", "right_id"]),
-                     batch_format="pyarrow").to_arrow_refs())]
-    snap = _cluster_int_edges(snap_tables)
+                     batch_format="pyarrow"), cfg)
     star = snap.map_batches(
         lambda t: pa.table({"left_id": t["group_id"],
                             "right_id": t["doc_id"]}),
@@ -6963,9 +6957,7 @@ def q_incremental_components(sf_dir: str, snap_thresh: float = 0.8,
         .map_batches(lambda t: t.select(["left_id", "right_id"]),
                      batch_format="pyarrow")
 
-    merged = [t for t in ray.get(
-        star.union(delta).to_arrow_refs())]
-    return _cluster_int_edges(merged).sort("doc_id")
+    return _groups_from_pairs(star.union(delta), cfg).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -7254,13 +7246,14 @@ def _find_articulation(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
 
 
 def q_dup_graph_articulation(sf_dir: str, k: int = 5, thresh: float = 0.3,
-                             num_parts: int = 32):
+                             num_parts: int | None = None):
     """-> (doc_id, n_parts): articulation docs of the near-dup graph — the
     node-side over-merge audit (a doc similar to two otherwise-unrelated
     dup families is the classic false-merge cause; its removal splits the
     cluster into ``n_parts`` pieces).  Same scale shape as
     q_dup_graph_bridges; brute per-node-removal DSU parity in
     tests/test_independent_oracles.py."""
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Count  # noqa: F401 (sibling parity)
 
     from who_owns_mass_processing_ray.config import DedupConfig
@@ -7289,7 +7282,7 @@ def q_dup_graph_articulation(sf_dir: str, k: int = 5, thresh: float = 0.3,
 
 
 def q_dup_graph_bridges(sf_dir: str, k: int = 5, thresh: float = 0.7,
-                        num_parts: int = 32):
+                        num_parts: int | None = None):
     """-> (left_id, right_id, side_small, side_large): every bridge of the
     char-k-gram Jaccard >= thresh near-dup graph with the node counts of
     the two components its removal leaves, sorted (left_id, right_id).
@@ -7297,6 +7290,7 @@ def q_dup_graph_bridges(sf_dir: str, k: int = 5, thresh: float = 0.7,
     (DFS); brute-force oracle (per-edge-removal DSU recompute) + synthetic
     chain/clique/barbell property tests in tests/test_independent_oracles.py.
     """
+    num_parts = num_parts or _auto_shuffle_parts()
     from ray.data.aggregate import Count
 
     from who_owns_mass_processing_ray.config import DedupConfig
@@ -7349,39 +7343,58 @@ def q_dup_graph_bridges(sf_dir: str, k: int = 5, thresh: float = 0.7,
 # — BASELINE.md round 2).
 # ---------------------------------------------------------------------------
 
-def q_dup_graph_modularity(sf_dir: str):
+def q_dup_graph_modularity(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     """-> (n_groups, n_edges, modularity): one row — component count, edge
-    count, and partition modularity (rounded 6) of the near-dup graph."""
+    count, and partition modularity (rounded 6) of the near-dup graph.
+
+    Scale shape (r4 verdict gate audit): the component reduce routes
+    through the GATED ``_groups_from_pairs``; per-group within-edge counts
+    and degree sums are partial-aggregated distributed (attach group ids to
+    edges, one groupby).  The only driver collect is the per-GROUP stat
+    table — bounded by the number of dup clusters, orders of magnitude
+    below the edge set — folded into the final scalar Q."""
     import pandas as pd
     import ray
+    from ray.data.aggregate import Sum
+
+    from who_owns_mass_processing_ray.stages import joins
 
     pairs = _graph_edges(sf_dir, 5, 0.7) \
         .map_batches(lambda t: t.select(["left_id", "right_id"]),
-                     batch_format="pyarrow")
-    tables = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
-    assign = _cluster_int_edges(tables).to_pandas()
-    if not len(assign):
+                     batch_format="pyarrow").materialize()
+    m = pairs.count()
+    if m == 0:
         return pd.DataFrame({"n_groups": [0], "n_edges": [0],
                              "modularity": [0.0]})
-    # vectorized id -> group mapping (assign.doc_id is sorted ascending):
-    # searchsorted probes, then group codes via a second unique pass — no
-    # per-edge Python dict lookups
-    doc_ids = assign.doc_id.to_numpy()
-    grp_of = assign.group_id.to_numpy()
-    e = pa.concat_tables(tables).combine_chunks()
-    l = e["left_id"].to_numpy()
-    r = e["right_id"].to_numpy()
-    m = len(l)
-    gl = grp_of[np.searchsorted(doc_ids, l)]
-    gr = grp_of[np.searchsorted(doc_ids, r)]
-    groups = np.unique(grp_of)
-    cl = np.searchsorted(groups, gl)
-    cr = np.searchsorted(groups, gr)
-    e_c = np.bincount(cl[gl == gr], minlength=len(groups)).astype(float)
-    a_c = (np.bincount(cl, minlength=len(groups))
-           + np.bincount(cr, minlength=len(groups))).astype(float)
+    assign = _groups_from_pairs(pairs, cfg).materialize()
+    e2 = joins.attach_columns(pairs, assign, "left_id", "doc_id",
+                              {"group_id": "gl"}, None)
+    e2 = joins.attach_columns(e2, assign, "right_id", "doc_id",
+                              {"group_id": "gr"}, None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        gl = t["gl"].to_numpy()
+        gr = t["gr"].to_numpy()
+        # per-edge contributions: every endpoint adds 1 to its group's
+        # degree sum; a within-group edge adds 1 to e_c
+        groups = np.concatenate((gl, gr))
+        deg = np.ones(len(groups), np.int64)
+        ewin = np.concatenate((np.where(gl == gr, 1, 0),
+                               np.zeros(len(gr), np.int64)))
+        return pa.table({"group_id": pa.array(groups),
+                         "deg": pa.array(deg),
+                         "e_within": pa.array(ewin)})
+
+    stats = e2.map_batches(partial, batch_format="pyarrow") \
+        .groupby("group_id").aggregate(Sum("deg", alias_name="a_c"),
+                                       Sum("e_within", alias_name="e_c"))
+    # per-GROUP table: bounded by dup-cluster count (documented row bound)
+    g = pa.concat_tables(
+        [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows])
+    e_c = g["e_c"].to_numpy().astype(float)
+    a_c = g["a_c"].to_numpy().astype(float)
     q = float((e_c / m - (a_c / (2.0 * m)) ** 2).sum())
-    return pd.DataFrame({"n_groups": [len(groups)], "n_edges": [m],
+    return pd.DataFrame({"n_groups": [g.num_rows], "n_edges": [m],
                          "modularity": [round(q, 6)]})
 
 
@@ -7637,8 +7650,13 @@ def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH,
             "right_id": pa.array(rs[seg][keep], pa.int64()),
         })
 
+    from who_owns_mass_processing_ray.stages import auto_parts
+
+    gram_parts = np.uint64(auto_parts())   # cluster-derived shuffle widths
+    pair_parts = np.uint64(auto_parts())
+
     def add_part(t: pa.Table) -> pa.Table:
-        part = (t["bucket_key"].to_numpy() % np.uint64(16)).astype(np.int32)
+        part = (t["bucket_key"].to_numpy() % gram_parts).astype(np.int32)
         return t.append_column("part", pa.array(part))
 
     prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
@@ -7661,7 +7679,7 @@ def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH,
         l = t["left_id"].to_numpy()
         r = t["right_id"].to_numpy()
         key = l.astype(np.uint64) * np.uint64(1 << 32) ^ r.astype(np.uint64)
-        part = (hx.splitmix64(key) % np.uint64(32)).astype(np.int32)
+        part = (hx.splitmix64(key) % pair_parts).astype(np.int32)
         return t.append_column("part", pa.array(part))
 
     def distinct_part(g: pa.Table) -> pa.Table:
@@ -7678,7 +7696,7 @@ def cosine_pairs_ds(ds, k: int = COSINE_K, thresh: float = COSINE_PAIR_THRESH,
         .groupby("part").map_groups(
             lambda g: distinct_part(g.drop_columns(["part"])),
             batch_format="pyarrow")
-    cand = pr.attach_pair_features(cand, docs, "text", 16, side_key="doc_id")
+    cand = pr.attach_pair_features(cand, docs, "text", side_key="doc_id")
     out = cand.map_batches(_cosine_verify,
                            fn_kwargs={"k": k, "thresh": thresh, "ref": ref,
                                       "thresh_of": thresh_of},
@@ -7694,8 +7712,11 @@ def q_tfidf_cosine_pairs(sf_dir: str):
     return cosine_pairs_ds(_docs(sf_dir))
 
 
-def tfidf_cosine_pairs_sql(k: int = COSINE_K,
-                           thresh: float = COSINE_PAIR_THRESH) -> str:
+def tfidf_cosine_pairs_body_sql(k: int = COSINE_K,
+                                thresh: float = COSINE_PAIR_THRESH) -> str:
+    """The pair oracle WITHOUT a trailing ORDER BY, for embedding in
+    composed oracles' CTEs (textual surgery on the ordered form was
+    brittle — ADVICE r4)."""
     # short docs (0 < len < k) get one whole-string gram on both sides
     # (substr(s, 1, k) == s when len < k; shingle_hashes' whole-string
     # convention) — strings of different length never collide
@@ -7729,8 +7750,12 @@ def tfidf_cosine_pairs_sql(k: int = COSINE_K,
         JOIN nrm na ON na.doc_id = d.left_id
         JOIN nrm nb ON nb.doc_id = d.right_id
         WHERE d.d / (na.nn * nb.nn) >= {thresh}
-        ORDER BY 1, 2
     """
+
+
+def tfidf_cosine_pairs_sql(k: int = COSINE_K,
+                           thresh: float = COSINE_PAIR_THRESH) -> str:
+    return tfidf_cosine_pairs_body_sql(k, thresh) + "ORDER BY 1, 2"
 
 
 def q_cosine_clusters(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
@@ -7743,7 +7768,7 @@ def q_cosine_clusters(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
 
 
 def cosine_clusters_sql() -> str:
-    base = tfidf_cosine_pairs_sql().replace("ORDER BY 1, 2", "")
+    base = tfidf_cosine_pairs_body_sql()
     return f"""
         WITH RECURSIVE base AS ({base}),
         sym(a, b) AS (
@@ -7841,7 +7866,7 @@ def q_cosine_bounded(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     assign = _groups_from_pairs(pairs, cfg)           # (doc_id, group_id)
     docs_bound = _docs(sf_dir)
     with_bound = joins.attach_columns(assign, docs_bound, "doc_id", "doc_id",
-                                      {"text": "text"}, 16, how="inner")
+                                      {"text": "text"}, None, how="inner")
 
     def compound_key(t: pa.Table) -> pa.Table:
         tok = pc.struct_field(
@@ -7861,7 +7886,7 @@ def q_cosine_bounded(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     groups = groups.filter(expr="n_members > 1")
     out = joins.attach_columns(keyed, groups, "ckey", "ckey",
                                {"bound_group_id": "bound_group_id",
-                                "n_members": "n_members"}, 16, how="inner")
+                                "n_members": "n_members"}, None, how="inner")
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -7882,7 +7907,7 @@ def q_cosine_bounded(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
 def _bounded_cosine_pairs_sql() -> str:
     """Routed pair CTE body (no trailing ORDER BY): same tf-idf base with
     class routing folded into the join + threshold."""
-    base = tfidf_cosine_pairs_sql().replace("ORDER BY 1, 2", "")
+    base = tfidf_cosine_pairs_body_sql()
     base = base.replace(
         "AND a.doc_id < b.doc_id",
         "AND a.doc_id < b.doc_id AND (a.doc_id % 3 = 0) = (b.doc_id % 3 = 0)")
@@ -8020,7 +8045,7 @@ def q_cosine_metacorps(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
 
     assign = _groups_from_pairs(cosine_pairs_ds(_docs(sf_dir)), cfg)
     with_text = joins.attach_columns(assign, _docs(sf_dir), "doc_id",
-                                     "doc_id", {"text": "text"}, 16,
+                                     "doc_id", {"text": "text"}, None,
                                      how="inner")
 
     def elect(g: pa.Table) -> pa.Table:
@@ -8039,7 +8064,7 @@ def q_cosine_metacorps(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
 
 
 def cosine_metacorps_sql() -> str:
-    base = tfidf_cosine_pairs_sql().replace("ORDER BY 1, 2", "")
+    base = tfidf_cosine_pairs_body_sql()
     return f"""
         WITH RECURSIVE base AS ({base}),
         sym(a, b) AS (
@@ -8107,7 +8132,7 @@ def _token_set_keys(txt) -> pa.Array:
     return pc.binary_join(lst, " ")
 
 
-def q_token_set_dedup(sf_dir: str, num_parts: int = 32):
+def q_token_set_dedup(sf_dir: str, num_parts: int | None = None):
     """Token-set (bag-of-words) dedup: two docs are duplicates when their
     sorted DISTINCT token sets agree — identity invariant to word order and
     repetition (shuffled listings, re-ordered boilerplate, copy-paste with
@@ -8125,6 +8150,7 @@ def q_token_set_dedup(sf_dir: str, num_parts: int = 32):
 
     Output: (doc_id, group_id, n_members) for every member of a >1 group,
     sorted by doc_id."""
+    num_parts = num_parts or _auto_shuffle_parts()
 
     def keyed(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["text"]))   # match oracle: non-null only
@@ -8194,7 +8220,7 @@ def token_set_dedup_sql() -> str:
 # Per-doc nearest-duplicate top-k report
 # ---------------------------------------------------------------------------
 
-def q_near_dup_topk(sf_dir: str, k: int = 3, num_parts: int = 32,
+def q_near_dup_topk(sf_dir: str, k: int = 3, num_parts: int | None = None,
                     cfg: DedupConfig = DOCS_CFG):
     """Nearest-duplicate triage report: for every doc with >= 1 verified
     near-dup (char-5-gram Jaccard >= 0.7 via the flagship's MinHash+LSH
@@ -8211,6 +8237,7 @@ def q_near_dup_topk(sf_dir: str, k: int = 3, num_parts: int = 32,
 
     Output: (doc_id, neighbor_id, jaccard, rank), sorted by (doc_id, rank).
     """
+    num_parts = num_parts or _auto_shuffle_parts()
     pairs = minhash_pairs_ds(_docs(sf_dir), cfg)
 
     def sym(t: pa.Table) -> pa.Table:
@@ -8304,11 +8331,11 @@ def q_dup_soft_weight(sf_dir: str, cfg: DedupConfig = DOCS_CFG):
     sizes = assign.groupby("group_id").aggregate(
         Count(alias_name="group_size"))
     withsz = joins.attach_columns(assign, sizes, "group_id", "group_id",
-                                  {"group_size": "group_size"}, 16)
+                                  {"group_size": "group_size"}, None)
     docs = _docs(sf_dir, columns=("doc_id",))
     out = joins.attach_columns(docs, withsz, "doc_id", "doc_id",
                                {"group_id": "group_id",
-                                "group_size": "group_size"}, 16, how="left")
+                                "group_size": "group_size"}, None, how="left")
 
     def finish(t: pa.Table) -> pa.Table:
         gid = pc.coalesce(t["group_id"], t["doc_id"])

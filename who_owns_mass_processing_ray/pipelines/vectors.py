@@ -1278,7 +1278,7 @@ def q_cluster_purity(sf_dir: str, k: int = KMEANS_K,
     from who_owns_mass_processing_ray.stages.joins import attach_columns
 
     joined = attach_columns(assign, labels, "vec_id", "vec_id",
-                            {"label": "label"}, 32)
+                            {"label": "label"}, None)
 
     def contingency(t: pa.Table) -> pa.Table:
         c = t["cluster"].to_numpy().astype(np.int64)

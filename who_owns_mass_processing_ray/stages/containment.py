@@ -158,9 +158,14 @@ def _expand_probe_anchor(group: pa.Table, max_bucket: int) -> pa.Table:
     })
 
 
-def containment_edges(features_ds, cfg: DedupConfig, num_parts: int,
-                      num_partitions: int):
+def containment_edges(features_ds, cfg: DedupConfig,
+                      num_parts: int | None = None,
+                      num_partitions: int | None = None):
     """features -> verified 'containment' edges (left=container, right=contained)."""
+    from who_owns_mass_processing_ray.stages import auto_parts
+
+    if num_parts is None:
+        num_parts = auto_parts()
     narrow = features_ds.select_columns(["clip_id", "transcript_norm"])
     rows = narrow.map_batches(_probe_anchor_rows, fn_kwargs={"cfg": cfg},
                               batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -85,19 +85,12 @@ class ExtractFeatures:
         # zero-copy per-row views into the Arrow data buffer (to_pylist would
         # memcpy the entire audio payload into Python bytes objects — a full
         # extra pass over the corpus)
-        if pa.types.is_large_binary(b_col.type) or pa.types.is_large_string(b_col.type):
-            off_dt = np.int64
-        else:
-            off_dt = np.int32
-        offs = np.frombuffer(b_col.buffers()[1], dtype=off_dt)[
-            b_col.offset: b_col.offset + len(b_col) + 1]
-        data_mv = memoryview(b_col.buffers()[2])
+        views = audio.binary_views(b_col)
         n_rows = len(b_col)
         fps = np.zeros(n_rows, dtype=np.uint64)
         ok = np.zeros(n_rows, dtype=bool)
         for i in range(n_rows):
-            fp, good = self._fingerprint(
-                data_mv[offs[i]:offs[i + 1]], codecs[i])
+            fp, good = self._fingerprint(views[i], codecs[i])
             fps[i] = fp
             ok[i] = good
         n_bytes = pa.compute.binary_length(b_col).cast(pa.int64())

@@ -30,7 +30,7 @@ def attach_columns(
     key: str,
     side_key: str,
     cols: dict[str, str],
-    num_partitions: int,
+    num_partitions: int | None = None,
     how: str = "inner",
     broadcast_limit: int = BROADCAST_ROW_LIMIT,
 ):
@@ -91,6 +91,10 @@ def attach_columns(
         return ds.map_batches(probe, batch_format="pyarrow")
 
     join_type = "left_outer" if how == "left" else "inner"
+    if num_partitions is None:
+        from who_owns_mass_processing_ray.stages import auto_parts
+
+        num_partitions = auto_parts()
     joined = ds.join(
         proj,
         join_type=join_type,
@@ -110,7 +114,7 @@ def semi_anti_filter(
     keys_ds,
     side_key: str,
     anti: bool = False,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     broadcast_limit: int = BROADCAST_ROW_LIMIT,
 ):
     """Keep rows of ``ds`` whose ``key`` is (semi) / is NOT (anti) present in
@@ -154,6 +158,10 @@ def semi_anti_filter(
 
     distinct_keys = proj.groupby("__sidekey") \
         .aggregate(Count(alias_name="__kmark"))
+    if num_partitions is None:
+        from who_owns_mass_processing_ray.stages import auto_parts
+
+        num_partitions = auto_parts()
     if not anti:
         joined = ds.join(distinct_keys, join_type="inner",
                          num_partitions=num_partitions,

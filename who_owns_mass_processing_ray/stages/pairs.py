@@ -50,6 +50,20 @@ def _decode_triangular(r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return i, j
 
 
+def _auto_parts_cached() -> int:
+    """auto_parts(), memoized per process: partition closures run per batch
+    and must not hit ray.cluster_resources() each time."""
+    global _AUTO_PARTS
+    if _AUTO_PARTS is None:
+        from who_owns_mass_processing_ray.stages import auto_parts
+
+        _AUTO_PARTS = auto_parts()
+    return _AUTO_PARTS
+
+
+_AUTO_PARTS: int | None = None
+
+
 def _triangular_pairs(sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray, int]:
     """Vectorized within-segment pair expansion with SALTED hot buckets.
 
@@ -207,7 +221,7 @@ def pairs_from_bucket_rows(
     key_col: str,
     id_col: str,
     max_bucket: int,
-    num_parts: int,
+    num_parts: int | None = None,
     payload_cols: list[str] | None = None,
 ):
     """(bucket_key, id[, payloads]) Dataset -> candidate-pair Dataset
@@ -216,7 +230,8 @@ def pairs_from_bucket_rows(
     payload_cols = payload_cols or []
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = (t[key_col].to_numpy() % np.uint64(num_parts)).astype(np.int32)
+        part = (t[key_col].to_numpy()
+                % np.uint64(num_parts or _auto_parts_cached())).astype(np.int32)
         return t.append_column("part", pa.array(part))
 
     def expand(group: pa.Table) -> pa.Table:
@@ -254,7 +269,7 @@ def _dedup_pair_table(t: pa.Table, num_cols: list[str]) -> pa.Table:
 
 
 def distinct_edges(edges_ds, kind: str, extra_num_cols: list[str] | None = None,
-                   num_parts: int = 64):
+                   num_parts: int | None = None):
     """Globally dedup verified edges (left_id, right_id[, numeric extras])
     and stamp the ``kind`` column.  Runs on the post-verify set — small
     relative to candidates — but "small" can still be tens of millions of
@@ -282,7 +297,7 @@ def distinct_edges(edges_ds, kind: str, extra_num_cols: list[str] | None = None,
         with np.errstate(over="ignore"):
             h = _id_hash(t["left_id"]) * np.uint64(3) \
                 + _id_hash(t["right_id"])
-        part = (h % np.uint64(num_parts)).astype(np.int32)
+        part = (h % np.uint64(num_parts or _auto_parts_cached())).astype(np.int32)
         return t.append_column("part", pa.array(part))
 
     def finish(g: pa.Table) -> pa.Table:
@@ -299,7 +314,8 @@ def distinct_edges(edges_ds, kind: str, extra_num_cols: list[str] | None = None,
 
 
 def attach_pair_features(pairs_ds, features_ds, feat_col: str,
-                         num_partitions: int, side_key: str = "clip_id",
+                         num_partitions: int | None = None,
+                         side_key: str = "clip_id",
                          out_prefix: str = ""):
     """Attach ``feat_col`` for BOTH endpoints of each pair in one pass.
 
@@ -345,7 +361,7 @@ def attach_pair_features(pairs_ds, features_ds, feat_col: str,
 
 
 def attach_feature(pairs_ds, features_ds, pair_key: str, feat_col: str,
-                   out_col: str, num_partitions: int,
+                   out_col: str, num_partitions: int | None = None,
                    side_key: str = "clip_id"):
     """Hash-join one feature column onto pair rows (adaptive broadcast /
     shuffle — see stages/joins.py)."""
@@ -357,7 +373,7 @@ def attach_feature(pairs_ds, features_ds, pair_key: str, feat_col: str,
     )
 
 
-def pair_intersect(keep_ds, bound_ds, num_partitions: int = 16):
+def pair_intersect(keep_ds, bound_ds, num_partitions: int | None = None):
     """Rows of ``keep_ds`` whose (left_id, right_id) pair also appears in
     ``bound_ds`` — the compound (AND) bound of dedupe_cosine_bounded
     (/root/reference/R/deduplicaters.R:446-539).
