@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": multimodal.q_dedup_report,
         "image_decode_stub": multimodal.q_image_decode_stub,
         "video_frame_sample_stub": multimodal.q_video_frame_sample_stub,
+        # real media decode paths (round 5): native BMP + YUV4MPEG2 codecs
+        "image_decode": multimodal.q_image_decode,
+        "video_frame_sample": multimodal.q_video_frame_sample,
         "dup_members": textops.q_dup_members,
         "minhash_calibration": textops.q_minhash_calibration,
         "simhash_calibration": multimodal.q_simhash_calibration,

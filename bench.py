@@ -147,8 +147,20 @@ def run_scaling_worker(cpus: int) -> dict:
         with open(os.path.join(clips_dir, name), "rb") as f:
             while f.read(1 << 24):
                 pass
+    # mode knobs for the never-benched paths (r4 verdict ask #6):
+    # GRAFT_SCALING_COMPONENTS=labelprop forces the distributed star
+    # contraction (the 100 TB components path); GRAFT_SCALING_COMPOUND=1
+    # runs the dedupe_cosine_bounded AND-semantics flagship config
+    method = os.environ.get("GRAFT_SCALING_COMPONENTS", "auto")
+    cfg = None
+    if os.environ.get("GRAFT_SCALING_COMPOUND", "0") == "1":
+        from who_owns_mass_processing_ray.config import DedupConfig
+
+        cfg = DedupConfig(compound_bound=True)
     t0 = time.time()
-    res = dedup.dedup_pipeline(f"{SCALING_DIR}/clips")
+    res = dedup.dedup_pipeline(f"{SCALING_DIR}/clips",
+                               *([cfg] if cfg is not None else []),
+                               components_method=method)
     t1 = time.time()
     n_clusters = res["clusters"].count()
     dt = time.time() - t0

@@ -285,6 +285,157 @@ def q_video_frame_sample_stub(sf_dir: str, stride_ms: int = 200,
         .sort(["clip_id", "frame_idx"])
 
 
+def images_from_documents(sf_dir: str):
+    """documents -> Dataset of REAL encoded images (doc_id, bytes, codec):
+    deterministic BMP payloads synthesized per doc_id (image.synth_image),
+    the image analog of ``clips_from_documents``.  Pure function of
+    doc_id — safe on any worker, any order, any batch size."""
+    from who_owns_mass_processing_ray import image as img
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+
+    def synthesize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        blobs = [img.encode_bmp(img.synth_image(int(i))) for i in ids]
+        return pa.table({
+            "clip_id": pa.array([f"img-{int(i):012d}" for i in ids],
+                                pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+            "codec": pa.array(["bmp"] * len(ids), pa.string()),
+        })
+
+    return docs.map_batches(synthesize, batch_format="pyarrow")
+
+
+def q_image_decode(sf_dir: str):
+    """REAL image decode (no stub): 24-bit BMP payloads decoded to pixels
+    in an actor-pool stage — complete pure-numpy reader/writer in
+    ``image.py``, the image analog of the RIFF/WAV audio path.  Zero-copy
+    payload views (audio.binary_views); per-image stats are recomputable
+    from the deterministic synth, so the query is independently
+    pytest-oracled (tests/test_media_codecs.py).  JPEG/PNG dispatch via
+    ``image.decode_any`` activates when PIL is installed (skip-marked
+    cross-check tests are already in place).
+
+    Output: (clip_id, width, height, mean_luma, decoded) sorted by
+    clip_id; ≙ the reference's typed format-specific loaders
+    (/root/reference/R/loaders.R) applied to an image wire format."""
+    from who_owns_mass_processing_ray import image as img
+
+    class ImageDecode:
+        def __init__(self):
+            self.decode = img.decode_any   # codec dispatch held per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            views = audio.binary_views(t["bytes"])
+            codecs = t["codec"].to_pylist()
+            n = len(t)
+            wcol = np.zeros(n, np.int32)
+            hcol = np.zeros(n, np.int32)
+            luma = np.zeros(n, np.float64)
+            ok = np.zeros(n, bool)
+            for i in range(n):
+                try:
+                    rgb = self.decode(views[i], codecs[i])
+                except Exception:
+                    continue
+                ok[i] = True
+                hcol[i], wcol[i] = rgb.shape[0], rgb.shape[1]
+                f = rgb.astype(np.float64)
+                luma[i] = (0.299 * f[..., 0] + 0.587 * f[..., 1]
+                           + 0.114 * f[..., 2]).mean()
+            return pa.table({
+                "clip_id": t["clip_id"],
+                "width": pa.array(wcol),
+                "height": pa.array(hcol),
+                "mean_luma": pa.array(np.round(luma, 4)),
+                "decoded": pa.array(ok),
+            })
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return images_from_documents(sf_dir).map_batches(
+        ImageDecode, batch_format="pyarrow", batch_size=128,
+        concurrency=pool_bounds(8), num_cpus=1).sort("clip_id")
+
+
+def videos_from_documents(sf_dir: str):
+    """documents -> Dataset of REAL encoded videos (doc_id, bytes, codec):
+    deterministic YUV4MPEG2 clips per doc_id (video.synth_video)."""
+    from who_owns_mass_processing_ray import video as vid
+    from who_owns_mass_processing_ray.io_utils import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+
+    def synthesize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        blobs = []
+        for i in ids:
+            frames, fps = vid.synth_video(int(i))
+            blobs.append(vid.encode_y4m(frames, fps))
+        return pa.table({
+            "clip_id": pa.array([f"vid-{int(i):012d}" for i in ids],
+                                pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+            "codec": pa.array(["y4m"] * len(ids), pa.string()),
+        })
+
+    return docs.map_batches(synthesize, batch_format="pyarrow")
+
+
+def q_video_frame_sample(sf_dir: str, stride: int = 2):
+    """REAL video frame sampling (no stub): parse the YUV4MPEG2 container
+    header (geometry + fps), then decode ONLY every ``stride``-th frame —
+    the seek-don't-materialize access pattern a frame sampler feeds to a
+    vision encoder.  Complete pure-numpy y4m reader/writer in
+    ``video.py``; compressed codecs (h264) route to pyav/ffmpeg when
+    installed (skip-marked hooks in tests/test_media_codecs.py).
+
+    Output: (clip_id, frame_idx, ts_ms, fps, mean_luma, decoded) one row
+    per SAMPLED frame, sorted by (clip_id, frame_idx); batch_size stays
+    small because decoded frames are wide."""
+    from who_owns_mass_processing_ray import video as vid
+
+    class FrameSample:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            views = audio.binary_views(t["bytes"])
+            ids = t["clip_id"].to_pylist()
+            out_id, out_fi, out_ts, out_fps, out_luma = [], [], [], [], []
+            for cid, buf in zip(ids, views):
+                hdr = vid.parse_y4m_header(buf)
+                fsize = 3 * hdr["w"] * hdr["h"]
+                total = (len(buf) - hdr["data_off"]) // (6 + fsize)
+                want = list(range(0, total, stride))
+                frames, hdr = vid.decode_y4m(buf, frame_indices=want)
+                fps = hdr["fps_num"] / hdr["fps_den"]
+                for j, fi in enumerate(want):
+                    out_id.append(cid)
+                    out_fi.append(fi)
+                    out_ts.append(int(fi * 1000 / fps))
+                    out_fps.append(hdr["fps_num"])
+                    # C444: plane 0 is luma
+                    out_luma.append(
+                        round(float(frames[j, :, :, 0].mean()), 4))
+            return pa.table({
+                "clip_id": pa.array(out_id, pa.string()),
+                "frame_idx": pa.array(out_fi, pa.int64()),
+                "ts_ms": pa.array(out_ts, pa.int64()),
+                "fps": pa.array(out_fps, pa.int32()),
+                "mean_luma": pa.array(out_luma, pa.float64()),
+                "decoded": pa.array([True] * len(out_id)),
+            })
+
+    from who_owns_mass_processing_ray.stages import pool_bounds
+
+    return videos_from_documents(sf_dir).map_batches(
+        FrameSample, batch_format="pyarrow", batch_size=64,
+        concurrency=pool_bounds(8), num_cpus=1) \
+        .sort(["clip_id", "frame_idx"])
+
+
 class _FeatVecStage:
     """Actor pool: decode once, emit the SimHash fingerprint AND the
     weighted log-delta spectral feature vector it was hashed from — the
