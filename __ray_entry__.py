@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real media decode paths (round 5): native BMP + YUV4MPEG2 codecs
         "image_decode": multimodal.q_image_decode,
         "video_frame_sample": multimodal.q_video_frame_sample,
+        # modal-vintage file election (round 5 — closes the last missing
+        # reference row, load_vintage_select)
+        "vintage_select": relational.q_vintage_select,
         "dup_members": textops.q_dup_members,
         "minhash_calibration": textops.q_minhash_calibration,
         "simhash_calibration": multimodal.q_simhash_calibration,
@@ -616,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_soft_weight": textops.dup_soft_weight_sql(
             _JACCARD_BODY),
         "schema_adapt": relational.schema_adapt_sql(),
+        "vintage_select": relational.vintage_select_sql(),
         "cross_table_link": _CROSS_LINK_ORACLE,
         # connected components over the exact Jaccard pair graph: min
         # reachable doc_id via a recursive CTE == the engine's union-find

@@ -43,7 +43,7 @@ SUBSET = ["lineitem_agg", "counts_in_group", "mode_per_group", "join_agg",
           "cosine_metacorps", "dup_members", "late_data_audit",
           "jsonl_ingest", "embed_rplsh_near_dup", "token_budget_mix",
           "constraint_audit", "token_set_dedup", "near_dup_topk",
-          "schema_adapt", "dup_soft_weight"]
+          "schema_adapt", "dup_soft_weight", "vintage_select"]
 
 
 @pytest.fixture(scope="module")

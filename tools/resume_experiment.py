@@ -61,16 +61,28 @@ def _run(ck: str, kill_after: float | None = None) -> dict:
             "total_sec": round(time.time() - t0, 2)}
 
 
-def _lineage_stages(ck: str) -> dict:
-    stages: dict[str, int] = {}
+def _lineage_stages(ck: str, skip: int = 0) -> dict:
+    """Per-stage computed/cached partition counts from lineage.jsonl
+    (``skip`` ignores records already present before the run)."""
+    stages: dict[str, dict] = {}
     path = os.path.join(ck, "lineage.jsonl")
     if not os.path.exists(path):
         return stages
     with open(path) as f:
-        for line in f:
-            rec = json.loads(line)
-            stages[rec["stage"]] = stages.get(rec["stage"], 0) + 1
+        lines = f.readlines()[skip:]
+    for line in lines:
+        rec = json.loads(line)
+        st = stages.setdefault(rec["stage"], {"computed": 0, "cached": 0})
+        st["cached" if rec.get("cached") else "computed"] += 1
     return stages
+
+
+def _lineage_len(ck: str) -> int:
+    path = os.path.join(ck, "lineage.jsonl")
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return sum(1 for _ in f)
 
 
 def main() -> None:
@@ -83,8 +95,9 @@ def main() -> None:
     killed = _run(CK, kill_after=kill_at)
     stages_at_kill = _lineage_stages(CK)
 
+    n_before = _lineage_len(CK)
     resumed = _run(CK)
-    stages_after = _lineage_stages(CK)
+    stages_after = _lineage_stages(CK, skip=n_before)   # resume-run only
 
     out = {
         "metric": "resume_at_bench_scale",
@@ -95,7 +108,7 @@ def main() -> None:
         "stages_checkpointed_at_kill": stages_at_kill,
         "resumed_wall_sec": resumed["wall_sec"],
         "resumed_clusters": resumed["clusters"],
-        "stages_after_resume": stages_after,
+        "resume_run_stage_partitions": stages_after,
         "resume_ratio": round(resumed["wall_sec"] / cold["wall_sec"], 3),
         "clusters_match": cold["clusters"] == resumed["clusters"],
     }
