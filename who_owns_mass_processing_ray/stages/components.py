@@ -295,8 +295,16 @@ def assignment_dataset(features_ds, edges_ds, cfg: DedupConfig,
         return ids.map_batches(assign, batch_format="pyarrow")
 
     labeled = components_labelprop(edges_ds, cfg, num_partitions)
+    # size-aware join width (same clamp discipline as the contraction's
+    # shuffle): a corpus-sized id table earns the full cluster width at
+    # 10^12 rows, but 128 partitions over an 80k-row join is pure
+    # per-partition overhead — measured 12.5 s at 32 CPUs vs 7.2 s at
+    # 8 CPUs for the SAME tiny join before this clamp (BASELINE.md r5)
+    ids = ids.materialize()
+    join_parts = int(max(8, min(num_partitions,
+                                ids.count() // 25_000 + 8)))
     joined = ids.join(labeled, join_type="left_outer",
-                      num_partitions=num_partitions,
+                      num_partitions=join_parts,
                       on=("clip_id",), right_on=("clip_id",))
 
     def fill(t: pa.Table) -> pa.Table:
