@@ -276,6 +276,25 @@ class TestDtw:
         assert mm._dtw_cost(A, B) == pytest.approx(
             min(self._naive_dtw(A, B, s) for s in range(-2, 3)), rel=1e-6)
 
+    def test_batch_kernel_matches_scalar(self):
+        # the grouped verify runs _dtw_cost_batch; it must reproduce the
+        # scalar anti-diagonal kernel pair-for-pair (same op order; only
+        # batched-GEMM rounding may differ, far below output rounding)
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+        rng = np.random.default_rng(11)
+        for _ in range(6):
+            na, nb = int(rng.integers(3, 18)), int(rng.integers(3, 18))
+            P = int(rng.integers(1, 7))
+            A3 = np.abs(rng.normal(size=(P, na, mm.DTW_NB))) \
+                .astype(np.float32)
+            B3 = np.abs(rng.normal(size=(P, nb, mm.DTW_NB))) \
+                .astype(np.float32)
+            for sft in (-2, 0, 2):
+                got = mm._dtw_cost_batch(A3, B3, sft)
+                want = [mm._dtw_cost_at_shift(A3[p], B3[p], sft)
+                        for p in range(P)]
+                assert got == pytest.approx(want, rel=1e-6)
+
     def test_ratio_keys_speed_invariant(self):
         # resampling by r scales every frequency by r, so quantized peak
         # log-ratios must intersect between a clip and its stretched copy

@@ -2359,6 +2359,39 @@ def _dtw_cost_at_shift(A: np.ndarray, B: np.ndarray, sft: int) -> float:
     return float(C[na, nb] / (na + nb))
 
 
+def _dtw_cost_batch(A3: np.ndarray, B3: np.ndarray, sft: int) -> np.ndarray:
+    """``_dtw_cost_at_shift`` vectorized ACROSS PAIRS: A3 (P, na, DTW_NB),
+    B3 (P, nb, DTW_NB) -> (P,) normalized costs.  Same anti-diagonal sweep
+    with identical per-cell operation order — each of the na+nb-1 steps
+    now processes all P pairs at once, so the Python loop overhead (which
+    dominated the per-pair kernel at ~185k verify calls on the sf0.1
+    corpus) amortizes over the group.  Parity with the scalar kernel is
+    gated in tests (batched GEMM rounding differs only at ~1e-15)."""
+    if sft >= 0:
+        As, Bs = A3[:, :, :DTW_NB - sft], B3[:, :, sft:]
+    else:
+        As, Bs = A3[:, :, -sft:], B3[:, :, :DTW_NB + sft]
+    an = np.linalg.norm(As, axis=2, keepdims=True)
+    bn = np.linalg.norm(Bs, axis=2, keepdims=True)
+    an[an == 0] = 1.0
+    bn[bn == 0] = 1.0
+    # float32 GEMM exactly like the scalar kernel (D then upcasts in the
+    # float64 DP); batched-vs-single GEMM rounding differs ~1e-7, far
+    # below the 4-decimal output rounding
+    D = 1.0 - np.matmul(As / an, np.swapaxes(Bs / bn, 1, 2))
+    n_p, na, nb = D.shape
+    C = np.full((n_p, na + 1, nb + 1), np.inf)
+    C[:, 0, 0] = 0.0
+    for k in range(2, na + nb + 1):
+        i0, i1 = max(1, k - nb), min(na, k - 1)
+        i = np.arange(i0, i1 + 1)
+        j = k - i
+        C[:, i, j] = np.minimum(
+            np.minimum(C[:, i - 1, j - 1], C[:, i - 1, j]), C[:, i, j - 1]) \
+            + D[:, i - 1, j - 1]
+    return C[:, na, nb] / (na + nb)
+
+
 def _dtw_cost(A: np.ndarray, B: np.ndarray) -> float:
     """Min normalized DTW cost over global band shifts of +-DTW_SHIFT
     (the brute-force / test-oracle form; the pipeline itself runs the DP
@@ -2551,11 +2584,19 @@ def dtw_near_dup_pairs(corpus):
         ls = _env_matrices(batch["left_env"])
         rs = _env_matrices(batch["right_env"])
         sfts = batch["shift"].to_numpy() if batch.num_rows else []
-        costs = np.array(
-            [_dtw_cost_at_shift(a, b, int(s)) if len(a) and len(b)
-             else np.inf
-             for a, b, s in zip(ls, rs, sfts)],
-            np.float64) if len(ls) else np.empty(0)
+        # group pairs by (na, nb, shift) and run the batched DP once per
+        # group: frame counts come from a handful of duration classes, so
+        # a 2048-pair batch collapses to a few dozen kernel calls instead
+        # of 2048 Python DPs (measured 33 s -> ~2 s verify at sf0.1)
+        costs = np.full(len(ls), np.inf)
+        groups: dict[tuple, list[int]] = {}
+        for idx, (a, b, s) in enumerate(zip(ls, rs, sfts)):
+            if len(a) and len(b):
+                groups.setdefault((len(a), len(b), int(s)), []).append(idx)
+        for (_na, _nb, sft), idxs in groups.items():
+            A3 = np.stack([ls[i] for i in idxs])
+            B3 = np.stack([rs[i] for i in idxs])
+            costs[idxs] = _dtw_cost_batch(A3, B3, sft)
         keep = costs <= DTW_THRESH
         out = batch.filter(pa.array(keep))
         return pa.table({
@@ -2565,8 +2606,11 @@ def dtw_near_dup_pairs(corpus):
             "dtw_cost": pa.array(np.round(costs[keep], 4)),
         })
 
+    # 8192-pair verify batches: the batched DP amortizes per-group kernel
+    # calls, so bigger batches mean fewer, fuller groups (C-matrix memory
+    # at 8192 pairs ~100 MB/task — fine at num_cpus=1 per task)
     verified = surv.map_batches(verify, batch_format="pyarrow",
-                                batch_size=2048)
+                                batch_size=8192)
     edges = pr.distinct_edges(verified, "audio_dtw",
                               extra_num_cols=["dtw_cost"])
     # keep ``dropped`` (pairs lost to the hot-cell cap) in the output —
