@@ -95,6 +95,41 @@ def test_synths_are_deterministic_and_varied():
     assert fps1 in (24, 25, 30) and (f1 == f2).all()
 
 
+def test_bmp_roundtrip_property():
+    """Property: decode(encode(x)) == x for arbitrary uint8 images."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=30, deadline=None)
+    @given(arrays(np.uint8,
+                  st.tuples(st.integers(1, 24), st.integers(1, 24),
+                            st.just(3))))
+    def check(rgb):
+        assert (img.decode_bmp(img.encode_bmp(rgb)) == rgb).all()
+
+    check()
+
+
+def test_y4m_roundtrip_property():
+    """Property: decode(encode(x)) == x for arbitrary uint8 frame stacks."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=20, deadline=None)
+    @given(arrays(np.uint8,
+                  st.tuples(st.integers(1, 6), st.integers(1, 12),
+                            st.integers(1, 12), st.just(3))),
+           st.sampled_from([24, 25, 30]))
+    def check(frames, fps):
+        got, hdr = vid.decode_y4m(vid.encode_y4m(frames, fps))
+        assert hdr["fps_num"] == fps
+        assert (got == frames).all()
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # 2. Ray pipelines vs brute-force recompute
 # ---------------------------------------------------------------------------
