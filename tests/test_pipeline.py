@@ -168,3 +168,39 @@ class TestDeterminism:
                        [["clip_id", "cluster_id"]])
         assert dfs[0].equals(dfs[1])
         assert dfs[0].equals(dfs[2])
+
+
+def test_cli_entrypoint_smoke(tmp_path):
+    """The ray-job-submit entry (run.py) end to end in a subprocess: runs
+    the flagship over the 300-clip corpus, writes outputs, prints the JSON
+    summary, and a second run with the same checkpoint resumes from cache
+    (wall well under the cold run)."""
+    import json
+    import subprocess
+    import sys
+
+    from who_owns_mass_processing_ray import synth
+
+    synth.generate_clips_parquet("/tmp/clips300", 300, seed=42,
+                                 use_ray=False)   # cached across tests
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+
+    def run_once():
+        proc = subprocess.run(
+            [sys.executable, "-m", "who_owns_mass_processing_ray.run",
+             "--input", "/tmp/clips300/clips", "--output", str(out),
+             "--checkpoint", str(ck), "--num-cpus", "4"],
+            capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith("{")][-1]
+        return json.loads(line)
+
+    cold = run_once()
+    assert cold["clips"] == 300 and cold["clusters"] == 240
+    assert (out / "clusters").exists() and (out / "clip_to_cluster").exists()
+    warm = run_once()
+    assert warm["clusters"] == 240
+    assert warm["wall_sec"] < cold["wall_sec"]
+
