@@ -380,7 +380,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "group_fill": """
             SELECT l_orderkey, l_linenumber, l_shipdate,
-                   min(l_shipdate) OVER (PARTITION BY l_orderkey) AS first_ship
+                   CAST(min(l_shipdate) OVER (PARTITION BY l_orderkey)
+                        AS TIMESTAMP_S) AS first_ship
             FROM lineitem ORDER BY l_orderkey, l_linenumber
         """,
         "join_agg": """
@@ -390,7 +391,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "semi_join": """
-            SELECT c_nationkey, count(*) AS n_customers
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS n_customers
             FROM customer
             WHERE c_custkey IN (
                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
@@ -413,7 +415,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem ORDER BY 1, 2
         """,
         "union_entities": """
-            SELECT nationkey, entity, count(*) AS n FROM (
+            SELECT CAST(nationkey AS BIGINT) AS nationkey, entity,
+                   count(*) AS n FROM (
                 SELECT c_nationkey AS nationkey, 'customer' AS entity
                 FROM customer
                 UNION ALL
@@ -452,7 +455,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1 ORDER BY event_id
         """,
         "window_agg": """
-            SELECT user_id, date_trunc('hour', ts) AS hour,
+            SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP_S) AS hour,
                    round(sum(value), 2) AS value_sum,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY 1, 2

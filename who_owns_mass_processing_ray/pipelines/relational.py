@@ -1949,7 +1949,7 @@ def metacorp_rollup_sql() -> str:
           SELECT l_orderkey, count(*) AS units FROM lineitem GROUP BY 1
         ),
         sites AS (
-          SELECT c.c_nationkey AS metacorp_id,
+          SELECT CAST(c.c_nationkey AS BIGINT) AS metacorp_id,
                  coalesce(u.units, 0) AS units,
                  o.o_totalprice AS val
           FROM orders o
@@ -1966,7 +1966,7 @@ def metacorp_rollup_sql() -> str:
           FROM sites GROUP BY 1
         ),
         comp AS (
-          SELECT c.c_nationkey AS metacorp_id,
+          SELECT CAST(c.c_nationkey AS BIGINT) AS metacorp_id,
                  CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
                    AS company_count
           FROM lineitem l
@@ -2620,10 +2620,10 @@ def funnel_sql() -> str:
               JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
               WHERE e.event_type = 'purchase' GROUP BY 1)
         SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
-               (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
-                + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
-                + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
-               AS stage_reached
+               CAST(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS stage_reached
         FROM u
         LEFT JOIN v ON v.user_id = u.user_id
         LEFT JOIN c ON c.user_id = u.user_id
@@ -3290,7 +3290,7 @@ def cohort_retention_sql() -> str:
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
           WHERE ts IS NOT NULL),
         f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
-        SELECT CAST(f.first_day AS TIMESTAMP) AS cohort_day,
+        SELECT CAST(f.first_day AS TIMESTAMP_S) AS cohort_day,
                date_diff('day', f.first_day, d.day) AS day_offset,
                count(*) AS n_users
         FROM d JOIN f ON f.user_id = d.user_id
@@ -3351,7 +3351,7 @@ def q_partitioned_write_manifest(sf_dir: str, num_parts: int = 8):
 
 def partitioned_write_manifest_sql(num_parts: int = 8) -> str:
     return f"""
-        SELECT CAST(doc_id % {num_parts} AS INTEGER) AS part,
+        SELECT CAST(doc_id % {num_parts} AS BIGINT) AS part,
                count(*) AS n_rows
         FROM documents GROUP BY 1 ORDER BY 1
     """

@@ -1477,7 +1477,7 @@ def bounded_near_dup_sql() -> str:
           JOIN sz sb ON sb.doc_id = i.right_id
           WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {BOUND_INST_THRESH})
         SELECT j.left_id, j.right_id, round(j.jac, 4) AS jaccard,
-               CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming,
+               CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming,
                CASE WHEN sa.inst THEN 'inst' ELSE 'ind' END AS pair_class
         FROM j
         JOIN sig sa ON sa.doc_id = j.left_id
@@ -4928,7 +4928,8 @@ def doc_novelty_sql(k: int = 5) -> str:
         ),
         df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
         SELECT g.doc_id, count(*) AS n_grams,
-               sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+               CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unique,
                round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
                      / count(*), 4) AS novelty
         FROM g JOIN df ON df.gram = g.gram
