@@ -156,8 +156,16 @@ def semi_anti_filter(
 
         return ds.map_batches(probe, batch_format="pyarrow")
 
+    # materialize the distinct keys BEFORE the join: the aggregate and the
+    # hash-shuffle join each reserve aggregator actors, and co-scheduling
+    # both inside one streaming execution can starve a small session into
+    # a wedge (observed: a 4-CPU test session hung ~40 min in
+    # Join(num_partitions=16) with idle aggregators).  attach_columns
+    # already materializes its projected side for the same reason; the
+    # key set is narrow (distinct keys only), so the materialization is
+    # bounded by key cardinality, never by ``ds``.
     distinct_keys = proj.groupby("__sidekey") \
-        .aggregate(Count(alias_name="__kmark"))
+        .aggregate(Count(alias_name="__kmark")).materialize()
     if num_partitions is None:
         from who_owns_mass_processing_ray.stages import auto_parts
 
