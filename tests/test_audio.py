@@ -379,6 +379,67 @@ class TestPairSNR:
         shuf = mm.pair_snr_ds(both, edges, broadcast_limit=0).to_pandas()
         assert bcast.equals(shuf)
 
+    def test_unmatched_edges_accounted(self, ray_session):
+        """An edge whose endpoint is absent from the clips dataset must
+        still emit a row (passes=False, snr_db=-inf) — edges from external
+        manifests never silently vanish (left-outer attach, both paths)."""
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        clips = mm.clips_from_documents(
+            "/root/testdata/sf0.001").limit(6).materialize()
+        t = pa.concat_tables(
+            [x for x in ray.get(clips.to_arrow_refs()) if x.num_rows])
+        ids = t["clip_id"].to_pylist()
+        edges = rd.from_arrow(pa.table({
+            "left_id": pa.array([ids[0], ids[1], "clip-missing-a"]),
+            "right_id": pa.array([ids[0], "clip-missing-b", ids[2]]),
+        })).materialize()
+        for limit in (None, 0):      # broadcast AND shuffle paths
+            out = mm.pair_snr_ds(clips, edges,
+                                 broadcast_limit=limit).to_pandas()
+            assert len(out) == 3, out
+            bad = out[(out.left_id == "clip-missing-a")
+                      | (out.right_id == "clip-missing-b")]
+            assert len(bad) == 2
+            assert not bad["passes"].any()
+            assert (bad["snr_db"] == float("-inf")).all()
+
+    def test_resampled_copy_never_passes_strict(self, ray_session):
+        """The strict invariant: a clip and its different-sample-rate
+        resample can score SNR >= 30 dB through alignment, but passes must
+        stay False because sr_match is False (passes = SNR AND sr_match)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from who_owns_mass_processing_ray import audio
+        from who_owns_mass_processing_ray.pipelines import multimodal as mm
+
+        sr_a, sr_b = 16000, 8000
+        tt = np.arange(int(sr_a * 0.5)) / sr_a
+        pcm = (0.5 * np.sin(2 * np.pi * 440.0 * tt)).astype(np.float32)
+        # exact same waveform re-sampled onto the slower clock
+        tb = np.arange(int(sr_b * 0.5)) / sr_b
+        pcm_b = np.interp(tb, tt, pcm).astype(np.float32)
+        clips = rd.from_arrow(pa.table({
+            "clip_id": pa.array(["a", "b"]),
+            "bytes": pa.array([audio.encode_wav(pcm, sr_a),
+                               audio.encode_wav(pcm_b, sr_b)],
+                              pa.large_binary()),
+            "codec": pa.array(["pcm_s16le", "pcm_s16le"]),
+        })).materialize()
+        edges = rd.from_arrow(pa.table({
+            "left_id": pa.array(["a"]), "right_id": pa.array(["b"]),
+        })).materialize()
+        out = mm.pair_snr_ds(clips, edges).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert not bool(row["sr_match"])
+        assert row["snr_db"] >= 30.0          # aligned PCM is a near-copy
+        assert not bool(row["passes"])        # ...but NOT an exact one
+
     def test_fingerprint_fps_rejected_and_deterministic(self, ray_session):
         from who_owns_mass_processing_ray.pipelines import multimodal as mm
 
